@@ -1,0 +1,214 @@
+"""
+Host pipeline primitives: background generator stages with bounded queues.
+
+The inference path is a lazy producer/consumer chain (reader -> chunker ->
+device step -> stitcher -> aligner -> writer) where each stage runs in its
+own thread or process so file IO, TPU compute, and BAM writing overlap
+(reference shape: bonito/multiprocessing.py).
+
+Design notes (TPU-first): the device step is a single thread owning the jit'd
+forward+decode function; everything around it is plain python threads feeding
+bounded queues, which is enough to keep one or more local chips saturated
+because all heavy host work (pod5 decode, alignment) releases the GIL inside
+C libraries or happens in worker processes.
+"""
+
+import queue
+import signal
+import threading
+from itertools import count
+from multiprocessing import Process, Queue, Event
+
+__all__ = [
+    "thread_iter", "process_iter", "thread_map", "process_map",
+    "thread_starmap", "process_cancel", "BackgroundIterator",
+]
+
+
+class _End:
+    """Sentinel marking the end of a stream."""
+
+
+END = _End()
+
+
+def process_cancel():
+    """SIGINT -> cooperative cancel event (checked by read generators)."""
+    event = Event()
+    signal.signal(signal.SIGINT, lambda *args: event.set())
+    return event
+
+
+class BackgroundIterator:
+    """Runs an iterator in a background thread/process behind a bounded queue."""
+
+    def __init__(self, iterator, maxsize=8):
+        self.iterator = iterator
+        self.queue = self.QueueType(maxsize)
+        self.runner = self.RunnerType(target=self._run, daemon=True)
+
+    def __iter__(self):
+        self.runner.start()
+        while True:
+            item = self.queue.get()
+            if isinstance(item, _End) or (isinstance(item, str) and item == "__END__"):
+                break
+            yield item
+        self.runner.join()
+
+    def _run(self):
+        try:
+            for item in self.iterator:
+                self.queue.put(item)
+        finally:
+            self.queue.put(self.sentinel)
+
+    def stop(self):
+        if hasattr(self.runner, "terminate"):
+            self.runner.terminate()
+
+
+class ThreadIterator(BackgroundIterator):
+    QueueType = queue.Queue
+    RunnerType = threading.Thread
+    sentinel = END
+
+
+class ProcessIterator(BackgroundIterator):
+    QueueType = Queue
+    RunnerType = Process
+    sentinel = "__END__"
+
+
+def thread_iter(iterator, maxsize=8):
+    return ThreadIterator(iterator, maxsize=maxsize)
+
+
+def process_iter(iterator, maxsize=8):
+    return ProcessIterator(iterator, maxsize=maxsize)
+
+
+# ---------------------------------------------------------------------------
+# ordered parallel map over a stream of (key, value) items
+# ---------------------------------------------------------------------------
+
+class _ThreadMapWorker(threading.Thread):
+    """One worker with its own input queue; order is preserved by
+    round-robin distribution and collection across workers."""
+
+    def __init__(self, fn, inq, outq):
+        super().__init__(daemon=True)
+        self.fn, self.inq, self.outq = fn, inq, outq
+
+    def run(self):
+        while True:
+            item = self.inq.get()
+            if isinstance(item, _End):
+                self.outq.put(END)
+                return
+            key, value = item
+            self.outq.put((key, self.fn(value)))
+
+
+def thread_map(fn, items, n_thread=4, maxsize=2, preserve_order=True):
+    """
+    Apply ``fn`` to the value of each (key, value) item using ``n_thread``
+    workers, preserving input order via round-robin queues.
+    """
+    if n_thread == 0:
+        return ((k, fn(v)) for k, v in items)
+
+    inqs = [queue.Queue(maxsize) for _ in range(n_thread)]
+    outqs = [queue.Queue(maxsize) for _ in range(n_thread)]
+    workers = [_ThreadMapWorker(fn, iq, oq) for iq, oq in zip(inqs, outqs)]
+
+    def feeder():
+        i = 0
+        for item in items:
+            inqs[i % n_thread].put(item)
+            i += 1
+        for q in inqs:
+            q.put(END)
+
+    def gen():
+        for w in workers:
+            w.start()
+        feed = threading.Thread(target=feeder, daemon=True)
+        feed.start()
+        done = 0
+        for i in count():
+            item = outqs[i % n_thread].get()
+            if isinstance(item, _End):
+                done += 1
+                if done == n_thread:
+                    break
+                continue
+            yield item
+        feed.join()
+        for w in workers:
+            w.join()
+
+    return gen()
+
+
+def thread_starmap(fn, items, n_thread=4):
+    return thread_map(lambda args: fn(*args), items, n_thread=n_thread)
+
+
+# ---------------------------------------------------------------------------
+# process map (for CPU-heavy per-item work, e.g. host CTC beam decoding)
+# ---------------------------------------------------------------------------
+
+def _proc_worker(fn, inq, outq):
+    while True:
+        item = inq.get()
+        if item == "__END__":
+            outq.put("__END__")
+            return
+        key, value = item
+        outq.put((key, fn(value)))
+
+
+def process_map(fn, items, n_proc=4, maxsize=2):
+    """
+    Like thread_map but with worker processes. ``fn`` and items must pickle.
+    Order is preserved via round-robin queues.
+    """
+    if n_proc == 0:
+        return ((k, fn(v)) for k, v in items)
+
+    inqs = [Queue(maxsize) for _ in range(n_proc)]
+    outqs = [Queue(maxsize) for _ in range(n_proc)]
+    procs = [
+        Process(target=_proc_worker, args=(fn, iq, oq), daemon=True)
+        for iq, oq in zip(inqs, outqs)
+    ]
+
+    def gen():
+        for p in procs:
+            p.start()
+
+        def feeder():
+            i = 0
+            for item in items:
+                inqs[i % n_proc].put(item)
+                i += 1
+            for q in inqs:
+                q.put("__END__")
+
+        feed = threading.Thread(target=feeder, daemon=True)
+        feed.start()
+        done = 0
+        for i in count():
+            item = outqs[i % n_proc].get()
+            if item == "__END__":
+                done += 1
+                if done == n_proc:
+                    break
+                continue
+            yield item
+        feed.join()
+        for p in procs:
+            p.join()
+
+    return gen()

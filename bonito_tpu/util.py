@@ -1,0 +1,362 @@
+"""
+Host-side utilities: signal chunking/stitching, batch bookkeeping, phred
+math, model loading and accuracy metrics.
+
+Semantics intentionally match the reference basecaller so that stitched
+base/quality strings are identical at chunk junctions
+(reference: bonito/util.py:105-220, 259-311, 346-368).
+Everything here is numpy / pure python — device code lives in
+``bonito_tpu.ops`` and the model families.
+"""
+
+import os
+import re
+import glob as _glob
+from collections import defaultdict
+from importlib import import_module
+from itertools import groupby
+from operator import itemgetter
+from pathlib import Path
+
+import numpy as np
+
+__dir__ = Path(__file__).parent
+__models_dir__ = __dir__ / "models"
+__data_dir__ = __dir__ / "data"
+
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+
+
+# ---------------------------------------------------------------------------
+# type-agnostic container helpers (np arrays / lists / strs / dicts)
+# ---------------------------------------------------------------------------
+
+def concat(xs, dim=0):
+    """Concatenate a homogeneous list of arrays/lists/strings/dicts."""
+    head = xs[0]
+    if isinstance(head, np.ndarray):
+        return np.concatenate(xs, axis=dim)
+    if isinstance(head, list):
+        return [x for part in xs for x in part]
+    if isinstance(head, str):
+        return "".join(xs)
+    if isinstance(head, dict):
+        return {k: concat([x[k] for x in xs], dim) for k in head}
+    # jax arrays and anything else with a shape
+    if hasattr(head, "shape"):
+        import jax.numpy as jnp
+        return jnp.concatenate(xs, axis=dim)
+    raise TypeError(f"cannot concat {type(head)}")
+
+
+def select_range(x, start, end, dim=0):
+    """Slice [start:end] along ``dim`` for arrays; plain slicing otherwise."""
+    if isinstance(x, dict):
+        return {k: select_range(v, start, end, dim) for k, v in x.items()}
+    if dim == 0 or isinstance(x, list):
+        return x[start:end]
+    index = (slice(None),) * dim + (slice(start, end),)
+    return x[index]
+
+
+def size(x, dim=0):
+    if hasattr(x, "shape"):
+        return x.shape[dim]
+    if dim == 0:
+        return len(x)
+    raise TypeError(f"cannot size {type(x)} along dim {dim}")
+
+
+# ---------------------------------------------------------------------------
+# phred / qscore math
+# ---------------------------------------------------------------------------
+
+def phred(prob, scale=1.0, bias=0.0):
+    """ASCII phred char for a correctness probability (clamped to q40)."""
+    err = max(1.0 - prob, 1e-4)
+    q = -10 * np.log10(err) * scale + bias
+    return chr(int(np.round(q)) + 33)
+
+
+def phred_array(probs, scale=1.0, bias=0.0):
+    """Vectorised phred+33 codes (uint8) for an array of probabilities."""
+    err = np.maximum(1.0 - probs, 1e-4)
+    q = -10.0 * np.log10(err) * scale + bias
+    return (np.round(q) + 33).astype(np.uint8)
+
+
+def mean_qscore_from_qstring(qstring):
+    """Mean qscore of a phred+33 string (computed in error space)."""
+    if len(qstring) == 0:
+        return 0.0
+    qs = np.frombuffer(qstring.encode(), dtype=np.uint8).astype(np.float32) - 33
+    mean_err = np.exp(qs * (-np.log(10) / 10.0)).mean()
+    return float(-10 * np.log10(max(mean_err, 1e-4)))
+
+
+def decode_ref(encoded, labels):
+    """Integer-encoded reference -> string, dropping blanks (label 0)."""
+    return "".join(labels[e] for e in np.asarray(encoded).tolist() if e)
+
+
+# ---------------------------------------------------------------------------
+# chunk / stitch — identical arithmetic to the reference (bonito/util.py:142-183)
+# ---------------------------------------------------------------------------
+
+def chunk(signal, chunksize, overlap):
+    """
+    Tile a 1-D signal into overlapping fixed-size chunks [n_chunks, chunksize].
+
+    Short reads (T < chunksize) are padded by repeating the signal, matching
+    the reference behaviour; the stitcher then keeps only floor(T/stride)
+    output frames for such reads.
+    """
+    signal = np.asarray(signal)
+    if signal.ndim == 1:
+        signal = signal[None, :]
+    T = signal.shape[-1]
+    if chunksize == 0:
+        return signal[None, 0]
+    if T < chunksize:
+        n, overhang = divmod(chunksize, T)
+        return np.concatenate([np.tile(signal, n), signal[..., :overhang]], axis=-1)
+    stub = (T - overlap) % (chunksize - overlap)
+    step = chunksize - overlap
+    starts = np.arange(stub, T - chunksize + 1, step)
+    chunks = np.stack([signal[0, s:s + chunksize] for s in starts], axis=0)
+    if stub > 0:
+        chunks = np.concatenate([signal[:, :chunksize], chunks], axis=0)
+    return chunks
+
+
+def stitch(chunks, chunksize, overlap, length, stride, reverse=False):
+    """
+    Stitch per-chunk model outputs back into one read.
+
+    ``chunks`` has shape [n_chunks, T_out, ...]; the overlap/2 frames on each
+    side of every junction are dropped (reference: bonito/util.py:164-183).
+    """
+    if size(chunks, 0) == 1:
+        return select_range(chunks, 0, 1)[0] if isinstance(chunks, dict) else chunks[0]
+
+    semi_overlap = overlap // 2
+    start, end = semi_overlap // stride, (chunksize - semi_overlap) // stride
+    stub = (length - overlap) % (chunksize - overlap)
+    first_chunk_end = (stub + semi_overlap) // stride if (stub > 0) else end
+
+    if reverse:
+        pieces = list(chunks)
+        return concat([
+            pieces[-1][:-start],
+            *(x[-end:-start] for x in reversed(pieces[1:-1])),
+            pieces[0][-first_chunk_end:],
+        ])
+    return concat([
+        chunks[0, :first_chunk_end],
+        *(chunks[i, start:end] for i in range(1, size(chunks, 0) - 1)),
+        chunks[-1, start:],
+    ])
+
+
+# ---------------------------------------------------------------------------
+# batchify / unbatchify — read<->batch span bookkeeping (bonito/util.py:186-220)
+# ---------------------------------------------------------------------------
+
+def batchify(items, batchsize, dim=0):
+    """
+    Pack a stream of (key, chunks-array) into fixed-size batches, yielding
+    (spans, batch) where spans = [(key, (start, end)), ...] records where each
+    read's chunks landed inside the batch.
+    """
+    stack, pos = [], 0
+    for key, value in items:
+        breaks = range(batchsize - pos, size(value, dim), batchsize)
+        for start, end in zip([0, *breaks], [*breaks, size(value, dim)]):
+            part = select_range(value, start, end, dim)
+            stack.append(((key, (pos, pos + end - start)), part))
+            if pos + end - start == batchsize:
+                spans, parts = zip(*stack)
+                yield spans, concat(parts, dim)
+                stack, pos = [], 0
+            else:
+                pos += end - start
+
+    if stack:
+        spans, parts = zip(*stack)
+        yield spans, concat(parts, dim)
+
+
+def unbatchify(batches, dim=0):
+    """Invert batchify: regroup batch slices back into per-key arrays."""
+    sliced = (
+        (key, select_range(value, start, end, dim))
+        for spans, value in batches
+        for key, (start, end) in spans
+    )
+    return (
+        (key, concat([v for _, v in group], dim))
+        for key, group in groupby(sliced, itemgetter(0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# model loading
+# ---------------------------------------------------------------------------
+
+def load_symbol(config, symbol):
+    """Dynamically load ``symbol`` from the package named in the config."""
+    if not isinstance(config, dict):
+        from bonito_tpu.config import load_config
+        config = load_config(model_directory(config) / "config.toml")
+    package = config["model"]["package"]
+    return getattr(import_module(package), symbol)
+
+
+def model_directory(dirname):
+    """Resolve a model name to a directory (checks bundled models dir)."""
+    p = Path(dirname)
+    if not p.is_dir() and (__models_dir__ / dirname).is_dir():
+        return __models_dir__ / dirname
+    return p
+
+
+def get_last_checkpoint(dirname):
+    """Latest weights_{N}.{npz,tar} in a model directory."""
+    found = []
+    for pattern in ("weights_*.npz", "weights_*.tar"):
+        for path in _glob.glob(os.path.join(str(dirname), pattern)):
+            m = re.search(r"_(\d+)\.(npz|tar)$", path)
+            if m:
+                found.append((int(m.group(1)), path))
+    if not found:
+        raise FileNotFoundError(f"no model weights found in '{dirname}'")
+    return max(found)[1]
+
+
+def set_config_defaults(config, chunksize=None, batchsize=None, overlap=None, quantize=False):
+    params = config.get("basecaller", {})
+    params["chunksize"] = chunksize or params.get("chunksize", 4000)
+    params["overlap"] = overlap if overlap is not None else params.get("overlap", 500)
+    params["batchsize"] = batchsize or params.get("batchsize", 64)
+    params["quantize"] = params.get("quantize") if quantize is None else quantize
+    config["basecaller"] = params
+    return config
+
+
+def load_model(dirname, weights=None, half=True, chunksize=None, batchsize=None,
+               overlap=None, quantize=False, use_compiled=True):
+    """
+    Load a model (config + weights) off disk.
+
+    Chunksize is rounded down to a stride multiple and overlap to an even
+    stride multiple so stitching stays exact (reference: bonito/util.py:288-291).
+    """
+    from bonito_tpu.config import load_config
+
+    dirname = model_directory(dirname)
+    if weights is None:
+        weights_path = get_last_checkpoint(dirname)
+    else:
+        for ext in ("npz", "tar"):
+            candidate = dirname / f"weights_{weights}.{ext}"
+            if candidate.exists():
+                weights_path = str(candidate)
+                break
+        else:
+            raise FileNotFoundError(f"weights_{weights}.* not found in {dirname}")
+
+    config = load_config(dirname / "config.toml")
+    config = set_config_defaults(config, chunksize, batchsize, overlap, quantize)
+    return _load_model(weights_path, config, half=half, use_compiled=use_compiled)
+
+
+def _load_model(weights_path, config, half=True, use_compiled=True):
+    from bonito_tpu.checkpoint import load_weights
+
+    Model = load_symbol(config, "Model")
+    model = Model(config)
+
+    stride = model.stride
+    config["basecaller"]["chunksize"] -= config["basecaller"]["chunksize"] % stride
+    config["basecaller"]["overlap"] -= config["basecaller"]["overlap"] % (stride * 2)
+
+    params = load_weights(weights_path, model)
+    model.params = params
+    if half:
+        model.to_bf16()
+    return model
+
+
+# ---------------------------------------------------------------------------
+# accuracy — Smith-Waterman against a reference (native C++ with numpy fallback)
+# ---------------------------------------------------------------------------
+
+def parasail_style_cigar_counts(cigar):
+    counts = defaultdict(int)
+    for count, op in _CIGAR_RE.findall(cigar):
+        counts[op] += int(count)
+    return counts
+
+
+def accuracy(ref, seq, balanced=False, min_coverage=0.0):
+    """
+    Percent accuracy of ``seq`` vs ``ref`` from a local alignment
+    (reference semantics: bonito/util.py:346-368).
+    """
+    from bonito_tpu.alignment import smith_waterman
+
+    if len(seq) == 0 or len(ref) == 0:
+        return 0.0
+    result = smith_waterman(seq, ref)
+    if result is None:
+        return 0.0
+
+    r_coverage = result.ref_aligned_length / len(ref)
+    if r_coverage < min_coverage:
+        return 0.0
+
+    counts = parasail_style_cigar_counts(result.cigar)
+    denom_ins = counts["I"]
+    if balanced:
+        denom = counts["="] + counts["X"] + counts["D"]
+        if denom == 0:
+            return 0.0
+        return (counts["="] - denom_ins) / denom * 100
+    denom = counts["="] + counts["I"] + counts["X"] + counts["D"]
+    if denom == 0:
+        return 0.0
+    return counts["="] / denom * 100
+
+
+def column_to_set(filename, idx=0, skip_header=False):
+    if filename and os.path.isfile(filename):
+        with open(filename) as tsv:
+            if skip_header:
+                next(tsv)
+            return {line.strip().split()[idx] for line in tsv if line.strip()}
+    return None
+
+
+def tqdm_environ():
+    """tqdm kwargs from BONITO_PBAR_* environment variables."""
+    kwargs = {}
+    interval = os.getenv("BONITO_PBAR_INTERVAL")
+    if interval is not None:
+        try:
+            kwargs.update(mininterval=float(interval), maxinterval=float(interval))
+        except ValueError:
+            pass
+    disable = os.getenv("BONITO_PBAR_DISABLE")
+    if disable is not None:
+        try:
+            kwargs.update(disable=bool(int(disable)))
+        except ValueError:
+            pass
+    return kwargs
+
+
+def init(seed=25):
+    """Seed host-side RNGs (device RNG is explicit via jax PRNG keys)."""
+    import random
+    random.seed(seed)
+    np.random.seed(seed)
