@@ -1,0 +1,102 @@
+"""
+CRF basecalling pipeline.
+
+Lazy generator chain (each stage behind a bounded-queue thread) mirroring
+the reference's shape (bonito/crf/basecall.py:58-82):
+
+    reads -> chunk -> batchify -> [device: forward + decode] -> unbatchify
+          -> stitch -> format
+
+The device stage owns a single jit-compiled function of fixed shape
+[batchsize, chunksize, 1]; ragged final batches are padded so only one
+executable is ever compiled.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bonito_tpu.pipeline import thread_iter
+from bonito_tpu.util import chunk, stitch, batchify, unbatchify
+from bonito_tpu.ops.decode import beam_search, to_str
+
+
+def stitch_results(results, length, size, overlap, stride, reverse=False):
+    """Stitch per-chunk result dicts back into per-read arrays."""
+    if isinstance(results, dict):
+        return {
+            k: stitch_results(v, length, size, overlap, stride, reverse=reverse)
+            for k, v in results.items()
+        }
+    if length < size:
+        return results[0, :int(np.floor(length / stride))]
+    return stitch(results, size, overlap, length, stride, reverse=reverse)
+
+
+def make_compute_fn(model, batchsize, chunksize, reverse=False):
+    """Build the jitted device step: signal batch -> decoded frame arrays."""
+    qcfg = getattr(model, "config", {}).get("qscore", {}) if hasattr(model, "config") else {}
+    qscale = float(qcfg.get("scale", 1.0))
+    qbias = float(qcfg.get("bias", 0.0))
+    decode_params = getattr(model, "config", {}).get("basecaller", {}) if hasattr(model, "config") else {}
+
+    @jax.jit
+    def step(params, x):
+        scores = model.apply(params, x.astype(model.compute_dtype))
+        if reverse:
+            scores = model.seqdist.reverse_complement(scores)
+        return beam_search(
+            model.seqdist, scores,
+            beam_width=int(decode_params.get("beam_width", 32)),
+            qscale=qscale, qbias=qbias,
+        )
+
+    def compute(batch):
+        n = batch.shape[0]
+        if n < batchsize:
+            batch = np.concatenate(
+                [batch, np.zeros((batchsize - n, *batch.shape[1:]), batch.dtype)])
+        x = jnp.asarray(batch[..., None])
+        out = step(model.params, x)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    return compute
+
+
+def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
+             reverse=False, rna=False):
+    """Basecall a stream of reads; yields (read, result-dict) pairs."""
+    compute = make_compute_fn(model, batchsize, chunksize, reverse=reverse)
+
+    chunks = thread_iter(
+        ((read, 0, read.signal.shape[-1]),
+         chunk(np.asarray(read.signal, np.float32), chunksize, overlap))
+        for read in reads
+    )
+
+    batches = thread_iter(batchify(chunks, batchsize=batchsize))
+
+    scores = thread_iter(
+        (spans, compute(batch)) for spans, batch in batches
+    )
+
+    results = thread_iter(
+        (read, stitch_results(attrs, end - start, chunksize, overlap,
+                              model.stride, reverse))
+        for ((read, start, end), attrs) in unbatchify(scores)
+    )
+
+    return thread_iter(
+        (read, fmt(model.stride, attrs, model.alphabet, rna))
+        for read, attrs in results
+    )
+
+
+def fmt(stride, attrs, alphabet, rna=False):
+    fliprna = (lambda x: x[::-1]) if rna else (lambda x: x)
+    return {
+        "stride": stride,
+        "moves": np.asarray(attrs["moves"]),
+        "qstring": fliprna(to_str(attrs["qstring"], qstring=True)),
+        "sequence": fliprna(to_str(attrs["sequence"], "".join(alphabet))),
+    }

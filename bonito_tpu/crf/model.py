@@ -1,0 +1,155 @@
+"""
+LSTM-CRF model family (the reference's "fast"/"hac" models).
+
+A SeqdistModel pairs an encoder (conv downsample + recurrent stack + CRF
+projection, built from the config's layer tree) with a CTC_CRF sequence
+distribution. Architecture schema matches the reference
+(bonito/crf/model.py:150-246) but the implementation is functional JAX:
+params are external pytrees and `forward` is a pure jittable function.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bonito_tpu import nn
+from bonito_tpu.crf.seqdist import CTC_CRF, Log, Max
+
+
+def rnn_encoder(n_base, state_len, insize=1, first_conv_size=4, stride=5,
+                winlen=19, activation="swish", rnn_type="lstm", features=768,
+                scale=5.0, blank_score=None, expand_blanks=True, num_layers=5,
+                norm=None):
+    """Old-style config encoder builder (reference: bonito/crf/model.py:150-162)."""
+    rnn = nn.layers[rnn_type]
+
+    def conv(c_in, c_out, ks, stride=1):
+        return nn.Convolution(c_in, c_out, ks, stride=stride, padding=ks // 2,
+                              bias=True, activation=activation, norm=norm)
+
+    return nn.Serial([
+        conv(insize, first_conv_size, ks=5),
+        conv(first_conv_size, 16, ks=5),
+        conv(16, features, ks=winlen, stride=stride),
+        nn.Permute([2, 0, 1]),
+        *(rnn(features, features, reverse=(num_layers - i) % 2)
+          for i in range(num_layers)),
+        nn.LinearCRFEncoder(
+            features, n_base, state_len, activation="tanh", scale=scale,
+            blank_score=blank_score, expand_blanks=expand_blanks,
+        ),
+    ])
+
+
+class SeqdistModel:
+    """Encoder + CTC_CRF seqdist. Pure-functional forward over a param tree."""
+
+    def __init__(self, encoder, seqdist, n_pre_post_context_bases=None,
+                 target_projection=None):
+        self.seqdist = seqdist
+        self.encoder = encoder
+        self.stride = nn.get_stride(encoder)
+        self.alphabet = seqdist.alphabet
+        self.params = None
+        self.compute_dtype = jnp.float32
+
+        if n_pre_post_context_bases is None:
+            self.n_pre_context_bases = seqdist.state_len - 1
+            self.n_post_context_bases = 1
+        else:
+            self.n_pre_context_bases, self.n_post_context_bases = n_pre_post_context_bases
+
+        self.target_projection = (
+            None if target_projection is None
+            else np.array([0] + list(target_projection))
+        )
+
+    # -- params -----------------------------------------------------------------
+
+    def init(self, key=None):
+        key = jax.random.PRNGKey(0) if key is None else key
+        self.params = {"encoder": self.encoder.init_params(key)}
+        return self.params
+
+    def to_bf16(self):
+        self.compute_dtype = jnp.bfloat16
+        self.params = nn.cast_tree(self.params, jnp.bfloat16)
+        return self
+
+    # -- forward ------------------------------------------------------------------
+
+    def apply(self, params, x, ctx=None):
+        """x: [N, T, 1] signal chunks -> scores [N, T/stride, n_score]."""
+        return self.encoder.apply(params["encoder"], x, ctx)
+
+    def forward(self, x):
+        return self.apply(self.params, x)
+
+    __call__ = forward
+
+    # -- decoding -------------------------------------------------------------------
+
+    def decode_batch(self, scores):
+        """Viterbi strings from raw scores (posterior-space, as the
+        reference's decode_batch: bonito/crf/model.py:196-199)."""
+        scores = jnp.asarray(scores, jnp.float32)
+        post = self.seqdist.posteriors(scores, Log) + 1e-8
+        paths = np.asarray(self.seqdist.viterbi(jnp.log(post)))
+        return [self.seqdist.path_to_str(p) for p in paths]
+
+    def decode(self, x):
+        return self.decode_batch(x[None])[0]
+
+    # -- loss --------------------------------------------------------------------------
+
+    def loss(self, scores, targets, target_lengths, **kwargs):
+        if self.target_projection is not None:
+            targets = jnp.asarray(self.target_projection)[targets]
+        return self.seqdist.ctc_loss(
+            scores.astype(jnp.float32), targets, target_lengths, **kwargs)
+
+    # -- serialization ---------------------------------------------------------------------
+
+    @classmethod
+    def from_dict(cls, model_dict, layer_types=None):
+        kwargs = dict(model_dict)
+        kwargs["encoder"] = nn.from_dict(kwargs["encoder"], layer_types)
+        kwargs["seqdist"] = CTC_CRF(**kwargs.pop("seqdist"))
+        return cls(**kwargs)
+
+    def to_dict(self, include_weights=False):
+        if include_weights:
+            raise NotImplementedError
+        res = {
+            "encoder": nn.to_dict(self.encoder),
+            "seqdist": {
+                "state_len": self.seqdist.state_len,
+                "alphabet": self.seqdist.alphabet,
+            },
+            "n_pre_post_context_bases": (
+                self.n_pre_context_bases, self.n_post_context_bases),
+        }
+        if self.target_projection is not None:
+            res["target_projection"] = self.target_projection.tolist()[1:]
+        return res
+
+
+class Model(SeqdistModel):
+    """CRF model built from a bonito-style config dict."""
+
+    def __init__(self, config):
+        seqdist = CTC_CRF(
+            state_len=config["global_norm"]["state_len"],
+            alphabet=config["labels"]["labels"],
+        )
+        if "type" in config["encoder"]:  # new-style serialized layer tree
+            encoder = nn.from_dict(config["encoder"])
+        else:  # old-style parametric encoder
+            encoder = rnn_encoder(
+                seqdist.n_base, seqdist.state_len,
+                insize=config["input"]["features"], **config["encoder"])
+        super().__init__(
+            encoder, seqdist,
+            n_pre_post_context_bases=config["input"].get("n_pre_post_context_bases"),
+        )
+        self.config = config

@@ -1,0 +1,290 @@
+"""
+CTC-CRF sequence distribution on TPU.
+
+The model emits, per output frame, a score for every transition of a CRF
+whose states are the last `state_len` bases (S = n_base**state_len states,
+newest base in the least-significant base-n_base digit). Each state has
+n_base+1 incoming transition slots: slot 0 = stay, slot 1+j = move from the
+predecessor whose dropped (oldest) base was j. Score tensors are
+[N, T, S*(n_base+1)] batch-major.
+
+TPU-first formulation: the reference's CUDA kernels do a sparse 5-way
+gather per state per step (koi logZ_cu_sparse / fwd/bwd_scores_cu_sparse,
+reference call sites bonito/crf/model.py:47-67). Here the transition
+structure is expressed *densely*: with states factored as s = r*n_base + b
+(r = low state_len-1 digits of the predecessor, b = newest base), the
+recurrence is a reshape/broadcast/logsumexp over an [R, n_base, n_base]
+block — no gathers, pure VPU work, which is exactly what Pallas/XLA want.
+
+    alpha[t+1](r, b) = LSE( stay: M0[t](r*nb+b) + alpha[t](r*nb+b),
+                            moves: LSE_j( Mm[t](r, b, j) + alpha[t](j*R + r) ) )
+
+Semantics match the reference exactly (same idx table, same normalisation),
+verified in tests against a brute-force enumeration.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e30
+
+
+class Semiring:
+    def __init__(self, one, sum_fn):
+        self.one = one
+        self.sum = sum_fn
+
+
+Log = Semiring(0.0, jax.nn.logsumexp)
+Max = Semiring(0.0, lambda x, axis: jnp.max(x, axis=axis))
+
+
+class CTC_CRF:
+    """CRF over k-mer states with CTC-style stay transitions."""
+
+    def __init__(self, state_len, alphabet):
+        self.alphabet = list(alphabet)
+        self.state_len = state_len
+        self.n_base = len(alphabet) - 1
+        self.n_states = self.n_base ** state_len
+
+    @property
+    def idx(self):
+        """Predecessor table [S, n_base+1] (reference: bonito/crf/model.py:37-42)."""
+        nb, S = self.n_base, self.n_states
+        R = S // nb
+        stay = np.arange(S, dtype=np.int32)[:, None]
+        moves = (stay // nb) + np.arange(nb, dtype=np.int32)[None, :] * R
+        return np.concatenate([stay, moves], axis=1)
+
+    def n_score(self):
+        return (self.n_base + 1) * self.n_states
+
+    # -- dense one-step recurrences ------------------------------------------
+
+    def _split_scores(self, Ms):
+        """Ms [..., S, nb+1] -> (stay [..., S], moves [..., R, nb, nb])."""
+        nb, S = self.n_base, self.n_states
+        R = S // nb
+        stay = Ms[..., 0]
+        moves = Ms[..., 1:].reshape(*Ms.shape[:-2], R, nb, nb)
+        return stay, moves
+
+    def _fwd_step(self, alpha, Ms_t, S: Semiring):
+        """alpha [N, S] -> alpha' [N, S] using scores Ms_t [N, S, nb+1]."""
+        nb, NS = self.n_base, self.n_states
+        R = NS // nb
+        stay, moves = self._split_scores(Ms_t)          # [N,S], [N,R,nb(b),nb(j)]
+        a_moves = alpha.reshape(-1, nb, R)              # [N, j, r]
+        a_moves = jnp.swapaxes(a_moves, 1, 2)           # [N, r, j]
+        move_in = S.sum(moves + a_moves[:, :, None, :], axis=-1)  # [N, r, b]
+        stay_in = stay + alpha
+        both = jnp.stack([stay_in, move_in.reshape(-1, NS)], axis=-1)
+        return S.sum(both, axis=-1)
+
+    def _bwd_step(self, beta, Ms_t, S: Semiring):
+        """beta [N, S] (at t+1) -> beta' [N, S] (at t)."""
+        nb, NS = self.n_base, self.n_states
+        R = NS // nb
+        stay, moves = self._split_scores(Ms_t)          # [N,S], [N,r,b,j]
+        b_next = beta.reshape(-1, R, nb)                # [N, r, b] (state s = r*nb+b)
+        move_out = S.sum(moves + b_next[..., None], axis=2)  # LSE over b -> [N, r, j]
+        move_out = jnp.swapaxes(move_out, 1, 2).reshape(-1, NS)  # p = j*R + r
+        stay_out = stay + beta
+        both = jnp.stack([stay_out, move_out], axis=-1)
+        return S.sum(both, axis=-1)
+
+    # -- scans ----------------------------------------------------------------
+
+    def _reshape(self, scores):
+        N, T, C = scores.shape
+        return scores.reshape(N, T, self.n_states, self.n_base + 1).astype(jnp.float32)
+
+    def forward_scores(self, scores, S: Semiring = Log):
+        """All forward state scores alpha [N, T+1, S]."""
+        Ms = jnp.swapaxes(self._reshape(scores), 0, 1)  # [T, N, S, nb+1]
+        N = Ms.shape[1]
+        a0 = jnp.full((N, self.n_states), S.one, jnp.float32)
+
+        def step(alpha, Ms_t):
+            a = self._fwd_step(alpha, Ms_t, S)
+            return a, a
+
+        _, stack = jax.lax.scan(step, a0, Ms)
+        alpha = jnp.concatenate([a0[None], stack], axis=0)  # [T+1, N, S]
+        return jnp.swapaxes(alpha, 0, 1)
+
+    def backward_scores(self, scores, S: Semiring = Log):
+        """All backward state scores beta [N, T+1, S]."""
+        Ms = jnp.swapaxes(self._reshape(scores), 0, 1)
+        N = Ms.shape[1]
+        bT = jnp.full((N, self.n_states), S.one, jnp.float32)
+
+        def step(beta, Ms_t):
+            b = self._bwd_step(beta, Ms_t, S)
+            return b, b
+
+        _, stack = jax.lax.scan(step, bT, Ms, reverse=True)
+        beta = jnp.concatenate([stack, bT[None]], axis=0)
+        return jnp.swapaxes(beta, 0, 1)
+
+    def logZ(self, scores, S: Semiring = Log):
+        """Partition function [N] (flat alpha_0 / beta_T as in the reference)."""
+        Ms = jnp.swapaxes(self._reshape(scores), 0, 1)
+        N = Ms.shape[1]
+        a0 = jnp.full((N, self.n_states), S.one, jnp.float32)
+
+        def step(alpha, Ms_t):
+            return self._fwd_step(alpha, Ms_t, S), None
+
+        alpha_T, _ = jax.lax.scan(step, a0, Ms)
+        return S.sum(alpha_T, axis=1)
+
+    def normalise(self, scores):
+        """Per-frame global normalisation: scores - logZ/T."""
+        T = scores.shape[1]
+        z = self.logZ(scores.astype(jnp.float32))
+        return scores.astype(jnp.float32) - z[:, None, None] / T
+
+    def posteriors(self, scores, S: Semiring = Log):
+        """
+        Edge posteriors [N, T, C].
+
+        Log semiring: true transition posteriors p(edge at t | x) (rows sum
+        to 1 over C). Max semiring: score of the best full path through each
+        edge (argmax over C per t = Viterbi edge).
+        """
+        Ms = self._reshape(scores)                      # [N, T, S, nb+1]
+        alpha = self.forward_scores(scores, S)          # [N, T+1, S]
+        beta = self.backward_scores(scores, S)          # [N, T+1, S]
+        nb, NS = self.n_base, self.n_states
+        R = NS // nb
+        N, T = Ms.shape[0], Ms.shape[1]
+
+        # edge score = alpha[t][pred] + Ms[t] + beta[t+1][new]
+        stay_pred = alpha[:, :-1]                                     # [N,T,S]
+        a = alpha[:, :-1].reshape(N, T, nb, R)                        # [N,T,j,r]
+        move_pred = jnp.swapaxes(a, 2, 3)[:, :, :, None, :]           # [N,T,r,1,j]
+        move_pred = jnp.broadcast_to(move_pred, (N, T, R, nb, nb))
+        pred = jnp.concatenate(
+            [stay_pred[..., None], move_pred.reshape(N, T, NS, nb)], axis=-1
+        )                                                             # [N,T,S,nb+1]
+        edge = pred + Ms + beta[:, 1:, :, None]
+        if S is Log:
+            z = jax.nn.logsumexp(edge.reshape(N, T, -1), axis=-1)
+            edge = jnp.exp(edge - z[..., None, None])
+        return edge.reshape(N, T, -1)
+
+    # -- decoding --------------------------------------------------------------
+
+    def viterbi(self, scores):
+        """
+        Best path [N, T]: 0 where the best edge is a stay, else 1 + emitted
+        base (the new state's newest digit), matching the reference
+        (bonito/crf/model.py:98-103).
+        """
+        traceback = self.posteriors(scores, Max)
+        n_edge = self.n_base + 1
+        c = jnp.argmax(traceback, axis=2)
+        is_move = (c % n_edge) != 0
+        base = 1 + (c // n_edge) % self.n_base
+        return jnp.where(is_move, base, 0)
+
+    def path_to_str(self, path):
+        alphabet = np.frombuffer("".join(self.alphabet).encode(), dtype="u1")
+        path = np.asarray(path)
+        return alphabet[path[path != 0]].tobytes().decode()
+
+    def reverse_complement(self, scores):
+        """
+        Reverse-complement in score space (duplex): reverse time, map each
+        k-mer transition to its reverse complement
+        (reference semantics: bonito/crf/model.py:84-96).
+        """
+        N, T, C = scores.shape
+        nb, sl = self.n_base, self.state_len
+        digits = (nb,) * sl
+        expanded = scores.reshape(N, T, *digits, nb + 1)
+
+        blanks = expanded[..., 0]
+        # reverse digit order then flip every digit (complement)
+        blanks = jnp.transpose(blanks, (0, 1, *range(sl + 1, 1, -1)))
+        blanks = blanks.reshape(N, T, -1, 1)
+        blanks = jnp.flip(blanks, axis=(1, 2))
+
+        moves = expanded[..., 1:]
+        # (N, T, a1..a5, j) -> (N, T, a4..a1, j, a5): new state digits then slot
+        perm = (0, 1, *range(sl, 1, -1), sl + 2, sl + 1)
+        moves = jnp.transpose(moves, perm).reshape(N, T, -1, nb)
+        moves = jnp.flip(moves, axis=(1, 2, 3))
+
+        return jnp.concatenate([blanks, moves], axis=-1).reshape(N, T, -1)
+
+    # -- training loss ----------------------------------------------------------
+
+    def prepare_ctc_scores(self, scores, targets):
+        """
+        Gather per-position stay/move scores along the target alignment
+        lattice. targets: [N, L] CTC labels (blank=0, bases 1..nb).
+        Returns (stay [N, T, n_pos], move [N, T, n_pos-1]).
+        """
+        targets = jnp.clip(targets - 1, 0, None)        # zero-indexed bases
+        N, T, C = scores.shape
+        scores = scores.astype(jnp.float32)
+        L = targets.shape[1]
+        n = L - (self.state_len - 1)
+        stay_idx = sum(
+            targets[:, i:n + i] * self.n_base ** (self.state_len - i - 1)
+            for i in range(self.state_len)
+        ) * (self.n_base + 1)
+        move_idx = stay_idx[:, 1:] + targets[:, :n - 1] + 1
+        stay = jnp.take_along_axis(scores, stay_idx[:, None, :].astype(jnp.int32)
+                                   .repeat(T, 1), axis=2)
+        move = jnp.take_along_axis(scores, move_idx[:, None, :].astype(jnp.int32)
+                                   .repeat(T, 1), axis=2)
+        return stay, move
+
+    @staticmethod
+    def _lattice_logZ(stay, move, lengths, S: Semiring = Log):
+        """
+        Alignment-lattice partition function: stay [N, T, n], move [N, T, n-1],
+        lengths [N] = number of valid lattice positions per sample.
+        """
+        N, T, n = stay.shape
+        a0 = jnp.full((N, n), NEG, jnp.float32).at[:, 0].set(0.0)
+        stay_t = jnp.swapaxes(stay, 0, 1)
+        move_t = jnp.swapaxes(move, 0, 1)
+
+        def step(alpha, sm):
+            s_t, m_t = sm
+            stay_path = alpha + s_t
+            move_path = jnp.pad(alpha[:, :-1] + m_t, ((0, 0), (1, 0)),
+                                constant_values=NEG)
+            alpha = S.sum(jnp.stack([stay_path, move_path], -1), axis=-1)
+            return alpha, None
+
+        alpha_T, _ = jax.lax.scan(step, a0, (stay_t, move_t))
+        return jnp.take_along_axis(alpha_T, (lengths - 1)[:, None], axis=1)[:, 0]
+
+    def ctc_loss(self, scores, targets, target_lengths, loss_clip=None,
+                 reduction="mean", normalise_scores=True):
+        """
+        -log p(target | x) / target_length, averaged over the batch
+        (reference: bonito/crf/model.py:126-139).
+        """
+        if normalise_scores:
+            scores = self.normalise(scores)
+        stay, move = self.prepare_ctc_scores(scores, targets)
+        lattice_lengths = (target_lengths + 1 - self.state_len).astype(jnp.int32)
+        logz = self._lattice_logZ(stay, move, lattice_lengths)
+        loss = -(logz / target_lengths)
+        if loss_clip:
+            loss = jnp.clip(loss, 0.0, loss_clip)
+        if reduction == "mean":
+            return jnp.mean(loss)
+        if reduction in ("none", None):
+            return loss
+        raise ValueError(f"unknown reduction {reduction}")

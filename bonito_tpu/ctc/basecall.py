@@ -1,0 +1,79 @@
+"""
+Conv-CTC basecalling pipeline: device forward (log-softmax posteriors),
+stitch in score space, then host-side multiprocess CTC decode
+(reference shape: bonito/ctc/basecall.py:14-61).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import os
+
+from bonito_tpu.pipeline import thread_iter, thread_map, process_map
+from bonito_tpu.util import chunk, stitch, batchify, unbatchify, mean_qscore_from_qstring
+
+
+def make_compute_fn(model, batchsize):
+    @jax.jit
+    def step(params, x):
+        return model.apply(params, x.astype(model.compute_dtype))
+
+    def compute(batch):
+        n = batch.shape[0]
+        if n < batchsize:
+            batch = np.concatenate(
+                [batch, np.zeros((batchsize - n, *batch.shape[1:]), batch.dtype)])
+        out = step(model.params, jnp.asarray(batch[..., None]))
+        return np.asarray(out, dtype=np.float32)[:n]
+
+    return compute
+
+
+def basecall(model, reads, beamsize=5, chunksize=0, overlap=0, batchsize=1,
+             qscores=False, reverse=None, rna=False):
+    """Basecall a stream of reads; yields (read, result-dict) pairs."""
+    compute = make_compute_fn(model, batchsize)
+
+    chunks = thread_iter(
+        (read, chunk(np.asarray(read.signal, np.float32), chunksize, overlap))
+        for read in reads
+    )
+    scores = unbatchify(
+        (spans, compute(batch))
+        for spans, batch in thread_iter(batchify(chunks, batchsize))
+    )
+    scores = thread_iter(
+        (read, {"scores": stitch(v, chunksize, overlap, len(read.signal),
+                                 model.stride)})
+        for read, v in scores
+    )
+    decoder = partial(
+        decode, decode_fn=model.decode, beamsize=beamsize, qscores=qscores,
+        stride=model.stride)
+    # worker processes fork after jax backend init, which can deadlock;
+    # default to threads (the decode hot loops are numpy) unless opted in.
+    if os.environ.get("BONITO_TPU_DECODE_PROCS"):
+        return process_map(decoder, scores,
+                           n_proc=int(os.environ["BONITO_TPU_DECODE_PROCS"]))
+    return thread_map(decoder, scores, n_thread=4)
+
+
+def decode(scores, decode_fn, beamsize=5, qscores=False, stride=1):
+    """Scores -> sequence/qstring (reference: bonito/ctc/basecall.py:43-61)."""
+    seq, path = decode_fn(scores["scores"], beamsize=1, qscores=True,
+                          return_path=True)
+    seq, qstring = seq[:len(path)], seq[len(path):]
+    mean_qscore = mean_qscore_from_qstring(qstring)
+
+    if not (qscores or beamsize == 1):
+        try:
+            seq = decode_fn(scores["scores"], beamsize=beamsize)
+            path = None
+            qstring = "*"
+        except Exception:
+            pass
+    return {"sequence": seq, "qstring": qstring, "stride": stride,
+            "moves": path, "mean_qscore": mean_qscore}

@@ -1,0 +1,109 @@
+"""
+CTC decoders for the conv-CTC family (fast-ctc-decode's role in the
+reference, call sites bonito/ctc/model.py:39-46).
+
+Greedy (Viterbi) collapse is vectorised numpy and is the primary path; the
+prefix beam search is a faithful standard implementation used when
+beamsize > 1. Both run on host CPU worker processes, mirroring the
+reference's decode placement (bonito/ctc/basecall.py:27-28); the model's
+argmax itself could run on device but these models are small and
+CPU-decodable by design.
+"""
+
+from collections import defaultdict
+from math import log
+
+import numpy as np
+
+from bonito_tpu.util import phred
+
+
+def greedy_ctc(probs, alphabet, qscores=False, qscale=1.0, qbias=0.0):
+    """
+    probs: [T, C] posteriors. Returns (seq_or_seq+qstring, path) where path
+    holds the emitting frame index of each base (the reference's
+    viterbi_search contract: seq has the qstring appended when qscores=True).
+    """
+    labels = probs.argmax(axis=1)
+    prev = np.concatenate([[0], labels[:-1]])
+    emit = (labels != 0) & (labels != prev)
+    path = np.flatnonzero(emit)
+    seq = "".join(alphabet[i] for i in labels[path])
+    if not qscores:
+        return seq, path
+
+    # per-base quality: mean probability of the label across its repeat run
+    quals = []
+    T = len(labels)
+    for t in path:
+        label = labels[t]
+        end = t + 1
+        while end < T and labels[end] == label:
+            end += 1
+        quals.append(phred(float(probs[t:end, label].mean()), qscale, qbias))
+    return seq + "".join(quals), path
+
+
+def beam_search_ctc(probs, alphabet, beamsize=5, threshold=1e-3):
+    """
+    Standard CTC prefix beam search over posteriors [T, C].
+    Returns (seq, path) with path = frame of first emission per base.
+    """
+    T, C = probs.shape
+    NEG = -1e30
+
+    def lse(a, b):
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = max(a, b)
+        return m + log(np.exp(a - m) + np.exp(b - m))
+
+    # beams: prefix(tuple of label ids) -> [p_blank, p_nonblank, frames(tuple)]
+    beams = {(): [0.0, NEG, ()]}
+    log_probs = np.log(np.maximum(probs, 1e-30))
+    log_thresh = log(threshold) if threshold > 0 else -np.inf
+
+    for t in range(T):
+        next_beams = defaultdict(lambda: [NEG, NEG, ()])
+        lp = log_probs[t]
+        for prefix, (pb, pnb, frames) in beams.items():
+            total = lse(pb, pnb)
+            # extend with blank
+            entry = next_beams[prefix]
+            entry[0] = lse(entry[0], total + lp[0])
+            if not entry[2]:
+                entry[2] = frames
+            for c in range(1, C):
+                if lp[c] < log_thresh:
+                    continue
+                p = lp[c]
+                if prefix and prefix[-1] == c:
+                    # repeat: same prefix only via non-blank continuation
+                    entry = next_beams[prefix]
+                    entry[1] = lse(entry[1], pnb + p)
+                    if not entry[2]:
+                        entry[2] = frames
+                    # new emission only after a blank
+                    new_prefix = prefix + (c,)
+                    entry2 = next_beams[new_prefix]
+                    entry2[1] = lse(entry2[1], pb + p)
+                    if len(entry2[2]) != len(new_prefix):
+                        entry2[2] = frames + (t,)
+                else:
+                    new_prefix = prefix + (c,)
+                    entry2 = next_beams[new_prefix]
+                    entry2[1] = lse(entry2[1], total + p)
+                    if len(entry2[2]) != len(new_prefix):
+                        entry2[2] = frames + (t,)
+        beams = dict(sorted(
+            next_beams.items(),
+            key=lambda kv: lse(kv[1][0], kv[1][1]),
+            reverse=True,
+        )[:beamsize])
+
+    best = max(beams.items(), key=lambda kv: lse(kv[1][0], kv[1][1]))
+    prefix, (_, _, frames) = best
+    seq = "".join(alphabet[c] for c in prefix)
+    return seq, np.array(frames, dtype=np.int64)

@@ -1,0 +1,73 @@
+"""
+LSTM recurrence for TPU.
+
+Strategy:
+- The input projection x@W_ih for all timesteps is one large matmul
+  (MXU-bound, fully parallel over T).
+- The recurrence h@W_hh is inherently sequential over T; the baseline here
+  is a `lax.scan` whose per-step work is a single [N,H]x[H,4H] matmul plus
+  fused elementwise gates — XLA keeps W_hh resident and pipelines the scan.
+- A fused Pallas kernel (weights pinned in VMEM across all timesteps) lives
+  in ops.lstm_pallas and is used automatically for supported shapes.
+
+Torch-compatible gate packing (i, f, g, o) along the last axis of W so that
+reference checkpoints map 1:1 (reference LSTM: bonito/nn.py:353-415).
+"""
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _gates_to_hc(gates, c, H):
+    i = jax.nn.sigmoid(gates[..., :H])
+    f = jax.nn.sigmoid(gates[..., H:2 * H])
+    g = jnp.tanh(gates[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H:])
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+@partial(jax.jit, static_argnames=("reverse",))
+def lstm_scan(x, w_ih, w_hh, b, reverse=False):
+    """
+    x: [N, T, C]; w_ih: [C, 4H]; w_hh: [H, 4H]; b: [4H] or None.
+    Returns hidden states [N, T, H].
+    """
+    N, T, C = x.shape
+    H = w_hh.shape[0]
+    dtype = x.dtype
+
+    xw = x @ w_ih.astype(dtype)
+    if b is not None:
+        xw = xw + b.astype(dtype)
+    xw = jnp.swapaxes(xw, 0, 1)  # [T, N, 4H] time-major for the scan
+
+    w_hh = w_hh.astype(dtype)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + h @ w_hh
+        h, c = _gates_to_hc(gates, c, H)
+        return (h, c), h
+
+    h0 = jnp.zeros((N, H), dtype)
+    c0 = jnp.zeros((N, H), dtype)
+    (_, _), hs = jax.lax.scan(step, (h0, c0), xw, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)  # back to [N, T, H]
+
+
+def lstm(x, w_ih, w_hh, b, reverse=False):
+    """Dispatch to the Pallas kernel when profitable/supported, else scan."""
+    if os.environ.get("BONITO_TPU_NO_PALLAS"):
+        return lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
+    try:
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas, supported
+        if supported(x, w_hh):
+            return lstm_pallas(x, w_ih, w_hh, b, reverse=reverse)
+    except ImportError:
+        pass
+    return lstm_scan(x, w_ih, w_hh, b, reverse=reverse)

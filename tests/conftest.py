@@ -2,14 +2,20 @@
 Test configuration: run everything on a virtual 8-device CPU mesh so
 multi-chip sharding logic is exercised without TPU hardware.
 
-Must set XLA flags before jax is imported anywhere.
+The environment's sitecustomize registers the `axon` TPU PJRT plugin and
+forces jax_platforms=axon programmatically, so env vars alone don't stick;
+we must override via jax.config before any backend is initialised.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
