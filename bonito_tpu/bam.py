@@ -1,0 +1,173 @@
+"""
+Self-contained BAM emission: BGZF blocks + binary BAM records.
+
+The environment has no pysam/htslib, so this module implements the subset
+of the BAM spec (SAMv1.pdf §4) the basecaller needs: header with reference
+dictionary, alignment records with cigar/seq/qual and Z/i/f/A/B-array tags,
+BGZF framing with the canonical EOF marker. Output is readable by samtools,
+pysam and igv.
+
+Replaces the reference's pysam dependency (bonito/io.py:17,415-466).
+"""
+
+import re
+import struct
+import zlib
+
+_BGZF_MAX = 65280  # uncompressed payload per block (htslib convention)
+
+_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+_NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_CIGAR_OPS = {op: i for i, op in enumerate("MIDNSHP=X")}
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+
+
+def _reg2bin(beg, end):
+    """SAM spec distance-binning function."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BGZFWriter:
+    """Blocked-gzip writer with the BC extra-field and EOF marker."""
+
+    def __init__(self, fd, level=6):
+        self.fd = fd
+        self.level = level
+        self.buf = bytearray()
+
+    def write(self, data):
+        self.buf += data
+        while len(self.buf) >= _BGZF_MAX:
+            self._flush_block(self.buf[:_BGZF_MAX])
+            del self.buf[:_BGZF_MAX]
+
+    def _flush_block(self, payload):
+        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+        comp = co.compress(bytes(payload)) + co.flush()
+        crc = zlib.crc32(bytes(payload)) & 0xFFFFFFFF
+        bsize = len(comp) + 25 + 1  # fixed header(12) + extra(6) + footer(8)
+        block = (
+            b"\x1f\x8b\x08\x04" + b"\x00" * 6 +
+            struct.pack("<HBBHH", 6, 66, 67, 2, bsize - 1) +
+            comp + struct.pack("<II", crc, len(payload))
+        )
+        self.fd.write(block)
+
+    def close(self):
+        if self.buf:
+            self._flush_block(self.buf)
+            self.buf = bytearray()
+        self.fd.write(_EOF)
+        self.fd.flush()
+
+
+def _encode_seq(seq):
+    n = len(seq)
+    out = bytearray((n + 1) // 2)
+    for i, base in enumerate(seq):
+        code = _NT16.get(base.upper(), 15)
+        if i % 2 == 0:
+            out[i // 2] = code << 4
+        else:
+            out[i // 2] |= code
+    return bytes(out)
+
+
+def _encode_tag(tag_str):
+    """'xx:T:value' SAM text tag -> binary BAM tag bytes."""
+    tag, typ, val = tag_str.split(":", 2)
+    name = tag.encode()[:2]
+    if typ == "i":
+        return name + b"i" + struct.pack("<i", int(val))
+    if typ == "f":
+        return name + b"f" + struct.pack("<f", float(val))
+    if typ == "A":
+        return name + b"A" + val.encode()[:1]
+    if typ == "Z":
+        return name + b"Z" + val.encode() + b"\x00"
+    if typ == "B":
+        sub, *items = val.split(",")
+        fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I",
+               "f": "f"}[sub]
+        conv = float if sub == "f" else int
+        data = struct.pack(f"<{len(items)}{fmt}", *[conv(x) for x in items])
+        return name + b"B" + sub.encode() + struct.pack("<i", len(items)) + data
+    raise ValueError(f"unsupported tag type {typ}")
+
+
+def _encode_cigar(cigar_str):
+    ops = _CIGAR_RE.findall(cigar_str)
+    return b"".join(
+        struct.pack("<I", (int(n) << 4) | _CIGAR_OPS[op]) for n, op in ops)
+
+
+class BAMWriter:
+    """Minimal BAM writer: header once, then per-read records."""
+
+    def __init__(self, fd, header_text, refs, level=6):
+        """refs: [(name, length)] reference dictionary (empty if unaligned)."""
+        self.bgzf = BGZFWriter(fd, level=level)
+        self.ref_ids = {name: i for i, (name, _) in enumerate(refs)}
+        text = header_text.encode()
+        head = b"BAM\x01" + struct.pack("<i", len(text)) + text
+        head += struct.pack("<i", len(refs))
+        for name, length in refs:
+            nb = name.encode() + b"\x00"
+            head += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+        self.bgzf.write(head)
+
+    def write(self, read_id, seq, qstring, mapping=None, tags=None):
+        name = read_id.encode() + b"\x00"
+        if mapping is not None and mapping.strand == -1:
+            comp = str.maketrans("ACGTUacgtu", "TGCAAtgcaa")
+            seq = seq.translate(comp)[::-1]
+            qstring = qstring[::-1]
+        l_seq = len(seq)
+        qual = (bytes(q - 33 for q in qstring.encode())
+                if qstring and qstring != "*" else b"\xff" * l_seq)
+
+        if mapping is None:
+            ref_id, pos, mapq, flag = -1, -1, 0, 4
+            cigar = b""
+            bin_ = _reg2bin(-1, 0)
+        else:
+            ref_id = self.ref_ids[mapping.ctg]
+            pos = mapping.r_st
+            mapq = mapping.mapq
+            flag = 16 if mapping.strand == -1 else 0
+            clip_l, clip_r = mapping.q_st, l_seq - mapping.q_en
+            if mapping.strand == -1:
+                clip_l, clip_r = clip_r, clip_l
+            cig = (f"{clip_l}S" if clip_l else "") + mapping.cigar_str + (
+                f"{clip_r}S" if clip_r else "")
+            cigar = _encode_cigar(cig)
+            bin_ = _reg2bin(pos, mapping.r_en)
+            tags = list(tags or [])
+            if getattr(mapping, "NM", None) is not None:
+                tags.append(f"NM:i:{mapping.NM}")
+            if getattr(mapping, "MD", None):
+                tags.append(f"MD:Z:{mapping.MD}")
+
+        tag_bytes = b"".join(_encode_tag(t) for t in (tags or []))
+        rec = struct.pack(
+            "<iiBBHHHiiii",
+            ref_id, pos, len(name), mapq, bin_, len(cigar) // 4, flag,
+            l_seq, -1, -1, 0,
+        ) + name + cigar + _encode_seq(seq) + qual + tag_bytes
+        self.bgzf.write(struct.pack("<i", len(rec)) + rec)
+
+    def close(self):
+        self.bgzf.close()

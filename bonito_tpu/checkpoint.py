@@ -1,0 +1,226 @@
+"""
+Checkpoint serialization.
+
+Native format: flat ``weights_{N}.npz`` holding the parameter pytree with
+dot-joined path keys — loads instantly via numpy, no pickle.
+
+Torch import: reference bonito checkpoints (``weights_{N}.tar`` torch state
+dicts, layout per bonito/nn.py modules) are converted tensor-by-tensor into
+our parameter tree:
+
+    Conv1d   weight [out, in, k]  ->  w [k, in, out]
+    Linear   weight [out, in]     ->  w [in, out]
+    LSTM     weight_ih_l0 [4H, C] ->  w_ih [C, 4H]   (gate order i,f,g,o kept)
+             weight_hh_l0 [4H, H] ->  w_hh [H, 4H]
+             bias_ih_l0 + bias_hh_l0 -> b [4H]
+    BatchNorm weight/bias/running_mean/running_var -> scale/bias/mean/var
+
+A shape-matching fallback (same trick as the reference's match_names,
+bonito/util.py:239-248) reconciles renamed module paths.
+"""
+
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from bonito_tpu import nn
+
+
+# ---------------------------------------------------------------------------
+# native npz pytree format
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=""):
+    flat = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(_flatten(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def save_params(path, params):
+    np.savez(path, **_flatten(params))
+
+
+def load_params(path):
+    with np.load(path) as data:
+        return _unflatten({k: data[k] for k in data.files})
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint import
+# ---------------------------------------------------------------------------
+
+def _torch_state_dict(path):
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    # strip DataParallel prefixes (reference: bonito/training.py:60-63)
+    state = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in state.items()
+    }
+    return {k: v.detach().numpy() for k, v in state.items()
+            if hasattr(v, "detach")}
+
+
+def _expected_torch_params(layer, path):
+    """
+    [(torch_key, our_key, converter)] for one of our layers; converter maps
+    the torch ndarray to our layout.
+    """
+    t = lambda *axes: (lambda a: np.transpose(a, axes))
+    ident = lambda a: a
+    out = []
+    if isinstance(layer, nn.Convolution):
+        out.append((f"{path}.conv.weight", f"{path}.w", t(2, 1, 0)))
+        if layer.bias:
+            out.append((f"{path}.conv.bias", f"{path}.b", ident))
+        if isinstance(layer.norm, nn.BatchNorm):
+            bn = f"{path}.norm"
+            ours = f"{path}.norm"
+            if layer.norm.affine:
+                out.append((f"{bn}.weight", f"{ours}.scale", ident))
+                out.append((f"{bn}.bias", f"{ours}.bias", ident))
+            if layer.norm.track_running_stats:
+                out.append((f"{bn}.running_mean", f"{ours}.mean", ident))
+                out.append((f"{bn}.running_var", f"{ours}.var", ident))
+    elif isinstance(layer, nn.BatchNorm):
+        if layer.affine:
+            out.append((f"{path}.weight", f"{path}.scale", ident))
+            out.append((f"{path}.bias", f"{path}.bias", ident))
+        if layer.track_running_stats:
+            out.append((f"{path}.running_mean", f"{path}.mean", ident))
+            out.append((f"{path}.running_var", f"{path}.var", ident))
+    elif isinstance(layer, nn.LSTM):
+        out.append((f"{path}.rnn.weight_ih_l0", f"{path}.w_ih", t(1, 0)))
+        out.append((f"{path}.rnn.weight_hh_l0", f"{path}.w_hh", t(1, 0)))
+        if layer.bias:
+            out.append((f"{path}.rnn.bias_ih_l0", f"{path}.b", ident))
+    elif isinstance(layer, nn.LinearCRFEncoder):
+        out.append((f"{path}.linear.weight", f"{path}.w", t(1, 0)))
+        if layer.bias:
+            out.append((f"{path}.linear.bias", f"{path}.b", ident))
+    elif isinstance(layer, nn.Linear):
+        out.append((f"{path}.weight", f"{path}.w", t(1, 0)))
+        if layer.bias:
+            out.append((f"{path}.bias", f"{path}.b", ident))
+    elif isinstance(layer, nn.LinearUpsample):
+        out.append((f"{path}.linear.weight", f"{path}.w", t(1, 0)))
+        out.append((f"{path}.linear.bias", f"{path}.b", ident))
+    else:
+        # layers that declare their own torch mapping (e.g. transformer)
+        mapper = getattr(layer, "torch_param_map", None)
+        if mapper is not None:
+            out.extend(mapper(path))
+    return out
+
+
+def _match_names(state, expected):
+    """
+    Shape-sorted remap between torch keys and expected torch keys
+    (semantics of reference bonito/util.py:239-248): group both sides by the
+    key suffix (param name), sort by shape, and pair them up.
+    """
+    keys = [k for k, _, _ in expected]
+    if all(k in state for k in keys):
+        return {k: k for k in keys}
+    remap = {}
+    suffix = lambda k: ".".join(k.split(".")[-2:])
+    state_by_sfx = {}
+    for k in state:
+        state_by_sfx.setdefault(suffix(k), []).append(k)
+    exp_by_sfx = {}
+    for k in keys:
+        exp_by_sfx.setdefault(suffix(k), []).append(k)
+    for sfx, exp_keys in exp_by_sfx.items():
+        cands = state_by_sfx.get(sfx, [])
+        if len(cands) < len(exp_keys):
+            raise KeyError(
+                f"checkpoint missing parameters matching *.{sfx} "
+                f"(need {len(exp_keys)}, found {len(cands)})")
+        ordered_exp = sorted(exp_keys)
+        ordered_cand = sorted(cands)
+        for e, c in zip(ordered_exp, ordered_cand):
+            remap[e] = c
+    return remap
+
+
+def import_torch_checkpoint(path, model):
+    """Convert a reference torch state dict into this model's param tree."""
+    state = _torch_state_dict(path)
+    expected = []
+    root = getattr(model, "encoder", None)
+    trees = []
+    if root is not None:
+        trees.append(("encoder", root))
+    decoder = getattr(model, "decoder", None)
+    if decoder is not None:
+        trees.append(("decoder", decoder))
+    for prefix, tree in trees:
+        for lpath, layer in nn.walk(tree):
+            full = f"{prefix}.{lpath}" if lpath else prefix
+            expected.extend(_expected_torch_params(layer, full))
+
+    remap = _match_names(state, expected)
+    params = {}
+    for torch_key, our_key, convert in expected:
+        src = remap[torch_key]
+        arr = convert(state[src])
+        # torch LSTM has a (frozen, zeroed) bias_hh too; fold it in if present
+        if torch_key.endswith("bias_ih_l0"):
+            hh = src.replace("bias_ih", "bias_hh")
+            if hh in state:
+                arr = arr + state[hh]
+        node = params
+        parts = our_key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(np.ascontiguousarray(arr, np.float32))
+    return params
+
+
+def load_weights(path, model):
+    """Load weights for ``model`` from a native .npz or a torch .tar."""
+    path = str(path)
+    if path.endswith(".npz"):
+        return load_params(path)
+    if path.endswith(".tar") or zipfile.is_zipfile(path):
+        return import_torch_checkpoint(path, model)
+    raise ValueError(f"unrecognised checkpoint format: {path}")
+
+
+def save_checkpoint(workdir, epoch, params, opt_state=None):
+    """weights_{epoch}.npz (+ optim_{epoch}.npz) in ``workdir``."""
+    workdir = Path(workdir)
+    save_params(workdir / f"weights_{epoch}.npz", params)
+    if opt_state is not None:
+        import pickle
+        with open(workdir / f"optim_{epoch}.pkl", "wb") as f:
+            pickle.dump(opt_state, f)
+
+
+def load_optim_state(workdir, epoch):
+    import pickle
+    path = Path(workdir) / f"optim_{epoch}.pkl"
+    if not path.exists():
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)

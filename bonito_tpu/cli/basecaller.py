@@ -1,0 +1,173 @@
+"""
+Basecaller CLI: raw signal directory -> SAM/BAM/fastq on stdout.
+
+Pipeline wiring mirrors the reference (bonito/cli/basecaller.py:24-165):
+reader processes -> basecall generator chain (device step inside) ->
+optional alignment stage -> writer thread; prints samples/sec at the end.
+"""
+
+import sys
+import time
+from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
+from datetime import timedelta
+from itertools import chain
+from pathlib import Path
+
+import numpy as np
+
+from bonito_tpu.io import CTCWriter, Writer, NullWriter, biofmt
+from bonito_tpu.pipeline import process_cancel
+from bonito_tpu.reader import Reader, read_chunks
+from bonito_tpu.util import column_to_set, load_symbol, load_model, init
+
+
+def main(args):
+    init(args.seed)
+
+    try:
+        reader = Reader(args.reads_directory, args.recursive)
+        sys.stderr.write(f"> reading {reader.fmt}\n")
+    except FileNotFoundError:
+        sys.stderr.write(f"> error: no suitable files found in "
+                         f"{args.reads_directory}\n")
+        sys.exit(1)
+
+    fmt = biofmt(aligned=bool(args.reference))
+
+    if args.reference and args.reference.endswith(".mmi") and fmt.name == "cram":
+        sys.stderr.write("> error: reference cannot be a .mmi when outputting cram\n")
+        sys.exit(1)
+    elif args.reference and fmt.name == "fastq":
+        sys.stderr.write(f"> warning: did you really want {fmt.aligned} {fmt.name}?\n")
+    else:
+        sys.stderr.write(f"> outputting {fmt.aligned} {fmt.name}\n")
+
+    sys.stderr.write(f"> loading model {args.model_directory}\n")
+    try:
+        model = load_model(
+            args.model_directory,
+            weights=int(args.weights) if args.weights else None,
+            chunksize=args.chunksize,
+            overlap=args.overlap,
+            batchsize=args.batchsize,
+            quantize=args.quantize,
+        )
+    except FileNotFoundError:
+        sys.stderr.write(f"> error: failed to load {args.model_directory}\n")
+        sys.exit(1)
+
+    basecall = load_symbol(model.config, "basecall")
+
+    mods = model.config.get("basecaller", {})
+    chunksize = args.chunksize or mods.get("chunksize", 4000)
+    overlap = args.overlap if args.overlap is not None else mods.get("overlap", 500)
+    batchsize = args.batchsize or mods.get("batchsize", 64)
+    chunksize -= chunksize % model.stride
+    overlap -= overlap % (model.stride * 2)
+
+    aligner = None
+    if args.reference:
+        from bonito_tpu.aligner import Aligner, align_map
+        sys.stderr.write("> loading reference\n")
+        aligner = Aligner(args.reference, preset=args.mm2_preset)
+
+    read_ids = column_to_set(args.read_ids)
+    cancel = process_cancel()
+
+    groups = []
+    num_reads = None
+    if fmt.name != "fastq":
+        groups = reader.get_read_groups(
+            args.reads_directory, args.model_directory,
+            n_proc=8, recursive=args.recursive,
+            read_ids=read_ids, skip=args.skip,
+            cancel=cancel,
+        )
+
+    reads = reader.get_reads(
+        args.reads_directory, n_proc=args.n_proc, recursive=args.recursive,
+        read_ids=read_ids, skip=args.skip,
+        do_trim=not args.no_trim,
+        norm_params=(model.config.get("standardisation")
+                     if model.config.get("scaling", {}).get("strategy") == "pa"
+                     else None),
+        scaling_strategy=model.config.get("scaling"),
+        max_read_size=args.max_read_size,
+        cancel=cancel,
+    )
+
+    if args.save_ctc:
+        reads = (
+            ctc_chunk for read in reads
+            for ctc_chunk in read_chunks(
+                read, chunksize=chunksize, overlap=overlap)
+        )
+
+    results = basecall(
+        model, reads, reverse=args.revcomp, rna=args.rna,
+        batchsize=batchsize, chunksize=chunksize, overlap=overlap,
+    )
+
+    if aligner:
+        results = align_map(aligner, results, n_thread=args.alignment_threads)
+
+    output_dir = args.output_dir or "."
+    if args.save_ctc:
+        writer = CTCWriter(
+            fmt.mode, results, aligner,
+            min_coverage=args.ctc_min_coverage,
+            min_accuracy=args.ctc_min_accuracy,
+            output_dir=output_dir, rna=args.rna, min_qscore=args.min_qscore,
+        )
+    elif args.no_output:
+        writer = NullWriter(fmt.mode, results)
+    else:
+        writer = Writer(
+            fmt.mode, results, aligner=aligner, groups=groups,
+            group_key=args.model_directory,
+            min_qscore=args.min_qscore, output_dir=output_dir,
+        )
+
+    t0 = time.perf_counter()
+    writer.start()
+    rejected = writer.stop() or {}
+    duration = time.perf_counter() - t0
+
+    num_samples = sum(num_samples for read_id, num_samples in writer.log)
+    sys.stderr.write("> completed reads: %s\n" % len(writer.log))
+    for reason, count in getattr(rejected, "items", dict().items)():
+        sys.stderr.write(f"> rejected reads: {count} ({reason})\n")
+    sys.stderr.write("> duration: %s\n" % timedelta(seconds=np.round(duration)))
+    sys.stderr.write("> samples per second %.1E\n" % (num_samples / duration))
+    sys.stderr.write("> done\n")
+
+
+def argparser():
+    parser = ArgumentParser(
+        formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
+    parser.add_argument("model_directory")
+    parser.add_argument("reads_directory")
+    parser.add_argument("--reference")
+    parser.add_argument("--mm2-preset", default="lr:hq")
+    parser.add_argument("--read-ids")
+    parser.add_argument("--output-dir", default=None)
+    parser.add_argument("--skip", action="store_true", default=False)
+    parser.add_argument("--no-trim", action="store_true", default=False)
+    parser.add_argument("--save-ctc", action="store_true", default=False)
+    parser.add_argument("--ctc-min-coverage", default=0.9, type=float)
+    parser.add_argument("--ctc-min-accuracy", default=0.99, type=float)
+    parser.add_argument("--revcomp", action="store_true", default=False)
+    parser.add_argument("--recursive", action="store_true", default=False)
+    parser.add_argument("--quantize", action="store_true", default=False)
+    parser.add_argument("--rna", action="store_true", default=False)
+    parser.add_argument("--no-output", action="store_true", default=False)
+    parser.add_argument("--weights", default=None, type=str)
+    parser.add_argument("--seed", default=25, type=int)
+    parser.add_argument("--chunksize", default=None, type=int)
+    parser.add_argument("--overlap", default=None, type=int)
+    parser.add_argument("--batchsize", default=None, type=int)
+    parser.add_argument("--max-read-size", default=0, type=int)
+    parser.add_argument("--alignment-threads", default=8, type=int)
+    parser.add_argument("--min-qscore", default=0, type=int)
+    parser.add_argument("--n-proc", default=8, type=int)
+    return parser

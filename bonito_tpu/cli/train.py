@@ -1,0 +1,135 @@
+"""
+Training CLI: workdir setup, config/pretrained resolution, data loading,
+Trainer.fit. Flow mirrors the reference (bonito/cli/train.py:20-105).
+"""
+
+import os
+import sys
+from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
+from pathlib import Path
+
+from bonito_tpu import models as model_zoo
+from bonito_tpu.config import load_config, save_config
+from bonito_tpu.data import (
+    ComputeSettings, DataSettings, ModelSetup, load_data,
+)
+from bonito_tpu import schedule as schedules
+from bonito_tpu.util import load_symbol, model_directory, init
+from bonito_tpu.training import Trainer, load_state
+
+
+def main(args):
+    workdir = Path(args.training_directory)
+    if workdir.exists() and not args.force:
+        sys.stderr.write(f"[error] {workdir} exists, use -f to force continue "
+                         "training or delete it.\n")
+        sys.exit(1)
+
+    init(args.seed)
+
+    if args.pretrained:
+        dirname = model_directory(args.pretrained)
+        pretrain_file = dirname / "config.toml"
+        config = load_config(pretrain_file)
+        if "lr_scheduler" in config:
+            sys.stderr.write(
+                f"[ignoring 'lr_scheduler' in --pretrained config]\n")
+            del config["lr_scheduler"]
+    elif args.config and os.path.exists(args.config):
+        config = load_config(args.config)
+    elif args.config:
+        config = model_zoo.get_config(args.config)
+    else:
+        sys.stderr.write("[error] --config or --pretrained is required\n")
+        sys.exit(1)
+
+    sys.stderr.write(f"[loading model]\n")
+    if args.pretrained:
+        sys.stderr.write(f"[using pretrained model {args.pretrained}]\n")
+        from bonito_tpu.util import load_model
+        model = load_model(args.pretrained, half=False)
+    else:
+        Model = load_symbol(config, "Model")
+        model = Model(config)
+        model.init()
+
+    sys.stderr.write(f"[loading data]\n")
+    data = DataSettings(
+        training_data=args.directory,
+        num_train_chunks=args.chunks,
+        num_valid_chunks=args.valid_chunks,
+        output_dir=str(workdir),
+    )
+    setup = ModelSetup(
+        n_pre_context_bases=getattr(model, "n_pre_context_bases", 0),
+        n_post_context_bases=getattr(model, "n_post_context_bases", 0),
+        standardisation=config.get("standardisation", {}),
+    )
+    compute = ComputeSettings(
+        batch_size=args.batch, num_workers=args.num_workers, seed=args.seed)
+
+    train_loader, valid_loader = load_data(data, setup, compute)
+
+    os.makedirs(workdir, exist_ok=True)
+
+    # workdir config embeds args + dataset metadata (reference: cli/train.py:73-78)
+    config["training"] = {
+        "command": " ".join(sys.argv),
+        "directory": str(args.directory),
+        "chunks": args.chunks or len(train_loader.dataset),
+        "valid_chunks": args.valid_chunks or len(valid_loader.dataset),
+        "batch": args.batch, "epochs": args.epochs, "lr": args.lr,
+    }
+    save_config(config, workdir / "config.toml")
+
+    lr_scheduler_fn = None
+    if "lr_scheduler" in config:
+        sched_config = dict(config["lr_scheduler"])
+        builder = getattr(schedules, sched_config.pop("type",
+                          "linear_warmup_cosine_decay"))
+        lr_scheduler_fn = builder(**sched_config)
+
+    chunks_per_epoch = args.chunks or len(train_loader.dataset)
+
+    trainer = Trainer(
+        model, train_loader, valid_loader,
+        use_amp=not args.no_amp,
+        lr_scheduler_fn=lr_scheduler_fn,
+        restore_optim=args.restore_optim,
+        save_optim_every=args.save_optim_every,
+        grad_accum_split=args.grad_accum_split,
+        quantile_grad_clip=args.quantile_grad_clip,
+        chunks_per_epoch=chunks_per_epoch,
+        batch_size=args.batch,
+    )
+
+    optim_kwargs = dict(config.get("optim", {}))
+    lr = optim_kwargs.pop("lr", args.lr)
+    if isinstance(lr, str):
+        lr = float(lr)
+    trainer.fit(workdir, args.epochs, lr, **optim_kwargs)
+
+
+def argparser():
+    parser = ArgumentParser(
+        formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
+    parser.add_argument("training_directory")
+    group = parser.add_mutually_exclusive_group()
+    group.add_argument("--config")
+    group.add_argument("--pretrained", default="")
+    parser.add_argument("--directory", type=Path, required=True)
+    parser.add_argument("--lr", default=2e-3, type=float)
+    parser.add_argument("--seed", default=25, type=int)
+    parser.add_argument("--epochs", default=5, type=int)
+    parser.add_argument("--batch", default=64, type=int)
+    parser.add_argument("--chunks", default=0, type=int)
+    parser.add_argument("--valid-chunks", default=0, type=int)
+    parser.add_argument("--no-amp", action="store_true", default=False)
+    parser.add_argument("-f", "--force", action="store_true", default=False)
+    parser.add_argument("--restore-optim", action="store_true", default=False)
+    parser.add_argument("--num-workers", default=4, type=int)
+    parser.add_argument("--save-optim-every", default=10, type=int)
+    parser.add_argument("--grad-accum-split", default=1, type=int)
+    parser.add_argument("--quantile-grad-clip", action="store_true",
+                        default=False)
+    return parser

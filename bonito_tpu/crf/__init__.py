@@ -5,10 +5,9 @@ from bonito_tpu.crf.seqdist import CTC_CRF, Log, Max  # noqa
 
 
 def __getattr__(name):
+    from importlib import import_module
     if name in ("Model", "SeqdistModel"):
-        from bonito_tpu.crf import model
-        return getattr(model, name)
+        return getattr(import_module("bonito_tpu.crf.model"), name)
     if name == "basecall":
-        from bonito_tpu.crf import basecall
-        return basecall.basecall
+        return import_module("bonito_tpu.crf.basecall").basecall
     raise AttributeError(name)

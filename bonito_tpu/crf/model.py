@@ -80,7 +80,7 @@ class SeqdistModel:
 
     def apply(self, params, x, ctx=None):
         """x: [N, T, 1] signal chunks -> scores [N, T/stride, n_score]."""
-        return self.encoder.apply(params["encoder"], x, ctx)
+        return self.encoder.apply(params["encoder"], x, nn._push_path(ctx, "encoder"))
 
     def forward(self, x):
         return self.apply(self.params, x)

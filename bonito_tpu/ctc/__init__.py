@@ -1,8 +1,7 @@
 def __getattr__(name):
+    from importlib import import_module
     if name == "Model":
-        from bonito_tpu.ctc.model import Model
-        return Model
+        return import_module("bonito_tpu.ctc.model").Model
     if name == "basecall":
-        from bonito_tpu.ctc import basecall
-        return basecall.basecall
+        return import_module("bonito_tpu.ctc.basecall").basecall
     raise AttributeError(name)

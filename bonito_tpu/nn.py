@@ -176,7 +176,7 @@ class Serial(Layer):
 
     def apply(self, params, x, ctx=None):
         for i, layer in enumerate(self.sublayers):
-            x = layer.apply(params.get(str(i), {}), x, ctx)
+            x = layer.apply(params.get(str(i), {}), x, _push_path(ctx, str(i)))
         return x
 
     def to_dict(self):
@@ -220,7 +220,7 @@ class NamedSerial(Layer):
 
     def apply(self, params, x, ctx=None):
         for name, layer in self.named_layers.items():
-            x = layer.apply(params.get(name, {}), x, ctx)
+            x = layer.apply(params.get(name, {}), x, _push_path(ctx, name))
         return x
 
     def to_dict(self):
@@ -271,7 +271,9 @@ class Reverse(Layer):
         return self.layer.init_params(key)
 
     def apply(self, params, x, ctx=None):
-        return jnp.flip(self.layer.apply(params, jnp.flip(x, axis=1), ctx), axis=1)
+        return jnp.flip(
+            self.layer.apply(params, jnp.flip(x, axis=1), _push_path(ctx, "layer")),
+            axis=1)
 
     def to_dict(self):
         return self.layer.to_dict()

@@ -1,0 +1,106 @@
+"""
+Multi-chip parallelism: device meshes and sharding rules.
+
+TPU-first design (this is new territory vs. the reference, which is
+single-device with host thread parallelism only — SURVEY.md §2.3): a 2-D
+``(data, model)`` mesh where
+
+  - the batch dimension of signal chunks / training batches is sharded over
+    ``data`` (reads are embarrassingly parallel),
+  - wide parameter matrices (LSTM gate projections, the CRF head) are
+    sharded over ``model``; XLA GSPMD inserts the ICI collectives.
+
+Everything is expressed with `jax.sharding.NamedSharding` annotations on a
+single jitted step — no per-device code. Multi-host runs extend the same
+mesh over all processes (`jax.distributed.initialize` + per-host readers).
+"""
+
+from contextlib import nullcontext
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bonito_tpu import nn
+
+
+def make_mesh(n_data=None, n_model=1, devices=None):
+    """Build a (data, model) mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n_total = len(devices)
+    if n_data is None:
+        n_data = n_total // n_model
+    assert n_data * n_model <= n_total, (
+        f"mesh {n_data}x{n_model} needs more than {n_total} devices")
+    devs = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_spec():
+    return P("data")
+
+
+def batch_sharding(mesh):
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def param_specs(model):
+    """
+    PartitionSpec pytree matching ``model.params``.
+
+    Rules (model axis):
+      - LinearCRFEncoder: shard the (huge, n_base^(state_len+1)-wide) output
+        dim -> CRF scores come out sharded over ``model``.
+      - LSTM: shard the hidden contraction dim of w_hh and the 4H gate dim
+        of w_ih jointly is gather-heavy; instead shard w_ih's input dim
+        (contraction) so the big [N*T, C] x [C, 4H] projection splits and
+        psums over ICI, keeping the sequential recurrence replicated.
+      - everything else replicated.
+    """
+    specs = {}
+
+    def spec_for(layer, pname, arr):
+        if isinstance(layer, nn.LinearCRFEncoder):
+            if pname == "w":
+                return P(None, "model")
+            if pname == "b":
+                return P("model")
+        if isinstance(layer, nn.LSTM) and pname == "w_ih":
+            return P("model", None)
+        return P()
+
+    def fill(tree, layer_tree, prefix):
+        out = {}
+        sub = dict(layer_tree.sublayer_items()) if layer_tree else {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                child = sub.get(k)
+                out[k] = fill(v, child, f"{prefix}.{k}")
+            else:
+                out[k] = spec_for(layer_tree, k, v)
+        return out
+
+    params = model.params
+    for root_name, v in params.items():
+        root_layer = getattr(model, root_name, None)
+        specs[root_name] = fill(v, root_layer, root_name)
+    return specs
+
+
+def param_shardings(model, mesh):
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), param_specs(model),
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(params, shardings):
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def mesh_context(mesh):
+    return mesh if mesh is not None else nullcontext()

@@ -1,0 +1,301 @@
+"""
+Training loop.
+
+Feature parity with the reference Trainer (bonito/training.py:91-275):
+epoch loop with per-step CSV loss logs, bf16 mixed precision (the TPU
+equivalent of the reference's fp16 autocast+GradScaler — bf16 needs no loss
+scaling), gradient accumulation, quantile-based gradient clipping,
+checkpoint/resume, and validation with decoding + alignment accuracy.
+
+TPU-first: the whole optimisation step (grad accumulation loop included) is
+ONE jitted function; multi-chip data/model parallelism comes from sharding
+annotations on the same step (bonito_tpu.parallel), not from a distributed
+rewrite.
+"""
+
+import math
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from bonito_tpu import nn
+from bonito_tpu.schedule import linear_warmup_cosine_decay
+from bonito_tpu.util import accuracy, decode_ref
+from bonito_tpu.io import CSVLogger
+from bonito_tpu.checkpoint import (
+    save_params, load_params, save_checkpoint, load_optim_state,
+)
+
+
+class ClipGrad:
+    """Quantile-adaptive gradient-norm clip (reference: bonito/training.py:72-88)."""
+
+    def __init__(self, quantile=0.5, factor=2.0, buffer_size=100):
+        self.buffer = np.full(buffer_size, fill_value=1e6)
+        self.quantile = quantile
+        self.factor = factor
+        self.i = 0
+
+    def append(self, grad_norm):
+        self.buffer[self.i] = grad_norm
+        self.i = (self.i + 1) % len(self.buffer)
+
+    def max_norm(self):
+        return float(self.factor * np.quantile(self.buffer, self.quantile))
+
+    def update(self, grad_norm):
+        if not math.isnan(grad_norm):
+            self.append(grad_norm)
+
+
+def _merge_bn_updates(params, updates):
+    """Write BatchNorm running-stat updates (path -> {mean, var}) into params."""
+    def set_path(tree, parts, leaf):
+        if not parts:
+            merged = dict(tree)
+            merged.update(leaf)
+            return merged
+        out = dict(tree)
+        out[parts[0]] = set_path(tree[parts[0]], parts[1:], leaf)
+        return out
+
+    for path, stats in updates.items():
+        params = set_path(params, path.split("."), stats)
+    return params
+
+
+def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None):
+    """
+    Build the jitted train step:
+        (params, opt_state, batch, lr_scale, clip_max) ->
+        (params, opt_state, losses, grad_norm)
+    """
+    criterion = criterion or model.loss
+
+    def forward_loss(params, data, targets, lengths):
+        run_params = nn.cast_tree(params, jnp.bfloat16) if use_amp else params
+        ctx = {"train": True, "updates": {}}
+        scores = model.apply(run_params, data.astype(
+            jnp.bfloat16 if use_amp else jnp.float32), ctx)
+        losses = criterion(scores, targets, lengths)
+        if not isinstance(losses, dict):
+            losses = {"loss": losses}
+        total = losses.get("total_loss", losses["loss"])
+        return total, (losses, ctx["updates"])
+
+    grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+
+    def step(params, opt_state, batch, lr_scale, clip_max):
+        data, targets, lengths = batch
+
+        if grad_accum_split > 1:
+            def micro(carry, mb):
+                acc_grads, acc_losses = carry
+                (_, (losses, _)), grads = grad_fn(params, *mb)
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_losses = {k: acc_losses.get(k, 0.0) + v / grad_accum_split
+                              for k, v in losses.items()}
+                return (acc_grads, acc_losses), None
+
+            split = lambda x: x.reshape(
+                grad_accum_split, x.shape[0] // grad_accum_split, *x.shape[1:])
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (grads, losses), _ = jax.lax.scan(
+                micro, (zeros, {}),
+                (split(data), split(targets), split(lengths)))
+            grads = jax.tree.map(lambda g: g / grad_accum_split, grads)
+            updates_bn = {}
+        else:
+            (_, (losses, updates_bn)), grads = grad_fn(
+                params, data, targets, lengths)
+
+        grad_norm = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, clip_max / (grad_norm + 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+
+        upd, opt_state = tx.update(grads, opt_state, params)
+        upd = jax.tree.map(lambda u: u * lr_scale, upd)
+        params = optax.apply_updates(params, upd)
+        if updates_bn:
+            params = _merge_bn_updates(params, updates_bn)
+        return params, opt_state, losses, grad_norm
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def load_state(workdir, model):
+    """Resume epoch number + weights/optimizer state from a workdir."""
+    workdir = Path(workdir)
+    weight_epochs = sorted(
+        int(p.stem.split("_")[1]) for p in workdir.glob("weights_*.npz"))
+    if not weight_epochs:
+        return 0, None
+    epoch = weight_epochs[-1]
+    model.params = load_params(workdir / f"weights_{epoch}.npz")
+    opt_state = load_optim_state(workdir, epoch)
+    return epoch, opt_state
+
+
+class Trainer:
+    def __init__(self, model, train_loader, valid_loader, criterion=None,
+                 use_amp=True, lr_scheduler_fn=None, restore_optim=False,
+                 save_optim_every=10, grad_accum_split=1,
+                 quantile_grad_clip=False, chunks_per_epoch=None,
+                 batch_size=None, mesh=None):
+        self.model = model
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.criterion = criterion
+        self.use_amp = use_amp
+        self.lr_scheduler_fn = lr_scheduler_fn or linear_warmup_cosine_decay()
+        self.restore_optim = restore_optim
+        self.save_optim_every = save_optim_every
+        self.grad_accum_split = grad_accum_split
+        self.quantile_clip = ClipGrad() if quantile_grad_clip else None
+        self.fixed_clip = 2.0
+        self.mesh = mesh
+        self.batch_size = batch_size
+        self.chunks_per_epoch = chunks_per_epoch
+        self.steps_per_epoch = (
+            chunks_per_epoch // batch_size if chunks_per_epoch else None)
+        self.optimizer = None
+        self.opt_state = None
+        self._step_fn = None
+
+    def init_optimizer(self, lr, **kwargs):
+        """AdamW by default; pluggable via config [optim] package/symbol
+        (reference: bonito/training.py:221-229)."""
+        package = kwargs.pop("package", None)
+        symbol = kwargs.pop("symbol", None)
+        if package or symbol:
+            from importlib import import_module
+            mod = import_module(package or "optax")
+            factory = getattr(mod, symbol or "adamw")
+        else:
+            factory = optax.adamw
+            kwargs.setdefault("weight_decay", 0.01)
+            kwargs.setdefault("eps", 1e-8)
+        self.optimizer = factory(learning_rate=lr, **kwargs)
+        self.opt_state = self.optimizer.init(self.model.params)
+        return self.optimizer
+
+    def get_lr_scale(self, step, epochs, last_epoch):
+        if self._lr_schedule is None:
+            self._lr_schedule = self.lr_scheduler_fn(
+                self.steps_per_epoch, epochs, last_epoch)
+        return self._lr_schedule(step)
+
+    def train_one_step(self, batch, lr_scale):
+        clip_max = (self.quantile_clip.max_norm()
+                    if self.quantile_clip else self.fixed_clip)
+        self.model.params, self.opt_state, losses, grad_norm = self._step_fn(
+            self.model.params, self.opt_state,
+            tuple(jnp.asarray(b) for b in batch),
+            jnp.float32(lr_scale), jnp.float32(clip_max))
+        return losses, grad_norm
+
+    def train_one_epoch(self, loss_log, epoch, epochs, last_epoch):
+        t0 = time.perf_counter()
+        chunks = 0
+        smoothed_loss = None
+        step0 = (epoch - 1) * (self.steps_per_epoch or 0)
+        for i, batch in enumerate(self.train_loader):
+            lr_scale = self.get_lr_scale(step0 + i, epochs, last_epoch)
+            losses, grad_norm = self.train_one_step(batch, lr_scale)
+            losses = {k: float(v) for k, v in losses.items()}
+            grad_norm = float(grad_norm)
+            if self.quantile_clip:
+                self.quantile_clip.update(grad_norm)
+            chunks += batch[0].shape[0]
+            smoothed_loss = (
+                losses["loss"] if smoothed_loss is None
+                else 0.01 * losses["loss"] + 0.99 * smoothed_loss)
+            if loss_log is not None:
+                loss_log.append({
+                    "chunks": chunks,
+                    "time": time.perf_counter() - t0,
+                    "grad_norm": grad_norm,
+                    "lr": lr_scale,
+                    **losses,
+                })
+        return smoothed_loss, time.perf_counter() - t0
+
+    def validate_one_step(self, batch):
+        data, targets, lengths = batch
+        scores = self.model.apply(
+            self.model.params, jnp.asarray(data, jnp.float32)[..., None]
+            if data.ndim == 2 else jnp.asarray(data, jnp.float32))
+        criterion = self.criterion or self.model.loss
+        losses = criterion(scores, jnp.asarray(targets), jnp.asarray(lengths))
+        if isinstance(losses, dict):
+            losses = {k: float(v) for k, v in losses.items()}
+        else:
+            losses = {"loss": float(losses)}
+        seqs = self.model.decode_batch(scores)
+        refs = [decode_ref(t[:l], self.model.alphabet)
+                for t, l in zip(np.asarray(targets), np.asarray(lengths))]
+        n_pre = getattr(self.model, "n_pre_context_bases", 0)
+        n_post = getattr(self.model, "n_post_context_bases", 0)
+        if n_pre or n_post:
+            refs = [r[n_pre:len(r) - n_post if n_post else len(r)] for r in refs]
+        accs = [accuracy(ref, seq, min_coverage=0.5) if len(seq) else 0.0
+                for ref, seq in zip(refs, seqs)]
+        return seqs, refs, accs, losses
+
+    def validate_one_epoch(self):
+        seqs, refs, accs, losses = [], [], [], []
+        for batch in self.valid_loader:
+            s, r, a, l = self.validate_one_step(batch)
+            seqs += s
+            refs += r
+            accs += a
+            losses.append(l.get("total_loss", l["loss"]))
+        return float(np.mean(losses)), float(np.mean(accs)), float(np.median(accs))
+
+    def fit(self, workdir, epochs=1, lr=2e-3, **optim_kwargs):
+        workdir = Path(workdir)
+        workdir.mkdir(parents=True, exist_ok=True)
+        if self.steps_per_epoch is None:
+            raise ValueError("chunks_per_epoch/batch_size must be set before fit")
+
+        last_epoch, opt_state = load_state(workdir, self.model)
+        if self.model.params is None:
+            self.model.init()
+        self.init_optimizer(lr, **optim_kwargs)
+        if self.restore_optim and opt_state is not None:
+            self.opt_state = opt_state
+        self._lr_schedule = None
+        self._step_fn = make_train_step(
+            self.model, self.optimizer, use_amp=self.use_amp,
+            grad_accum_split=self.grad_accum_split, criterion=self.criterion)
+
+        for epoch in range(last_epoch + 1, last_epoch + epochs + 1):
+            with CSVLogger(workdir / f"losses_{epoch}.csv") as loss_log:
+                train_loss, duration = self.train_one_epoch(
+                    loss_log, epoch, last_epoch + epochs, last_epoch)
+
+            save_checkpoint(
+                workdir, epoch, self.model.params,
+                self.opt_state if epoch % self.save_optim_every == 0 else None)
+
+            val_loss, val_mean, val_median = (
+                self.validate_one_epoch() if self.valid_loader is not None
+                else (float("nan"),) * 3)
+
+            with CSVLogger(workdir / "training.csv") as log:
+                log.append({
+                    "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+                    "duration": int(duration),
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "validation_loss": val_loss,
+                    "validation_mean": val_mean,
+                    "validation_median": val_median,
+                })
+            print(f"[epoch {epoch}] train loss {train_loss:.4f} "
+                  f"val loss {val_loss:.4f} val acc mean {val_mean:.2f}% "
+                  f"median {val_median:.2f}% ({duration:.0f}s)")
