@@ -41,8 +41,13 @@ def rnn_encoder(n_base, state_len, insize=1, first_conv_size=4, stride=5,
     ])
 
 
+@nn.register
 class SeqdistModel:
-    """Encoder + CTC_CRF seqdist. Pure-functional forward over a param tree."""
+    """Encoder + CTC_CRF seqdist. Pure-functional forward over a param tree.
+
+    Registered in the layer registry so fully-serialized configs
+    (type = "seqdistmodel", e.g. the sup transformer config) build through
+    nn.from_dict like the reference's (bonito/nn.py:418-444)."""
 
     def __init__(self, encoder, seqdist, n_pre_post_context_bases=None,
                  target_projection=None):

@@ -86,39 +86,43 @@ def transformer_crf_config(
         _conv(128, 128, 9, 2),
         _conv(128, d_model, 5, 2),
     ]
+    encoder = {
+        "type": "namedserial",
+        "conv": {"type": "serial", "sublayers": convs},
+        "transformer_encoder": {
+            "type": "stack",
+            "depth": depth,
+            "layer": {
+                "type": "transformerencoderlayer",
+                "d_model": d_model, "nhead": nhead,
+                "dim_feedforward": dim_feedforward,
+                "deepnorm_alpha": round((2 * depth) ** 0.25, 7),
+                "deepnorm_beta": round((8 * depth) ** -0.25, 7),
+                "attn_window": list(attn_window),
+            },
+        },
+        "upsample": {"type": "linearupsample", "d_model": d_model,
+                     "scale_factor": upsample},
+        "crf": {
+            "type": "linearcrfencoder", "insize": d_model, "n_base": 4,
+            "state_len": state_len, "bias": False,
+            "blank_score": blank_score, "scale": crf_scale,
+            "activation": "tanh",
+        },
+    }
+    # model tree nested under [model] (schema of reference dna_r10.4.1@v5.0)
     return {
-        "model": {"package": "bonito_tpu.transformer"},
-        "labels": {"labels": ["N", "A", "C", "G", "T"]},
-        "input": {"features": 1},
-        "global_norm": {"state_len": state_len},
+        "model": {
+            "package": "bonito_tpu.transformer",
+            "type": "seqdistmodel",
+            "seqdist": {"state_len": state_len,
+                        "alphabet": ["N", "A", "C", "G", "T"]},
+            "encoder": encoder,
+        },
         "scaling": {"strategy": scaling_strategy},
         **({"standardisation": standardisation} if standardisation else {}),
         "run_info": {"sample_rate": sample_rate},
         "qscore": {"scale": qscale, "bias": qbias},
-        "encoder": {
-            "type": "namedserial",
-            "conv": {"type": "serial", "sublayers": convs},
-            "transformer_encoder": {
-                "type": "stack",
-                "depth": depth,
-                "layer": {
-                    "type": "transformerencoderlayer",
-                    "d_model": d_model, "nhead": nhead,
-                    "dim_feedforward": dim_feedforward,
-                    "deepnorm_alpha": round((2 * depth) ** 0.25, 6),
-                    "deepnorm_beta": round((8 * depth) ** -0.25, 6),
-                    "attn_window": list(attn_window),
-                },
-            },
-            "upsample": {"type": "linearupsample", "d_model": d_model,
-                         "scale_factor": upsample},
-            "crf": {
-                "type": "linearcrfencoder", "insize": d_model, "n_base": 4,
-                "state_len": state_len, "bias": False,
-                "blank_score": blank_score, "scale": crf_scale,
-                "activation": "tanh",
-            },
-        },
         "basecaller": {"batchsize": batchsize, "chunksize": chunksize,
                        "overlap": overlap},
     }

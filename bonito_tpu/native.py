@@ -84,7 +84,25 @@ def _bind_vbz(lib):
     ]
 
 
+def _bind_mapper(lib):
+    i32, i64 = ctypes.c_int32, ctypes.c_int64
+    p_i32, p_i64 = ctypes.POINTER(i32), ctypes.POINTER(i64)
+    lib.mapper_index_build.restype = ctypes.c_void_p
+    lib.mapper_index_build.argtypes = [
+        ctypes.c_char_p, i64, p_i64, i32, i32, i32,
+    ]
+    lib.mapper_index_free.restype = None
+    lib.mapper_index_free.argtypes = [ctypes.c_void_p]
+    lib.mapper_map.restype = i32
+    lib.mapper_map.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64,
+        p_i32, p_i64, p_i64, p_i32, p_i32, p_i32, p_i32, p_i32, p_i32,
+        ctypes.c_char_p, i32, ctypes.c_char_p, i32,
+    ]
+
+
 _SPECS = {
     "align": {"sources": ["align/align.cpp"], "bind": _bind_align},
     "vbz": {"sources": ["vbz/vbz.cpp"], "bind": _bind_vbz},
+    "mapper": {"sources": ["mapper/mapper.cpp"], "bind": _bind_mapper},
 }

@@ -1,0 +1,94 @@
+"""
+Sliding-window (banded) attention for the transformer family.
+
+The reference uses flash-attn with window_size=(127, 128) — query i attends
+key j iff -left <= j - i <= right (bonito/transformer/model.py:33-39,55-66).
+
+TPU-first formulation: instead of a T x T mask (O(T^2) HBM traffic), keys
+are processed in blocks of 128 with one neighbour block on each side —
+every (query, key) pair within the band lies inside the 3-block window when
+left < B and right <= B. Scores are computed blockwise on the MXU with an
+exact in-band mask, so results equal the dense masked computation
+bit-for-bit (verified in tests/test_attention.py).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sliding_window_mask(T, window, dtype=jnp.bool_):
+    """Dense [T, T] band mask: True where key j is visible to query i."""
+    left, right = window
+    i = np.arange(T)[:, None]
+    j = np.arange(T)[None, :]
+    return jnp.asarray((j - i >= -left) & (j - i <= right), dtype)
+
+
+def dense_attention(q, k, v, window=None):
+    """Reference O(T^2) attention. q/k/v: [N, H, T, D]."""
+    D = q.shape[-1]
+    scores = jnp.einsum("nhtd,nhsd->nhts", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(D))
+    if window is not None:
+        mask = sliding_window_mask(q.shape[2], window)
+        scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("nhts,nhsd->nhtd", probs, v)
+
+
+@partial(jax.jit, static_argnames=("window", "block"))
+def local_attention(q, k, v, window, block=128):
+    """
+    Banded attention in key blocks. q/k/v: [N, H, T, D]; T must be a
+    multiple of ``block``; requires window[0] < block and window[1] <= block.
+    """
+    left, right = window
+    N, H, T, D = q.shape
+    B = block
+    assert T % B == 0, f"T={T} not a multiple of block={B}"
+    assert left < B and right <= B, (left, right, B)
+    nb = T // B
+
+    qb = q.reshape(N, H, nb, B, D)
+    # gather key/value neighbourhoods [prev | self | next] per block
+    kp = jnp.pad(k.reshape(N, H, nb, B, D), ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+    vp = jnp.pad(v.reshape(N, H, nb, B, D), ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+    kw = jnp.concatenate([kp[:, :, :-2], kp[:, :, 1:-1], kp[:, :, 2:]], axis=3)
+    vw = jnp.concatenate([vp[:, :, :-2], vp[:, :, 1:-1], vp[:, :, 2:]], axis=3)
+    # kw/vw: [N, H, nb, 3B, D]
+
+    scores = jnp.einsum("nhgqd,nhgkd->nhgqk", qb, kw,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(D))
+
+    # in-band + in-range mask: absolute key pos = g*B + (kk - B),
+    # absolute query pos = g*B + qq  =>  delta = kk - B - qq
+    qq = np.arange(B)[:, None]
+    kk = np.arange(3 * B)[None, :]
+    delta = kk - B - qq
+    band = (delta >= -left) & (delta <= right)
+    band = jnp.asarray(band)[None, None, None]                  # [1,1,1,B,3B]
+    g = jnp.arange(nb)[:, None, None]
+    kabs = g * B + (kk - B)[None]
+    valid = (kabs >= 0) & (kabs < T)
+    valid = valid[None, None, :, :, :]
+
+    scores = jnp.where(band & valid, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("nhgqk,nhgkd->nhgqd", probs, vw)
+    return out.reshape(N, H, T, D)
+
+
+def attend(q, k, v, window=None, block=128):
+    """Dispatch: banded blocked path when the window fits, dense otherwise."""
+    if window is None or window == (-1, -1):
+        return dense_attention(q, k, v)
+    T = q.shape[2]
+    left, right = window
+    if T % block == 0 and left < block and right <= block:
+        return local_attention(q, k, v, (left, right), block)
+    return dense_attention(q, k, v, window)

@@ -1,0 +1,222 @@
+"""
+Transformer-CRF model family (the reference's "sup" v5 models).
+
+Architecture parity with the reference (bonito/transformer/model.py):
+conv downsample x12 -> N x [windowed MHA with rotary + SwiGLU GatedMlp,
+RMSNorm post-norm, DeepNorm alpha-scaled residuals] -> linear upsample x2
+-> LinearCRFEncoder head. TPU-first internals: banded attention runs as
+blocked local attention on the MXU (bonito_tpu.ops.attention) instead of
+flash-attn CUDA kernels; everything is [N, T, C] batch-major.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bonito_tpu import nn
+from bonito_tpu.crf.model import SeqdistModel
+from bonito_tpu.ops.attention import attend
+
+
+def deepnorm_params(depth):
+    """DeepNorm (arXiv:2203.00555) residual/init scalars
+    (reference: bonito/transformer/model.py:24-30)."""
+    alpha = round((2 * depth) ** 0.25, 7)
+    beta = round((8 * depth) ** (-1 / 4), 7)
+    return alpha, beta
+
+
+@nn.register
+class RMSNorm(nn.Layer):
+    def __init__(self, d_model, eps=1e-5):
+        self.d_model = d_model
+        self.eps = eps
+
+    def init_params(self, key):
+        return {"scale": jnp.ones((self.d_model,))}
+
+    def apply(self, params, x, ctx=None):
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps)
+        return (y * params["scale"].astype(jnp.float32)).astype(dtype)
+
+    def to_dict(self):
+        return {"d_model": self.d_model, "eps": self.eps}
+
+
+def rotary_freqs(T, rotary_dim, base=10000.0, dtype=jnp.float32):
+    inv = 1.0 / (base ** (np.arange(0, rotary_dim, 2) / rotary_dim))
+    t = np.arange(T)
+    freqs = np.outer(t, inv)                       # [T, rotary_dim/2]
+    return jnp.asarray(np.cos(freqs), dtype), jnp.asarray(np.sin(freqs), dtype)
+
+
+def apply_rotary(x, cos, sin):
+    """Non-interleaved rotary on the leading rotary_dim of the head dim.
+    x: [N, T, H, D]; cos/sin: [T, r/2]."""
+    r2 = cos.shape[-1]
+    x_rot, x_pass = x[..., :2 * r2], x[..., 2 * r2:]
+    x1, x2 = x_rot[..., :r2], x_rot[..., r2:]
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    if x_pass.shape[-1]:
+        out = jnp.concatenate([out, x_pass], axis=-1)
+    return out
+
+
+class MultiHeadAttention(nn.Layer):
+    """Windowed self-attention with rotary embeddings
+    (reference: bonito/transformer/model.py:42-79)."""
+
+    def __init__(self, d_model, nhead, qkv_bias=False, out_bias=True,
+                 rotary_dim=None, attn_window=None):
+        assert d_model % nhead == 0
+        self.d_model = d_model
+        self.nhead = nhead
+        self.head_dim = d_model // nhead
+        self.rotary_dim = self.head_dim if rotary_dim is None else rotary_dim
+        self.qkv_bias = qkv_bias
+        self.out_bias = out_bias
+        self.attn_window = None if attn_window is None else tuple(attn_window)
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        p = {
+            "wqkv": nn.lecun_normal(k1, (self.d_model, 3 * self.d_model)),
+            "out_w": nn.lecun_normal(k2, (self.d_model, self.d_model)),
+        }
+        if self.qkv_bias:
+            p["qkv_b"] = jnp.zeros((3 * self.d_model,))
+        if self.out_bias:
+            p["out_b"] = jnp.zeros((self.d_model,))
+        return p
+
+    def apply(self, params, x, ctx=None):
+        N, T, _ = x.shape
+        qkv = x @ params["wqkv"].astype(x.dtype)
+        if self.qkv_bias:
+            qkv = qkv + params["qkv_b"].astype(x.dtype)
+        qkv = qkv.reshape(N, T, 3, self.nhead, self.head_dim)
+        cos, sin = rotary_freqs(T, self.rotary_dim)
+        q = apply_rotary(qkv[:, :, 0], cos, sin)
+        k = apply_rotary(qkv[:, :, 1], cos, sin)
+        v = qkv[:, :, 2]
+        # [N, T, H, D] -> [N, H, T, D]
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+        o = attend(q, k, v, window=self.attn_window)
+        o = jnp.swapaxes(o, 1, 2).reshape(N, T, self.d_model)
+        o = o @ params["out_w"].astype(x.dtype)
+        if self.out_bias:
+            o = o + params["out_b"].astype(x.dtype)
+        return o
+
+
+class GatedMlp(nn.Layer):
+    """SwiGLU feed-forward, flash-attn GatedMlp layout: fc1 packs
+    [value; gate], out = fc2(value * silu(gate))."""
+
+    def __init__(self, d_model, hidden_features):
+        self.d_model = d_model
+        self.hidden = hidden_features
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        return {
+            "fc1": nn.lecun_normal(k1, (self.d_model, 2 * self.hidden)),
+            "fc2": nn.lecun_normal(k2, (self.hidden, self.d_model)),
+        }
+
+    def apply(self, params, x, ctx=None):
+        y = x @ params["fc1"].astype(x.dtype)
+        y, gate = jnp.split(y, 2, axis=-1)
+        y = y * jax.nn.silu(gate)
+        return y @ params["fc2"].astype(x.dtype)
+
+
+@nn.register
+class TransformerEncoderLayer(nn.Layer):
+    def __init__(self, d_model, nhead, dim_feedforward, deepnorm_alpha,
+                 deepnorm_beta, attn_window=None):
+        self.kwargs = {
+            "d_model": d_model, "nhead": nhead,
+            "dim_feedforward": dim_feedforward,
+            "deepnorm_alpha": deepnorm_alpha,
+            "deepnorm_beta": deepnorm_beta,
+            "attn_window": attn_window,
+        }
+        self.d_model = d_model
+        self.deepnorm_alpha = deepnorm_alpha
+        self.deepnorm_beta = deepnorm_beta
+        self.self_attn = MultiHeadAttention(
+            d_model, nhead, qkv_bias=False, out_bias=True,
+            attn_window=attn_window)
+        self.ff = GatedMlp(d_model, dim_feedforward)
+        self.norm1 = RMSNorm(d_model)
+        self.norm2 = RMSNorm(d_model)
+
+    def init_params(self, key):
+        ks = jax.random.split(key, 4)
+        p = {
+            "self_attn": self.self_attn.init_params(ks[0]),
+            "ff": self.ff.init_params(ks[1]),
+            "norm1": self.norm1.init_params(ks[2]),
+            "norm2": self.norm2.init_params(ks[3]),
+        }
+        # DeepNorm beta-scaled init (reference: transformer/model.py:120-126)
+        db, d = self.deepnorm_beta, self.d_model
+        k1, k2, k3, k4, k5 = jax.random.split(ks[0], 5)
+        p["ff"]["fc1"] = nn.xavier_normal(
+            k1, p["ff"]["fc1"].shape, gain=db)
+        p["ff"]["fc2"] = nn.xavier_normal(
+            k2, p["ff"]["fc2"].shape, gain=db)
+        p["self_attn"]["out_w"] = nn.xavier_normal(
+            k3, (d, d), gain=db)
+        wqkv = jnp.concatenate([
+            nn.xavier_normal(k4, (d, 2 * d), gain=1.0),
+            nn.xavier_normal(k5, (d, d), gain=db),
+        ], axis=1)
+        p["self_attn"]["wqkv"] = wqkv
+        return p
+
+    def apply(self, params, x, ctx=None):
+        a = self.deepnorm_alpha
+        h = self.self_attn.apply(params["self_attn"], x, ctx)
+        x = self.norm1.apply(params["norm1"], h + a * x, ctx)
+        h = self.ff.apply(params["ff"], x, ctx)
+        x = self.norm2.apply(params["norm2"], h + a * x, ctx)
+        return x
+
+    def to_dict(self):
+        return dict(self.kwargs)
+
+    def sublayer_items(self):
+        return [("self_attn", self.self_attn), ("ff", self.ff),
+                ("norm1", self.norm1), ("norm2", self.norm2)]
+
+    def torch_param_map(self, path):
+        """Reference flash-attn module key layout -> our params."""
+        t = lambda *axes: (lambda a: np.transpose(a, axes))
+        ident = lambda a: a
+        return [
+            (f"{path}.self_attn.Wqkv.weight", f"{path}.self_attn.wqkv", t(1, 0)),
+            (f"{path}.self_attn.out_proj.weight", f"{path}.self_attn.out_w", t(1, 0)),
+            (f"{path}.self_attn.out_proj.bias", f"{path}.self_attn.out_b", ident),
+            (f"{path}.ff.fc1.weight", f"{path}.ff.fc1", t(1, 0)),
+            (f"{path}.ff.fc2.weight", f"{path}.ff.fc2", t(1, 0)),
+            (f"{path}.norm1.weight", f"{path}.norm1.scale", ident),
+            (f"{path}.norm2.weight", f"{path}.norm2.scale", ident),
+        ]
+
+
+def Model(config):
+    """Build a transformer SeqdistModel from a bonito-style config
+    (reference: bonito/transformer/model.py:149-154)."""
+    model_dict = {k: v for k, v in config["model"].items() if k != "package"}
+    model = nn.from_dict(model_dict)
+    model.config = config
+    return model

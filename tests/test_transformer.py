@@ -1,0 +1,131 @@
+"""Transformer family: banded attention equivalence, model build/forward,
+torch checkpoint import."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bonito_tpu.ops.attention import dense_attention, local_attention, attend
+
+
+def _qkv(key, N=2, H=3, T=256, D=16):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (N, H, T, D), jnp.float32) for k in ks)
+
+
+class TestLocalAttention:
+    def test_matches_dense_band(self):
+        q, k, v = _qkv(jax.random.PRNGKey(0))
+        for window in [(127, 128), (63, 64), (100, 20)]:
+            ref = dense_attention(q, k, v, window)
+            out = local_attention(q, k, v, window)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_single_block(self):
+        q, k, v = _qkv(jax.random.PRNGKey(1), T=128)
+        ref = dense_attention(q, k, v, (127, 128))
+        out = local_attention(q, k, v, (127, 128))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_dispatch_falls_back(self):
+        q, k, v = _qkv(jax.random.PRNGKey(2), T=100)  # not block multiple
+        ref = dense_attention(q, k, v, (30, 40))
+        out = attend(q, k, v, window=(30, 40))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestTransformerModel:
+    @pytest.fixture(scope="class")
+    def model(self):
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+        cfg = transformer_crf_config(
+            d_model=64, nhead=4, depth=2, dim_feedforward=128,
+            attn_window=(15, 16), state_len=3)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(0))
+        return m
+
+    def test_stride_and_shape(self, model):
+        assert model.stride == 6  # conv ↓12, upsample ×2
+        x = jnp.zeros((2, 288, 1))
+        scores = model.forward(x)
+        assert scores.shape == (2, 288 // 6, (4 + 1) * 4 ** 3)
+
+    def test_decode_and_loss_run(self, model):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 288, 1))
+        scores = model.forward(x)
+        seqs = model.decode_batch(scores)
+        assert len(seqs) == 2
+        targets = jnp.asarray(
+            np.random.default_rng(0).integers(1, 5, size=(2, 20)), jnp.int32)
+        loss = model.loss(scores, targets, jnp.array([20, 20]))
+        assert np.isfinite(float(loss))
+
+    def test_torch_import(self, model):
+        """Reference-layout torch keys map onto every transformer param."""
+        import torch
+        from bonito_tpu import nn as bnn
+        from bonito_tpu.checkpoint import import_torch_checkpoint, _flatten
+
+        rng = np.random.default_rng(0)
+        state = {}
+        d, ff = 64, 128
+        for path, layer in bnn.walk(model.encoder):
+            full = f"encoder.{path}" if path else "encoder"
+            if isinstance(layer, bnn.Convolution):
+                state[f"{full}.conv.weight"] = rng.normal(
+                    size=(layer.size, layer.insize, layer.winlen))
+                state[f"{full}.conv.bias"] = rng.normal(size=(layer.size,))
+                state[f"{full}.norm.weight"] = rng.normal(size=(layer.size,))
+                state[f"{full}.norm.bias"] = rng.normal(size=(layer.size,))
+                state[f"{full}.norm.running_mean"] = rng.normal(size=(layer.size,))
+                state[f"{full}.norm.running_var"] = np.abs(
+                    rng.normal(size=(layer.size,)))
+            elif type(layer).__name__ == "TransformerEncoderLayer":
+                state[f"{full}.self_attn.Wqkv.weight"] = rng.normal(size=(3 * d, d))
+                state[f"{full}.self_attn.out_proj.weight"] = rng.normal(size=(d, d))
+                state[f"{full}.self_attn.out_proj.bias"] = rng.normal(size=(d,))
+                state[f"{full}.ff.fc1.weight"] = rng.normal(size=(2 * ff, d))
+                state[f"{full}.ff.fc2.weight"] = rng.normal(size=(d, ff))
+                state[f"{full}.norm1.weight"] = rng.normal(size=(d,))
+                state[f"{full}.norm2.weight"] = rng.normal(size=(d,))
+            elif isinstance(layer, bnn.LinearUpsample):
+                state[f"{full}.linear.weight"] = rng.normal(
+                    size=(layer.scale_factor * d, d))
+                state[f"{full}.linear.bias"] = rng.normal(
+                    size=(layer.scale_factor * d,))
+            elif isinstance(layer, bnn.LinearCRFEncoder):
+                state[f"{full}.linear.weight"] = rng.normal(
+                    size=(layer.out_size, layer.insize))
+
+        import tempfile, os
+        tmp = tempfile.NamedTemporaryFile(suffix=".tar", delete=False)
+        torch.save({k: torch.tensor(v) for k, v in state.items()}, tmp.name)
+        try:
+            params = import_torch_checkpoint(tmp.name, model)
+        finally:
+            os.unlink(tmp.name)
+
+        flat_ref = _flatten(model.params)
+        flat_new = _flatten(params)
+        assert set(flat_new) == set(flat_ref)
+        # spot check a conversion (transpose)
+        np.testing.assert_allclose(
+            flat_new["encoder.transformer_encoder.0.self_attn.wqkv"],
+            state["encoder.transformer_encoder.0.self_attn.Wqkv.weight"].T)
+
+    def test_reference_config_schema_loads(self):
+        """A config shaped like the reference's v5.0 toml (model-nested tree)
+        builds through load_symbol + Model."""
+        from bonito_tpu.models import get_config
+        from bonito_tpu.util import load_symbol
+        cfg = get_config("dna_r10.4.1_e8.2_400bps_sup@v5.0")
+        Model = load_symbol(cfg, "Model")
+        m = Model(cfg)
+        assert m.stride == 6
+        assert m.seqdist.state_len == 5
