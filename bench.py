@@ -23,6 +23,7 @@ BASELINE_SAMPLES_PER_SEC = 1e9
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bonito_tpu_jax_cache")
     import jax.numpy as jnp
     from __graft_entry__ import _build_model
     from bonito_tpu.ops.decode import viterbi_decode
@@ -43,14 +44,18 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batchsize, chunksize, 1)), jnp.bfloat16)
 
+    # NOTE: on the axon remote backend block_until_ready returns before
+    # execution finishes; a device->host fetch is the only reliable sync.
+    def sync(out):
+        return np.asarray(out["sequence"])
+
     # warmup / compile
-    out = step(model.params, x)
-    jax.block_until_ready(out)
+    sync(step(model.params, x))
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(model.params, x)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
 
     samples_per_sec = batchsize * chunksize * iters / dt

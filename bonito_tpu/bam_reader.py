@@ -1,0 +1,117 @@
+"""
+BAM/SAM reading: the input side of the duplex pipeline (the reference uses
+pysam random access via an offset index, bonito/cli/duplex.py:45-106).
+
+Self-contained like bonito_tpu.bam: BGZF is a chain of gzip members, so
+the whole stream decompresses with zlib; records are then parsed directly
+from the BAM byte layout. SAM text files are parsed line-wise.
+"""
+
+import gzip
+import struct
+from pathlib import Path
+
+from bonito_tpu.duplex import SeqRecord
+
+_SEQ_LUT = "=ACMGRSVTWYHKDBN"
+
+
+def _parse_bam_records(data):
+    """Yield SeqRecord from decompressed BAM bytes."""
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM stream")
+    l_text = struct.unpack("<i", data[4:8])[0]
+    off = 8 + l_text
+    n_ref = struct.unpack("<i", data[off:off + 4])[0]
+    off += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", data[off:off + 4])[0]
+        off += 4 + l_name + 4
+    while off + 4 <= len(data):
+        block_size = struct.unpack("<i", data[off:off + 4])[0]
+        rec = data[off + 4:off + 4 + block_size]
+        off += 4 + block_size
+        if len(rec) < 32:
+            break
+        (ref_id, pos, l_read_name, mapq, bin_, n_cigar, flag,
+         l_seq, next_ref, next_pos, tlen) = struct.unpack("<iiBBHHHiiii",
+                                                          rec[:32])
+        p = 32
+        name = rec[p:p + l_read_name - 1].decode()
+        p += l_read_name
+        p += 4 * n_cigar
+        nseq = (l_seq + 1) // 2
+        seq_bytes = rec[p:p + nseq]
+        p += nseq
+        qual = rec[p:p + l_seq]
+        p += l_seq
+
+        seq = []
+        for i in range(l_seq):
+            b = seq_bytes[i // 2]
+            code = (b >> 4) if i % 2 == 0 else (b & 0xF)
+            seq.append(_SEQ_LUT[code])
+        seq = "".join(seq)
+        if qual and qual[0] != 0xFF:
+            qstring = bytes(q + 33 for q in qual).decode()
+        else:
+            qstring = "*"
+        # skip secondary/supplementary so the primary record wins
+        if flag & 0x900:
+            continue
+        yield SeqRecord(name, seq, qstring), flag
+
+
+def _parse_sam_records(text):
+    for line in text.splitlines():
+        if not line or line.startswith("@"):
+            continue
+        fields = line.split("\t")
+        if len(fields) < 11:
+            continue
+        flag = int(fields[1])
+        if flag & 0x900:
+            continue
+        yield SeqRecord(fields[0], fields[9], fields[10]), flag
+
+
+class ReadIndexedBam:
+    """read_id -> SeqRecord lookup over a BAM or SAM file
+    (role of reference ReadIndexedBam, bonito/cli/duplex.py:45-106)."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        data = self.path.read_bytes()
+        if data[:2] == b"\x1f\x8b":
+            records = _parse_bam_records(gzip.decompress(data))
+        elif data[:4] == b"BAM\x01":
+            records = _parse_bam_records(data)
+        else:
+            records = _parse_sam_records(data.decode())
+        self._records = {}
+        for rec, flag in records:
+            # reverse-strand records store the revcomp; restore read
+            # orientation for consensus
+            if flag & 0x10:
+                rec = SeqRecord(
+                    rec.read_id,
+                    rec.sequence.translate(
+                        str.maketrans("ACGTU", "TGCAA"))[::-1],
+                    rec.qstring[::-1] if rec.qstring != "*" else "*")
+            self._records.setdefault(rec.read_id, rec)
+
+    def __len__(self):
+        return len(self._records)
+
+    def __contains__(self, read_id):
+        return read_id in self._records
+
+    @property
+    def read_ids(self):
+        return list(self._records)
+
+    def get_record(self, read_id):
+        try:
+            return self._records[read_id]
+        except KeyError:
+            raise KeyError(f"read {read_id!r} not in {self.path}") from None

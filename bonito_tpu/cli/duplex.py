@@ -77,8 +77,11 @@ def main(args):
     writer.start()
     writer.stop()
     duration = time.perf_counter() - t0
-    num_bases = sum(len(res) for _, res in writer.log) if writer.log else 0
+    num_bases = sum(n for _, n in writer.log)
+    sys.stderr.write("> duplex reads: %s\n" % len(writer.log))
     sys.stderr.write("> duration: %s\n" % timedelta(seconds=round(duration)))
+    if duration > 0:
+        sys.stderr.write("> bases per second %.1E\n" % (num_bases / duration))
 
 
 def argparser():

@@ -421,7 +421,7 @@ class DuplexWriter(Writer):
             stub.signal = np.empty(0)
             self.write(stub, seq, qstring, mapping, tags=[
                 f"qs:f:{mean_q:.4f}"])
-            self.log.append((read_id, 0))
+            self.log.append((read_id, len(seq)))
         if self._bam is not None:
             self._bam.close()
 

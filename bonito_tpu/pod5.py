@@ -1,0 +1,416 @@
+"""
+POD5 read backend.
+
+POD5 is an Apache-Arrow container: one file embedding three Arrow IPC
+files (reads table, signal table, run-info table) between a signature and
+a flatbuffer footer. This environment has no `pod5` package, so this
+module parses the container directly with pyarrow: embedded Arrow files
+are located by their ARROW1 framing magic (start magic is
+"ARROW1\\x00\\x00", end magic "ARROW1") and identified by schema fields —
+no footer parsing needed. Signal chunks use VBZ compression
+(zstd over svb16 delta-zigzag; svb16 is our native codec, native/vbz).
+
+Read semantics match the reference backend (bonito/pod5.py:18-124):
+pA scale = calibration_scale * (adc + calibration_offset), then
+quantile/pa standardisation and trim.
+
+A writer (`write_pod5`) emits the same layout for fixtures and for
+`bonito_tpu export`-style dataset repacking. (The flatbuffer footer is
+written as an empty placeholder: files round-trip through this module;
+third-party pod5 readers that require the footer index are not supported
+yet.)
+"""
+
+import ctypes
+import sys
+import uuid
+from datetime import datetime, timezone
+from glob import glob
+from pathlib import Path
+
+import numpy as np
+
+from bonito_tpu import native
+from bonito_tpu.reader import Read as BaseRead, apply_standardisation
+
+_SIGNATURE = b"\x8bPOD\r\n\x1a\n"
+_ARROW_START = b"ARROW1\x00\x00"
+_ARROW_MAGIC = b"ARROW1"
+
+
+# ---------------------------------------------------------------------------
+# vbz signal codec (zstd over native svb16 delta-zigzag)
+# ---------------------------------------------------------------------------
+
+def vbz_compress(signal):
+    import zstandard
+    signal = np.ascontiguousarray(signal, np.int16)
+    lib = native.load("vbz")
+    n = len(signal)
+    if lib is not None:
+        buf = ctypes.create_string_buffer(lib.svb16_max_encoded_size(n))
+        written = lib.svb16_encode_dz(
+            signal.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
+            ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)))
+        payload = buf.raw[:written]
+    else:
+        payload = _svb16_encode_py(signal)
+    return zstandard.ZstdCompressor(level=1).compress(payload)
+
+
+def vbz_decompress(data, sample_count):
+    import zstandard
+    payload = zstandard.ZstdDecompressor().decompress(
+        data, max_output_size=(sample_count + 7) // 8 + 2 * sample_count)
+    lib = native.load("vbz")
+    out = np.empty(sample_count, np.int16)
+    if lib is not None:
+        rc = lib.svb16_decode_dz(
+            ctypes.cast(ctypes.c_char_p(payload),
+                        ctypes.POINTER(ctypes.c_uint8)),
+            len(payload),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            sample_count)
+        if rc != 0:
+            raise ValueError("corrupt vbz signal chunk")
+        return out
+    return _svb16_decode_py(payload, sample_count)
+
+
+def _svb16_encode_py(signal):
+    deltas = np.diff(np.concatenate([[0], signal.astype(np.int64)]))
+    zz = ((deltas << 1) ^ (deltas >> 63)).astype(np.uint16)
+    n = len(zz)
+    keys = np.zeros((n + 7) // 8, np.uint8)
+    data = bytearray()
+    for i, v in enumerate(zz):
+        data.append(v & 0xFF)
+        if v > 0xFF:
+            data.append(v >> 8)
+            keys[i // 8] |= 1 << (i % 8)
+    return keys.tobytes() + bytes(data)
+
+
+def _svb16_decode_py(payload, count):
+    key_bytes = (count + 7) // 8
+    keys = np.frombuffer(payload[:key_bytes], np.uint8)
+    data = payload[key_bytes:]
+    out = np.empty(count, np.int16)
+    pos = 0
+    prev = 0
+    for i in range(count):
+        if keys[i // 8] & (1 << (i % 8)):
+            zz = data[pos] | (data[pos + 1] << 8)
+            pos += 2
+        else:
+            zz = data[pos]
+            pos += 1
+        delta = (zz >> 1) ^ -(zz & 1)
+        prev = np.int16(prev + delta)
+        out[i] = prev
+    return out
+
+
+# ---------------------------------------------------------------------------
+# container parsing
+# ---------------------------------------------------------------------------
+
+def _embedded_arrow_tables(path):
+    """Locate + open every embedded Arrow IPC file; returns list of
+    pyarrow Tables."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    data = Path(path).read_bytes()
+    if not data.startswith(_SIGNATURE):
+        raise ValueError(f"{path} is not a pod5 file (bad signature)")
+
+    tables = []
+    mv = memoryview(data)
+    pos = 0
+    while True:
+        start = data.find(_ARROW_START, pos)
+        if start < 0:
+            break
+        # candidate end = each subsequent ARROW1; an Arrow file ends with
+        # <int32 footer_size><"ARROW1">, and padding can make an end magic
+        # look like a start magic, so validate each candidate by checking
+        # the footer-size field and trying to open the slice.
+        scan = start + len(_ARROW_START)
+        end = -1
+        table = None
+        while True:
+            cand = data.find(_ARROW_MAGIC, scan)
+            if cand < 0:
+                break
+            scan = cand + len(_ARROW_MAGIC)
+            cand_end = cand + len(_ARROW_MAGIC)
+            fsz_off = cand - 4
+            if fsz_off <= start:
+                continue
+            footer_size = int.from_bytes(data[fsz_off:cand], "little")
+            if footer_size <= 0 or fsz_off - footer_size < start:
+                continue
+            try:
+                reader = pa.ipc.open_file(
+                    pa.BufferReader(pa.py_buffer(mv[start:cand_end])))
+                table = reader.read_all()
+                end = cand_end
+                break
+            except pa.lib.ArrowInvalid:
+                continue
+        if end < 0:
+            pos = start + len(_ARROW_START)
+            continue
+        tables.append(table)
+        pos = end
+    return tables
+
+
+def _classify(tables):
+    reads = signal = run_info = None
+    for t in tables:
+        names = set(t.schema.names)
+        if "samples" in names and "signal" in names:
+            signal = t
+        elif "calibration_offset" in names or (
+                "signal" in names and "read_number" in names):
+            reads = t
+        elif "acquisition_id" in names or "sample_rate" in names:
+            run_info = t
+    return reads, signal, run_info
+
+
+class Pod5File:
+    """Parsed pod5: per-read signal assembly + metadata lookups."""
+
+    def __init__(self, path):
+        self.path = Path(path)
+        reads, signal, run_info = _classify(_embedded_arrow_tables(path))
+        if reads is None or signal is None:
+            raise ValueError(f"{path}: missing reads/signal table")
+        self.reads = reads
+        self.signal = signal
+        self.run_info = run_info
+        # index signal rows by read_id bytes
+        sig_ids = self.signal.column("read_id").to_pylist()
+        self._sig_rows = {}
+        for i, rid in enumerate(sig_ids):
+            self._sig_rows.setdefault(bytes(rid), []).append(i)
+        self._samples = self.signal.column("samples").to_pylist()
+        self._sig_col = self.signal.column("signal")
+        self._compressed = not str(self._sig_col.type).startswith("large_list")
+
+    def read_ids(self):
+        return [str(uuid.UUID(bytes=bytes(b)))
+                for b in self.reads.column("read_id").to_pylist()]
+
+    def num_reads(self):
+        return self.reads.num_rows
+
+    def get_signal(self, read_id_bytes):
+        rows = self._sig_rows.get(read_id_bytes, [])
+        parts = []
+        for r in rows:
+            n = self._samples[r]
+            chunk = self._sig_col[r].as_py()
+            if self._compressed:
+                parts.append(vbz_decompress(bytes(chunk), n))
+            else:
+                parts.append(np.asarray(chunk, np.int16))
+        return (np.concatenate(parts) if parts
+                else np.empty(0, np.int16))
+
+    def run_info_row(self, idx):
+        if self.run_info is None or idx is None or idx >= self.run_info.num_rows:
+            return {}
+        return {name: self.run_info.column(name)[idx].as_py()
+                for name in self.run_info.schema.names}
+
+    def _col(self, name, row, default=None):
+        if name in self.reads.schema.names:
+            v = self.reads.column(name)[row].as_py()
+            return v if v is not None else default
+        return default
+
+
+class Read(BaseRead):
+
+    def __init__(self, p5: Pod5File, row: int, filename, meta=False,
+                 do_trim=True, scaling_strategy=None, norm_params=None):
+        rid = bytes(p5.reads.column("read_id")[row].as_py())
+        self.read_id = str(uuid.UUID(bytes=rid))
+        self.filename = Path(filename).name
+
+        ri_idx = p5._col("run_info", row)
+        if isinstance(ri_idx, str):
+            info = {}
+        else:
+            info = p5.run_info_row(ri_idx)
+        self.run_id = info.get("acquisition_id", "") or ""
+        self.sample_id = info.get("sample_id", "unset") or "unset"
+        self.flow_cell_id = info.get("flow_cell_id", "") or ""
+        self.device_id = info.get("system_name", "") or ""
+        start_time = info.get("acquisition_start_time")
+        if isinstance(start_time, datetime):
+            self.exp_start_time = start_time.astimezone(
+                timezone.utc).isoformat(timespec="milliseconds")
+        else:
+            self.exp_start_time = str(start_time or "")
+        self.sample_rate = info.get("sample_rate", 5000) or 5000
+
+        if meta:
+            return
+
+        self.mux = p5._col("well", row, 0)
+        self.channel = p5._col("channel", row, 0)
+        self.read_number = p5._col("read_number", row, 0)
+        offset = p5._col("calibration_offset", row, 0.0)
+        scale = p5._col("calibration_scale", row, 1.0)
+
+        start_sample = p5._col("start", row, 0)
+        self.start = start_sample / self.sample_rate
+
+        raw = p5.get_signal(rid)
+        self.duration = len(raw) / self.sample_rate
+        scaled = np.array(scale * (raw + offset), dtype=np.float32)
+        if self.exp_start_time:
+            self.start_time = self.exp_start_time
+        apply_standardisation(self, scaled, scaling_strategy, norm_params,
+                              do_trim=do_trim)
+
+
+def _files(directory, recursive=False):
+    pattern = "**/*.pod5" if recursive else "*.pod5"
+    return sorted(glob(str(Path(directory) / pattern), recursive=recursive))
+
+
+def get_read_groups(directory, model, read_ids=None, skip=False, n_proc=1,
+                    recursive=False, cancel=None):
+    groups = set()
+    for filename in _files(directory, recursive):
+        try:
+            p5 = Pod5File(filename)
+        except Exception as e:
+            sys.stderr.write(f"> warning: {filename} - {e}\n")
+            continue
+        for row in range(p5.num_reads()):
+            read = Read(p5, row, filename, meta=True)
+            if read_ids is None or (read.read_id in read_ids) ^ skip:
+                groups.add(read.readgroup(model))
+    return sorted(groups)
+
+
+def get_reads(directory, read_ids=None, skip=False, max_read_size=0,
+              n_proc=1, recursive=False, cancel=None, do_trim=True,
+              scaling_strategy=None, norm_params=None):
+    for filename in _files(directory, recursive):
+        try:
+            p5 = Pod5File(filename)
+        except Exception as e:
+            sys.stderr.write(f"> warning: {filename} - {e}\n")
+            continue
+        for row in range(p5.num_reads()):
+            rid = str(uuid.UUID(bytes=bytes(
+                p5.reads.column("read_id")[row].as_py())))
+            if not (read_ids is None or (rid in read_ids) ^ skip):
+                continue
+            read = Read(p5, row, filename, do_trim=do_trim,
+                        scaling_strategy=scaling_strategy,
+                        norm_params=norm_params)
+            if max_read_size > 0 and len(read.signal) > max_read_size:
+                sys.stderr.write(
+                    f"> skipping long read {read.read_id} "
+                    f"({len(read.signal)} samples)\n")
+                continue
+            yield read
+            if cancel is not None and cancel.is_set():
+                return
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures + dataset repacking)
+# ---------------------------------------------------------------------------
+
+def write_pod5(path, reads, run_info=None, compress=True):
+    """
+    Write a pod5 file. ``reads`` is an iterable of dicts with keys:
+    read_id (uuid str), signal (int16 array), and optionally channel, well,
+    read_number, start, calibration_offset, calibration_scale.
+    """
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    run_info = {**{
+        "acquisition_id": "run0",
+        "sample_id": "sample",
+        "flow_cell_id": "FC000",
+        "system_name": "sim",
+        "sample_rate": 5000,
+        "acquisition_start_time": datetime(2026, 1, 1, tzinfo=timezone.utc),
+    }, **(run_info or {})}
+
+    reads = list(reads)
+    rid_bytes = [uuid.UUID(r["read_id"]).bytes for r in reads]
+
+    sig_ids, sig_chunks, sig_samples = [], [], []
+    for r, rb in zip(reads, rid_bytes):
+        signal = np.ascontiguousarray(r["signal"], np.int16)
+        sig_ids.append(rb)
+        sig_samples.append(len(signal))
+        sig_chunks.append(
+            vbz_compress(signal) if compress else signal.tolist())
+
+    fbin = pa.binary(16)
+    if compress:
+        signal_table = pa.table({
+            "read_id": pa.array(sig_ids, fbin),
+            "signal": pa.array(sig_chunks, pa.large_binary()),
+            "samples": pa.array(sig_samples, pa.uint32()),
+        })
+    else:
+        signal_table = pa.table({
+            "read_id": pa.array(sig_ids, fbin),
+            "signal": pa.array(sig_chunks, pa.large_list(pa.int16())),
+            "samples": pa.array(sig_samples, pa.uint32()),
+        })
+
+    reads_table = pa.table({
+        "read_id": pa.array(rid_bytes, fbin),
+        "read_number": pa.array(
+            [r.get("read_number", i) for i, r in enumerate(reads)], pa.uint32()),
+        "channel": pa.array(
+            [r.get("channel", 1) for r in reads], pa.uint16()),
+        "well": pa.array([r.get("well", 1) for r in reads], pa.uint8()),
+        "start": pa.array([r.get("start", 0) for r in reads], pa.uint64()),
+        "calibration_offset": pa.array(
+            [r.get("calibration_offset", 0.0) for r in reads], pa.float32()),
+        "calibration_scale": pa.array(
+            [r.get("calibration_scale", 1.0) for r in reads], pa.float32()),
+        "run_info": pa.array([0 for _ in reads], pa.int16()),
+    })
+
+    run_info_table = pa.table({
+        k: pa.array([v],
+                    pa.timestamp("ms", tz="UTC")
+                    if isinstance(v, datetime) else None)
+        for k, v in run_info.items()
+    })
+
+    def arrow_file_bytes(table):
+        import io
+        sink = io.BytesIO()
+        with pa.ipc.new_file(sink, table.schema) as w:
+            w.write_table(table)
+        return sink.getvalue()
+
+    section = uuid.uuid4().bytes
+    with open(path, "wb") as f:
+        f.write(_SIGNATURE)
+        f.write(section)
+        for table in (reads_table, signal_table, run_info_table):
+            payload = arrow_file_bytes(table)
+            f.write(payload)
+            f.write(b"\x00" * (-len(payload) % 8))
+        f.write(section)
+        f.write(_SIGNATURE)

@@ -1,0 +1,89 @@
+"""POD5 container: vbz codec, write/read round-trip, Read semantics."""
+
+import uuid
+
+import numpy as np
+import pytest
+
+from bonito_tpu.pod5 import (
+    Pod5File, Read, get_reads, vbz_compress, vbz_decompress, write_pod5,
+)
+
+
+class TestVBZ:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(0)
+        for n in [1, 7, 8, 1000, 33333]:
+            sig = rng.integers(-2000, 2000, size=n).astype(np.int16)
+            assert np.array_equal(vbz_decompress(vbz_compress(sig), n), sig)
+
+    def test_compresses_smooth_signal(self):
+        t = np.arange(50000)
+        sig = (600 + 50 * np.sin(t / 100)).astype(np.int16)
+        comp = vbz_compress(sig)
+        assert len(comp) < sig.nbytes / 4
+
+
+@pytest.fixture(scope="module")
+def pod5_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pod5")
+    rng = np.random.default_rng(1)
+    reads = []
+    for i in range(3):
+        reads.append({
+            "read_id": str(uuid.UUID(int=i + 1)),
+            "signal": rng.integers(400, 800, size=5000 + 1000 * i).astype(np.int16),
+            "channel": i + 1,
+            "read_number": i,
+            "calibration_offset": 3.0,
+            "calibration_scale": 0.18,
+        })
+    write_pod5(d / "test.pod5", reads)
+    return d, reads
+
+
+class TestPod5:
+    def test_roundtrip_signal(self, pod5_dir):
+        d, reads = pod5_dir
+        p5 = Pod5File(d / "test.pod5")
+        assert p5.num_reads() == 3
+        for r in reads:
+            sig = p5.get_signal(uuid.UUID(r["read_id"]).bytes)
+            assert np.array_equal(sig, r["signal"])
+
+    def test_get_reads(self, pod5_dir):
+        d, raw = pod5_dir
+        reads = list(get_reads(str(d)))
+        assert len(reads) == 3
+        ids = {r.read_id for r in reads}
+        assert ids == {r["read_id"] for r in raw}
+        for read, r in zip(sorted(reads, key=lambda x: x.read_id),
+                           sorted(raw, key=lambda x: x["read_id"])):
+            # pA scaling applied: scale * (adc + offset), then standardised
+            assert read.num_samples == len(r["signal"])
+            assert read.signal is not None
+            assert read.sample_rate == 5000
+            assert read.run_id == "run0"
+
+    def test_uncompressed_variant(self, tmp_path):
+        rng = np.random.default_rng(2)
+        r = {"read_id": str(uuid.UUID(int=9)),
+             "signal": rng.integers(0, 100, size=2000).astype(np.int16)}
+        write_pod5(tmp_path / "u.pod5", [r], compress=False)
+        p5 = Pod5File(tmp_path / "u.pod5")
+        assert np.array_equal(
+            p5.get_signal(uuid.UUID(r["read_id"]).bytes), r["signal"])
+
+    def test_reader_probe_prefers_pod5(self, pod5_dir):
+        from bonito_tpu.reader import Reader
+        d, _ = pod5_dir
+        reader = Reader(str(d))
+        assert reader.fmt == "pod5"
+        reads = list(reader.get_reads(str(d)))
+        assert len(reads) == 3
+
+    def test_bad_file_rejected(self, tmp_path):
+        bad = tmp_path / "bad.pod5"
+        bad.write_bytes(b"not a pod5 at all")
+        with pytest.raises(ValueError):
+            Pod5File(bad)
