@@ -11,12 +11,18 @@ search (koi.decode.beam_search, called at bonito/crf/basecall.py:36-44):
 so chunk stitching slices per-frame arrays and the host drops non-emitting
 frames when converting to strings.
 
-Decode semantics mirror the reference hac Viterbi path
-(bonito/crf/model.py:196-199): normalise scores to posteriors in the Log
-semiring, then run a Max-semiring pass over log-posteriors and take the
-best edge per frame. Per-base qualities are the posterior probability mass
-of the emitted base at that frame, calibrated by the model's qscore
-scale/bias config.
+Decode semantics follow the reference hac Viterbi path
+(bonito/crf/model.py:98-103,196-199): the MAP path through the CRF, with
+per-base qualities from the true posterior probability of the emitted base
+at that frame, calibrated by the model's qscore scale/bias.
+
+TPU-first implementation (HBM-bandwidth shaped): ONE forward scan reads the
+score tensor once and carries both the Log-semiring alpha (for posteriors)
+and the Max-semiring alpha with per-state argmax choices (for traceback);
+ONE backward scan reads the scores a second time, carrying Log beta and the
+traceback state, emitting per-frame move/base/posterior directly — nothing
+of shape [N, T, n_score] is ever materialised (the reference-style
+implementation kept for testing builds several such tensors).
 """
 
 from functools import partial
@@ -27,20 +33,130 @@ import numpy as np
 
 from bonito_tpu.crf.seqdist import Log, Max
 
+NEG = -1e30
+
 
 @partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias"))
 def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
-    """Raw scores [N, T, C] -> (sequence, qstring, moves) per-frame arrays."""
+    """Raw scores [N, T, C] -> {sequence, qstring, moves} per-frame arrays."""
+    nb = seqdist.n_base
+    S = seqdist.n_states
+    R = S // nb
+    N, T, C = scores.shape
+    # keep scores in their model dtype (bf16 halves the dominant HBM
+    # traffic); each scan step computes in f32
+    Ms = jnp.swapaxes(
+        scores.reshape(N, T, S, nb + 1), 0, 1)          # [T, N, S, nb+1]
+
+    # -- forward: Log alpha (stored bf16) + Max alpha with argmax choices --
+
+    a0 = jnp.zeros((N, S), jnp.float32)
+
+    def fwd_step(carry, Ms_t):
+        a_log, a_max = carry
+        Ms_t = Ms_t.astype(jnp.float32)
+        stay = Ms_t[..., 0]                              # [N, S]
+        moves = Ms_t[..., 1:].reshape(N, R, nb, nb)      # [N, r, b, j]
+
+        # Log semiring
+        am = jnp.swapaxes(a_log.reshape(N, nb, R), 1, 2)     # [N, r, j]
+        move_in = jax.nn.logsumexp(moves + am[:, :, None, :], axis=-1)
+        a_log_new = jnp.logaddexp(stay + a_log, move_in.reshape(N, S))
+
+        # Max semiring + choice
+        axm = jnp.swapaxes(a_max.reshape(N, nb, R), 1, 2)
+        cand = moves + axm[:, :, None, :]                # [N, r, b, j]
+        jbest = jnp.argmax(cand, axis=-1)                # [N, r, b]
+        mbest = jnp.take_along_axis(cand, jbest[..., None], axis=-1)[..., 0]
+        stay_in = stay + a_max
+        mbest = mbest.reshape(N, S)
+        jbest = jbest.reshape(N, S)
+        is_move = mbest > stay_in
+        a_max_new = jnp.where(is_move, mbest, stay_in)
+        choice = jnp.where(is_move, jbest + 1, 0).astype(jnp.uint8)
+
+        return (a_log_new, a_max_new), (a_log, choice)
+
+    (a_log_T, a_max_T), (alpha_stack, choices) = jax.lax.scan(
+        fwd_step, (a0, a0), Ms)
+
+    logZ = jax.nn.logsumexp(a_log_T, axis=-1)            # [N]
+    end_state = jnp.argmax(a_max_T, axis=-1).astype(jnp.int32)  # [N]
+
+    # -- backward: beta + traceback + per-frame emission ----------------------
+
+    b0 = jnp.zeros((N, S), jnp.float32)
+    narange = jnp.arange(N)
+
+    def bwd_step(carry, inp):
+        beta, state = carry                              # beta at t+1, s_{t+1}
+        Ms_t, a_log_t, choice_t = inp
+        Ms_t = Ms_t.astype(jnp.float32)
+        stay = Ms_t[..., 0]
+        moves = Ms_t[..., 1:].reshape(N, R, nb, nb)      # [N, r, b, j]
+
+        # traceback emission for frame t
+        c = choice_t[narange, state]                     # [N]
+        is_move = c != 0
+        base = (1 + state % nb).astype(jnp.uint8)
+        j = jnp.maximum(c.astype(jnp.int32) - 1, 0)
+        prev_state = jnp.where(is_move, state // nb + j * R, state)
+
+        # posterior mass of each emitted base b at frame t:
+        # LSE over (r, j) of alpha_t[j*R+r] + moves[r,b,j] + beta_{t+1}[r*nb+b]
+        am = jnp.swapaxes(a_log_t.reshape(N, nb, R), 1, 2)   # [N, r, j]
+        bm = beta.reshape(N, R, nb)                          # [N, r, b]
+        edge = moves + am[:, :, None, :] + bm[..., None]     # [N, r, b, j]
+        base_logp = jax.nn.logsumexp(edge, axis=(1, 3))      # [N, b]
+
+        # beta update to time t
+        move_out = jax.nn.logsumexp(moves + bm[..., None], axis=2)  # [N,r,j]
+        move_out = jnp.swapaxes(move_out, 1, 2).reshape(N, S)
+        beta_t = jnp.logaddexp(stay + beta, move_out)
+
+        return (beta_t, prev_state), (is_move, base, base_logp)
+
+    (_, _), (is_move, base, base_logp) = jax.lax.scan(
+        bwd_step, (b0, end_state), (Ms, alpha_stack, choices), reverse=True)
+
+    # [T, N, ...] -> [N, T, ...]
+    is_move = jnp.swapaxes(is_move, 0, 1)
+    base = jnp.swapaxes(base, 0, 1)
+    base_logp = jnp.swapaxes(base_logp, 0, 1)            # [N, T, nb]
+
+    chosen = jnp.take_along_axis(
+        base_logp, jnp.maximum(base.astype(jnp.int32) - 1, 0)[..., None],
+        axis=-1)[..., 0]
+    prob = jnp.exp(chosen - logZ[:, None])
+
+    err = jnp.clip(1.0 - prob, 1e-4, 1.0)
+    q = -10.0 * jnp.log10(err) * qscale + qbias
+    qchar = (jnp.round(q) + 33.0).astype(jnp.uint8)
+
+    sequence = jnp.where(is_move, base, 0).astype(jnp.uint8)
+    qstring = jnp.where(is_move, qchar, 0).astype(jnp.uint8)
+    return {
+        "sequence": sequence,
+        "qstring": qstring,
+        "moves": is_move.astype(jnp.uint8),
+    }
+
+
+@partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias"))
+def viterbi_decode_reference(seqdist, scores, qscale=1.0, qbias=0.0):
+    """Slow reference implementation via full posterior tensors (kept to
+    validate the fused kernel). Note: runs Viterbi on raw scores (the MAP
+    path, matching koi's decode); the reference's decode_batch variant adds
+    +1e-8 smoothing in posterior space (bonito/crf/model.py:196-199), which
+    SeqdistModel.decode_batch reproduces."""
     scores = scores.astype(jnp.float32)
     post = seqdist.posteriors(scores, Log)           # [N, T, C] probabilities
-    path = seqdist.viterbi(jnp.log(post + 1e-8))     # [N, T] 0=stay, 1..nb=base
+    path = seqdist.viterbi(scores)                   # [N, T] 0=stay, 1..nb
 
     nb = seqdist.n_base
     S = seqdist.n_states
     N, T, C = post.shape
 
-    # probability that base b is emitted at frame t: sum of move-edge
-    # posteriors whose new state's newest digit is b
     move_post = post.reshape(N, T, S // nb, nb, nb + 1)[..., 1:]
     base_probs = move_post.sum(axis=(2, 4))          # [N, T, nb]
 
@@ -49,7 +165,7 @@ def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
         base_probs, jnp.maximum(path - 1, 0)[..., None], axis=-1
     )[..., 0]
 
-    err = jnp.maximum(1.0 - chosen, 1e-4)
+    err = jnp.clip(1.0 - chosen, 1e-4, 1.0)
     q = -10.0 * jnp.log10(err) * qscale + qbias
     qchar = (jnp.round(q) + 33.0).astype(jnp.uint8)
 
@@ -67,9 +183,9 @@ def beam_search(seqdist, scores, beam_width=32, beam_cut=100.0, scale=1.0,
     """
     Fixed-width CRF beam search (koi.decode.beam_search equivalent).
 
-    Round-1 implementation delegates to Viterbi decoding (the exact-MAP
-    path), which the fixed-width beam approximates; a vectorised on-device
-    beam with per-beam qstring semantics is planned (see ops/beam_pallas).
+    Currently delegates to fused Viterbi decoding (the exact-MAP path,
+    which the fixed-width beam approximates); a vectorised on-device beam
+    with per-beam qstring semantics is planned.
     """
     return viterbi_decode(seqdist, scores, qscale=qscale, qbias=qbias)
 

@@ -1,0 +1,69 @@
+"""LSTM: scan reference vs torch, and the Pallas kernel (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bonito_tpu.ops.lstm import lstm_scan
+
+
+def _params(key, C, H):
+    k1, k2, k3 = jax.random.split(key, 3)
+    w_ih = jax.random.normal(k1, (C, 4 * H)) * 0.1
+    w_hh = jax.random.normal(k2, (H, 4 * H)) * 0.1
+    b = jax.random.normal(k3, (4 * H,)) * 0.1
+    return w_ih, w_hh, b
+
+
+class TestLSTMScan:
+    def test_matches_torch(self):
+        import torch
+        C = H = 32
+        N, T = 3, 17
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(0), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(1), (N, T, C))
+
+        ours = lstm_scan(x, w_ih, w_hh, b)
+
+        rnn = torch.nn.LSTM(C, H, batch_first=True)
+        sd = rnn.state_dict()
+        sd["weight_ih_l0"] = torch.tensor(np.asarray(w_ih).T)
+        sd["weight_hh_l0"] = torch.tensor(np.asarray(w_hh).T)
+        sd["bias_ih_l0"] = torch.tensor(np.asarray(b))
+        sd["bias_hh_l0"] = torch.zeros(4 * H)
+        rnn.load_state_dict(sd)
+        with torch.no_grad():
+            theirs, _ = rnn(torch.tensor(np.asarray(x)))
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy(), rtol=1e-5, atol=1e-5)
+
+    def test_reverse(self):
+        C = H = 16
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(0), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, C))
+        fwd_flip = lstm_scan(jnp.flip(x, 1), w_ih, w_hh, b)
+        rev = lstm_scan(x, w_ih, w_hh, b, reverse=True)
+        np.testing.assert_allclose(
+            np.asarray(rev), np.asarray(jnp.flip(fwd_flip, 1)),
+            rtol=1e-6, atol=1e-6)
+
+
+class TestLSTMPallas:
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_matches_scan_interpret(self, reverse):
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas
+        C = H = 128
+        N, T = 8, 12
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(2), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(3), (N, T, C))
+        ref = lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
+        out = lstm_pallas(x, w_ih, w_hh, b, reverse=reverse, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_supported_gate(self):
+        from bonito_tpu.ops.lstm_pallas import supported
+        x = jnp.zeros((96, 100, 1024), jnp.bfloat16)
+        assert supported(x, jnp.zeros((1024, 4096), jnp.bfloat16))
+        assert not supported(x, jnp.zeros((96, 384), jnp.bfloat16))  # H%128
