@@ -33,8 +33,16 @@ def stitch_results(results, length, size, overlap, stride, reverse=False):
     return stitch(results, size, overlap, length, stride, reverse=reverse)
 
 
-def make_compute_fn(model, batchsize, chunksize, reverse=False):
-    """Build the jitted device step: signal batch -> decoded frame arrays."""
+def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None):
+    """
+    Build the jitted device step: signal batch -> decoded frame arrays.
+
+    With a mesh, the batch dimension is sharded over the mesh's ``data``
+    axis (params replicated) so one step drives every local chip; reads
+    are embarrassingly parallel so no collectives are needed beyond what
+    GSPMD inserts (SURVEY.md §5: multi-chip inference = data parallelism
+    over chunks).
+    """
     qcfg = getattr(model, "config", {}).get("qscore", {}) if hasattr(model, "config") else {}
     qscale = float(qcfg.get("scale", 1.0))
     qbias = float(qcfg.get("bias", 0.0))
@@ -51,22 +59,40 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False):
             qscale=qscale, qbias=qbias,
         )
 
+    if mesh is not None:
+        from bonito_tpu import parallel
+        batch_sharding = parallel.batch_sharding(mesh)
+        params = jax.device_put(
+            model.params, parallel.replicated(mesh))
+    else:
+        batch_sharding = None
+        params = model.params
+
     def compute(batch):
         n = batch.shape[0]
         if n < batchsize:
             batch = np.concatenate(
                 [batch, np.zeros((batchsize - n, *batch.shape[1:]), batch.dtype)])
-        x = jnp.asarray(batch[..., None])
-        out = step(model.params, x)
+        x = batch[..., None]
+        x = (jax.device_put(x, batch_sharding) if batch_sharding is not None
+             else jnp.asarray(x))
+        out = step(params, x)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     return compute
 
 
 def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
-             reverse=False, rna=False):
+             reverse=False, rna=False, mesh=None):
     """Basecall a stream of reads; yields (read, result-dict) pairs."""
-    compute = make_compute_fn(model, batchsize, chunksize, reverse=reverse)
+    if mesh is None and jax.device_count() > 1:
+        from bonito_tpu import parallel
+        mesh = parallel.make_mesh()
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        batchsize = max(batchsize - batchsize % n_data, n_data)
+    compute = make_compute_fn(model, batchsize, chunksize, reverse=reverse,
+                              mesh=mesh)
 
     chunks = thread_iter(
         ((read, 0, read.signal.shape[-1]),

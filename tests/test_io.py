@@ -1,0 +1,113 @@
+"""Output layer: sam records, tags, BAM binary encoding, CSV logger,
+summary rows, phred round-trips."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from bonito_tpu import io as bio
+from bonito_tpu.bam import BAMWriter, _encode_tag, _encode_seq, _reg2bin
+from bonito_tpu.util import mean_qscore_from_qstring, phred_array
+
+
+class TestSamPrimitives:
+    def test_unmapped_record(self):
+        rec = bio.sam_record("r1", "ACGT", "IIII")
+        fields = rec.split("\t")
+        assert fields[0] == "r1"
+        assert fields[1] == "4"
+        assert fields[9] == "ACGT"
+        assert fields[10] == "IIII"
+
+    def test_encode_moves(self):
+        s = bio.encode_moves(np.array([0, 1, 0, 1, 1], dtype=np.int8), 5)
+        assert s == "5,0,1,0,1,1"
+
+    def test_header_contains_rg_and_sq(self):
+        hdr = bio.sam_header(groups=["@RG\tID:x"], sq=[("chr1", 100)])
+        assert "@SQ\tSN:chr1\tLN:100" in hdr
+        assert "@RG\tID:x" in hdr
+        assert hdr.startswith("@HD")
+
+
+class TestBamEncoding:
+    def test_tag_encoding(self):
+        assert _encode_tag("NM:i:5") == b"NMi" + struct.pack("<i", 5)
+        assert _encode_tag("qs:f:1.5") == b"qsf" + struct.pack("<f", 1.5)
+        assert _encode_tag("RG:Z:grp") == b"RGZgrp\x00"
+        b = _encode_tag("mv:B:c,5,0,1")
+        assert b.startswith(b"mvBc")
+        assert struct.unpack("<i", b[4:8])[0] == 3
+
+    def test_seq_packing(self):
+        packed = _encode_seq("ACGT")
+        # A=1, C=2, G=4, T=8 in nt16
+        assert packed == bytes([0x12, 0x48])
+        assert _encode_seq("A") == bytes([0x10])
+
+    def test_reg2bin_matches_spec_examples(self):
+        assert _reg2bin(0, 1) == 4681
+        assert _reg2bin(0, 1 << 14) == 4681
+        assert _reg2bin(1 << 14, (1 << 14) + 1) == 4682
+
+    def test_bgzf_eof_and_roundtrip(self, tmp_path):
+        path = tmp_path / "t.bam"
+        with open(path, "wb") as fd:
+            w = BAMWriter(fd, "@HD\tVN:1.5\n", [("c", 9)])
+            w.write("q", "ACG", "III")
+            w.close()
+        raw = path.read_bytes()
+        assert raw.endswith(bytes.fromhex(
+            "1f8b08040000000000ff0600424302001b0003000000000000000000"))
+        data = gzip.decompress(raw)
+        assert data[:4] == b"BAM\x01"
+
+
+class TestCSVLogger:
+    def test_append_and_reopen(self, tmp_path):
+        path = tmp_path / "log.csv"
+        with bio.CSVLogger(path) as log:
+            log.append({"a": 1, "b": 2})
+        with bio.CSVLogger(path) as log:
+            log.append({"a": 3, "b": 4, "c": 5})  # extra col dropped
+        lines = path.read_text().strip().split("\n")
+        assert lines[0] == "a,b"
+        assert lines[1:] == ["1,2", "3,4"]
+
+
+class TestSummary:
+    def test_unaligned_row(self):
+        class R:
+            read_id = "x"
+            sample_rate = 1000
+            start = 1.0
+            num_samples = 5000
+            trimmed_samples = 100
+            filename = "f.pod5"
+            run_id = "run"
+            channel = 3
+            mux = 2
+        row = bio.summary_row(R(), 120, 12.5)
+        assert row["read_id"] == "x"
+        assert row["duration"] == 5.0
+        assert row["template_start"] == 1.1
+        assert row["sequence_length_template"] == 120
+
+    def test_typical_indices_filters_outliers(self):
+        x = np.concatenate([np.full(100, 50.0), [1000.0]])
+        idx = bio.typical_indices(x)
+        assert 100 not in idx
+
+
+class TestQscoreMath:
+    def test_phred_roundtrip(self):
+        probs = np.array([0.9, 0.99, 0.999])
+        codes = phred_array(probs)
+        qs = codes.astype(np.int32) - 33
+        np.testing.assert_array_equal(qs, [10, 20, 30])
+
+    def test_mean_qscore(self):
+        assert abs(mean_qscore_from_qstring("++") - 10.0) < 1e-3
+        assert mean_qscore_from_qstring("") == 0.0
