@@ -63,17 +63,21 @@ def basecall(model, reads, beamsize=5, chunksize=0, overlap=0, batchsize=1,
 
 def decode(scores, decode_fn, beamsize=5, qscores=False, stride=1):
     """Scores -> sequence/qstring (reference: bonito/ctc/basecall.py:43-61)."""
+    n_frames = len(scores["scores"])
     seq, path = decode_fn(scores["scores"], beamsize=1, qscores=True,
                           return_path=True)
     seq, qstring = seq[:len(path)], seq[len(path):]
     mean_qscore = mean_qscore_from_qstring(qstring)
 
+    moves = np.zeros(n_frames, np.uint8)
+    moves[np.asarray(path, np.int64)] = 1
+
     if not (qscores or beamsize == 1):
         try:
             seq = decode_fn(scores["scores"], beamsize=beamsize)
-            path = None
+            moves = None
             qstring = "*"
         except Exception:
             pass
     return {"sequence": seq, "qstring": qstring, "stride": stride,
-            "moves": path, "mean_qscore": mean_qscore}
+            "moves": moves, "mean_qscore": mean_qscore}

@@ -1,0 +1,108 @@
+"""Host CTC decoders (greedy + prefix beam) and the conv-CTC model family."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bonito_tpu.ops.ctc_decode import beam_search_ctc, greedy_ctc
+
+ALPHABET = "NACGT"
+
+
+def probs_for_labels(labels, C=5, peak=0.9):
+    """[T, C] posteriors with a strong peak at each frame's label."""
+    T = len(labels)
+    p = np.full((T, C), (1 - peak) / (C - 1), np.float32)
+    p[np.arange(T), labels] = peak
+    return p
+
+
+class TestGreedy:
+    def test_collapse(self):
+        labels = [0, 1, 1, 0, 2, 2, 3, 0, 0, 4, 4]
+        seq, path = greedy_ctc(probs_for_labels(labels), ALPHABET)
+        assert seq == "ACGT"
+        np.testing.assert_array_equal(path, [1, 4, 6, 9])
+
+    def test_repeat_needs_blank(self):
+        labels = [1, 1, 0, 1]
+        seq, _ = greedy_ctc(probs_for_labels(labels), ALPHABET)
+        assert seq == "AA"
+
+    def test_qscores_appended(self):
+        labels = [0, 1, 0, 2]
+        out, path = greedy_ctc(probs_for_labels(labels), ALPHABET,
+                               qscores=True)
+        assert out[:2] == "AC"
+        assert len(out) == 4  # 2 bases + 2 qchars
+        assert all(ord(c) >= 33 for c in out[2:])
+
+    def test_empty(self):
+        seq, path = greedy_ctc(probs_for_labels([0, 0, 0]), ALPHABET)
+        assert seq == ""
+        assert len(path) == 0
+
+
+class TestBeam:
+    def test_agrees_with_greedy_on_confident_input(self):
+        labels = [0, 1, 0, 2, 2, 0, 3, 4, 0, 1]
+        p = probs_for_labels(labels, peak=0.95)
+        g, _ = greedy_ctc(p, ALPHABET)
+        b, path = beam_search_ctc(p, ALPHABET, beamsize=5)
+        assert b == g
+        assert len(path) == len(b)
+
+    def test_beam_sums_paths(self):
+        """Classic case where beam beats greedy: mass split across two
+        alignments of the same sequence."""
+        # frame0: blank .55 / A .45 ; frame1: A .55 / blank .45
+        p = np.array([
+            [0.55, 0.45, 0.0, 0.0, 0.0],
+            [0.45, 0.55, 0.0, 0.0, 0.0],
+        ], np.float32)
+        b, _ = beam_search_ctc(p, ALPHABET, beamsize=4, threshold=0.0)
+        # P("A") = .55*.55 + .45*.55 + .55*.45 = 0.7975 > P("") = .2475
+        assert b == "A"
+        g, _ = greedy_ctc(p, ALPHABET)
+        assert g == "A"  # greedy also finds it here, but via one path
+
+    def test_beamsize_one_matches_greedy(self):
+        rng = np.random.default_rng(0)
+        p = rng.dirichlet(np.ones(5), size=30).astype(np.float32)
+        g, _ = greedy_ctc(p, ALPHABET)
+        b, _ = beam_search_ctc(p, ALPHABET, beamsize=1, threshold=0.0)
+        assert b == g or len(b) >= len(g) - 1  # ties can differ slightly
+
+
+class TestConvCTCModel:
+    @pytest.fixture(scope="class")
+    def model(self):
+        from bonito_tpu.ctc.model import Model
+        from bonito_tpu.models import conv_ctc_config
+        cfg = conv_ctc_config()
+        # shrink for test speed
+        for b in cfg["block"]:
+            b["filters"] = max(16, b["filters"] // 16)
+            b["repeat"] = min(b["repeat"], 2)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(0))
+        return m
+
+    def test_forward_and_decode(self, model):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 600, 1))
+        logp = model.forward(x)
+        assert logp.shape[0] == 2 and logp.shape[2] == 5
+        # log-softmax rows normalise
+        np.testing.assert_allclose(
+            np.exp(np.asarray(logp)).sum(-1), 1.0, rtol=1e-4)
+        seq = model.decode(np.asarray(logp)[0], beamsize=1)
+        assert isinstance(seq, str)
+
+    def test_loss_runs(self, model):
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 600, 1))
+        logp = model.forward(x)
+        targets = jnp.asarray(
+            np.random.default_rng(0).integers(1, 5, (2, 30)), jnp.int32)
+        losses = model.loss(logp, targets, jnp.array([30, 30]))
+        assert np.isfinite(float(losses["total_loss"]))

@@ -1,0 +1,109 @@
+"""Trainer: loss decreases on a learnable toy problem, checkpoints/resume,
+LR schedules, grad clipping."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bonito_tpu import schedule as sched
+
+
+class TestSchedules:
+    def test_linear_warmup_cosine_decay(self):
+        fn = sched.linear_warmup_cosine_decay(
+            end_ratio=0.1, warmup_steps=10)(steps_per_epoch=50, epochs=2)
+        assert fn(0) < 0.2
+        assert abs(fn(10) - 1.0) < 0.05
+        assert abs(fn(100) - 0.1) < 0.01
+        # monotone decay after warmup
+        vals = [fn(s) for s in range(10, 100, 10)]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    def test_inverse_sqrt_schedule(self):
+        fn = sched.linear_warmup_const_inverse_sqrt_decay(
+            warmup_steps=5, decay_start_epoch=1)(steps_per_epoch=10, epochs=4)
+        assert fn(0) == 0.0
+        assert abs(fn(5) - 1.0) < 0.01
+        assert abs(fn(9) - 1.0) < 0.01
+        assert fn(39) < 1.0
+
+    def test_linear_cooldown(self):
+        fn = sched.linear_cooldown(end_ratio=0.0)(steps_per_epoch=10, epochs=1)
+        assert abs(fn(0) - 1.0) < 1e-6
+        assert fn(10) < 1e-6
+
+    def test_resume_offset(self):
+        build = sched.linear_warmup_cosine_decay(warmup_steps=0)
+        fresh = build(10, 10, last_epoch=0)
+        resumed = build(10, 10, last_epoch=5)
+        assert abs(resumed(0) - fresh(50)) < 1e-9
+
+
+class TestClipGrad:
+    def test_quantile_buffer(self):
+        from bonito_tpu.training import ClipGrad
+        clip = ClipGrad(quantile=0.5, factor=2.0, buffer_size=10)
+        assert clip.max_norm() == pytest.approx(2e6)
+        for _ in range(10):
+            clip.update(1.0)
+        assert clip.max_norm() == pytest.approx(2.0)
+        clip.update(float("nan"))  # ignored
+        assert clip.max_norm() == pytest.approx(2.0)
+
+
+class TestTrainerFit:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        """Tiny CRF model + synthetic dataset where signal encodes the
+        target (learnable)."""
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        from bonito_tpu.data import ChunkDataSet, NumpyBatchLoader
+
+        cfg = lstm_crf_config(features=48, num_layers=1, state_len=1,
+                              stride=5, clamp=None)
+        model = Model(cfg)
+        model.init(jax.random.PRNGKey(0))
+
+        rng = np.random.default_rng(0)
+        N, T = 32, 200
+        L = T // 5 - 2
+        targets = rng.integers(1, 5, size=(N, L)).astype(np.int32)
+        # signal: one 5-sample level per target base
+        levels = np.array([-1.5, -0.5, 0.5, 1.5], np.float32)
+        sig = levels[np.repeat(targets - 1, 5, axis=1)]
+        sig = np.pad(sig, ((0, 0), (0, T - sig.shape[1])))
+        sig += 0.05 * rng.normal(size=sig.shape).astype(np.float32)
+
+        train = ChunkDataSet(sig[:24], targets[:24], np.full(24, L))
+        valid = ChunkDataSet(sig[24:], targets[24:], np.full(8, L))
+        return model, train, valid
+
+    def test_fit_learns_and_checkpoints(self, setup, tmp_path):
+        from bonito_tpu.data import NumpyBatchLoader
+        from bonito_tpu.training import Trainer, load_state
+
+        model, train, valid = setup
+        trainer = Trainer(
+            model,
+            NumpyBatchLoader(train, 8, seed=1),
+            NumpyBatchLoader(valid, 8, shuffle=False, drop_last=False),
+            use_amp=False, quantile_grad_clip=True,
+            chunks_per_epoch=24, batch_size=8,
+        )
+        trainer.fit(tmp_path, epochs=3, lr=5e-3)
+
+        assert (tmp_path / "weights_3.npz").exists()
+        assert (tmp_path / "training.csv").exists()
+        assert (tmp_path / "losses_1.csv").exists()
+
+        rows = (tmp_path / "training.csv").read_text().strip().split("\n")
+        header = rows[0].split(",")
+        first = dict(zip(header, rows[1].split(",")))
+        last = dict(zip(header, rows[-1].split(",")))
+        assert float(last["train_loss"]) < float(first["train_loss"])
+
+        # resume picks the latest epoch
+        epoch, _ = load_state(tmp_path, model)
+        assert epoch == 3
