@@ -36,9 +36,22 @@ from bonito_tpu.crf.seqdist import Log, Max
 NEG = -1e30
 
 
-@partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias"))
 def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
-    """Raw scores [N, T, C] -> {sequence, qstring, moves} per-frame arrays."""
+    """Raw scores [N, T, C] -> {sequence, qstring, moves} per-frame arrays.
+    Dispatches to the Pallas kernels when shapes allow, else the lax.scan
+    implementation."""
+    import os
+    if not os.environ.get("BONITO_TPU_NO_PALLAS"):
+        from bonito_tpu.ops import decode_pallas
+        if decode_pallas.supported(seqdist, scores):
+            return decode_pallas.viterbi_decode_pallas(
+                seqdist, scores, qscale=qscale, qbias=qbias)
+    return viterbi_decode_scan(seqdist, scores, qscale=qscale, qbias=qbias)
+
+
+@partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias"))
+def viterbi_decode_scan(seqdist, scores, qscale=1.0, qbias=0.0):
+    """lax.scan implementation of the fused two-pass decode."""
     nb = seqdist.n_base
     S = seqdist.n_states
     R = S // nb

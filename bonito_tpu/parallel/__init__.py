@@ -104,3 +104,44 @@ def shard_params(params, shardings):
 
 def mesh_context(mesh):
     return mesh if mesh is not None else nullcontext()
+
+
+# ---------------------------------------------------------------------------
+# multi-host
+# ---------------------------------------------------------------------------
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """
+    Initialise multi-host JAX (ICI within a slice, DCN across hosts).
+
+    With no arguments, TPU pod environments auto-discover topology. After
+    this, `jax.devices()` spans all hosts and `make_mesh` builds a global
+    mesh; each host only feeds/fetches its `jax.local_devices()` shard
+    (per-host readers, host-local writers — SURVEY.md §5).
+    """
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
+def host_shard(read_ids, process_id=None, process_count=None):
+    """
+    Deterministic read->host assignment for per-host pod5/fast5 readers:
+    each host basecalls the reads hashed to it, so no signal ever crosses
+    DCN; only the final per-host BAM shards are merged (or written as
+    per-host files, the usual pattern).
+    """
+    import zlib
+    import jax
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if process_count is None else process_count
+    return {rid for rid in read_ids
+            if zlib.crc32(rid.encode()) % n == pid}
