@@ -28,7 +28,7 @@ def main():
     from __graft_entry__ import _build_model
     from bonito_tpu.ops.decode import viterbi_decode
 
-    batchsize = int(os.environ.get("BENCH_BATCH", 96))
+    batchsize = int(os.environ.get("BENCH_BATCH", 128))
     chunksize = int(os.environ.get("BENCH_CHUNK", 9996))
     iters = int(os.environ.get("BENCH_ITERS", 8))
 

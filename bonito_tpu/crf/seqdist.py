@@ -132,7 +132,19 @@ class CTC_CRF:
         return jnp.swapaxes(beta, 0, 1)
 
     def logZ(self, scores, S: Semiring = Log):
-        """Partition function [N] (flat alpha_0 / beta_T as in the reference)."""
+        """Partition function [N] (flat alpha_0 / beta_T as in the reference).
+        Log-semiring dispatches to the Pallas kernel (with its posterior
+        custom-VJP) when shapes allow."""
+        import os
+        if S is Log and not os.environ.get("BONITO_TPU_NO_PALLAS"):
+            from bonito_tpu.ops import logz_pallas
+            if logz_pallas.supported(self, scores):
+                return logz_pallas.logZ_pallas(
+                    self, scores.astype(jnp.float32))
+        return self.logZ_scan(scores, S)
+
+    def logZ_scan(self, scores, S: Semiring = Log):
+        """lax.scan reference implementation of logZ."""
         Ms = jnp.swapaxes(self._reshape(scores), 0, 1)
         N = Ms.shape[1]
         a0 = jnp.full((N, self.n_states), S.one, jnp.float32)

@@ -140,12 +140,18 @@ def _bwd_kernel(nb, R, stay_ref, moves_ref, alpha_ref, choice_ref, end_ref,
     beta_ref[...] = _lse(stay + beta, move_lse.reshape(S, N))
 
 
-def supported(seqdist, scores):
+def on_tpu():
+    return jax.default_backend() == "tpu"
+
+
+def supported(seqdist, scores, require_tpu=True):
     N, T, C = scores.shape
     S = seqdist.n_states
+    R = S // max(seqdist.n_base, 1)
     return (
-        seqdist.n_base == 4 and S % 128 == 0 and N % 8 == 0
+        seqdist.n_base == 4 and S % 8 == 0 and R % 8 == 0 and N % 8 == 0
         and C == S * (seqdist.n_base + 1)
+        and (on_tpu() or not require_tpu)
     )
 
 

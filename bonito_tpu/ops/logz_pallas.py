@@ -1,0 +1,184 @@
+"""
+Pallas CRF partition function with a custom VJP for training.
+
+Forward: the same batch-minor Log-semiring alpha recursion as the decode
+kernel (ops/decode_pallas.py), emitting the alpha checkpoints needed by
+the backward pass and the final alpha for logZ.
+
+Backward: d logZ / d score(edge e at t) = p(edge e used | x), i.e. the
+edge posterior exp(alpha_t[pred] + M + beta_{t+1}[succ] - logZ) — so the
+VJP streams beta backwards and emits the gradient slabs directly, giving
+the CRF loss (reference role: koi's logZ_cu_sparse fwd/bwd scans,
+bonito/crf/model.py:47-55,126-139) Pallas speed in both directions.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lse(a, b):
+    big = jnp.maximum(a, b)
+    return big + jnp.log(jnp.exp(a - big) + jnp.exp(b - big))
+
+
+def _fwd_kernel(nb, R, stay_ref, moves_ref, alpha_out, alog_out, alog_ref):
+    t = pl.program_id(0)
+    S, N = alog_ref.shape
+
+    @pl.when(t == 0)
+    def _():
+        alog_ref[...] = jnp.zeros_like(alog_ref)
+
+    a_log = alog_ref[...]
+    alpha_out[0] = a_log
+
+    stay = stay_ref[0].astype(jnp.float32)
+    moves = moves_ref[0].astype(jnp.float32).reshape(nb, nb, R, N)
+
+    a_view = a_log.reshape(nb, R, N)                     # [j, r, N]
+    cand = moves + a_view[None]                          # [b, j, r, N]
+    m = jnp.max(cand, axis=1)
+    move_in = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None]), axis=1))
+    move_in = jnp.swapaxes(move_in, 0, 1).reshape(S, N)
+    alog_ref[...] = _lse(stay + a_log, move_in)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        alog_out[...] = alog_ref[...]
+
+
+def _bwd_kernel(nb, R, stay_ref, moves_ref, alpha_ref, gz_ref,
+                gstay_out, gmoves_out, beta_ref):
+    t = pl.program_id(0)
+    S, N = beta_ref.shape
+
+    @pl.when(t == 0)
+    def _():
+        beta_ref[...] = jnp.zeros_like(beta_ref)
+
+    beta = beta_ref[...]
+    stay = stay_ref[0].astype(jnp.float32)
+    moves = moves_ref[0].astype(jnp.float32).reshape(nb, nb, R, N)
+    a_log = alpha_ref[0]
+    gz = gz_ref[...]                                     # [8, N]; row0 = g*?
+
+    # gz rows: 0 = cotangent g, 1 = logZ
+    scale = gz[0]
+    logZ = gz[1]
+
+    # edge posteriors * g
+    gstay_out[0] = jnp.exp(a_log + stay + beta - logZ[None]) * scale[None]
+
+    a_view = a_log.reshape(nb, R, N)                     # [j, r, N]
+    b_view = jnp.swapaxes(beta.reshape(R, nb, N), 0, 1)  # [b, r, N]
+    edge = moves + a_view[None] + b_view[:, None]        # [b, j, r, N]
+    gmoves = jnp.exp(edge - logZ[None, None, None]) * scale[None, None, None]
+    gmoves_out[0] = gmoves.reshape(nb * nb, R, N)
+
+    # beta update: new beta[p=j*R+r]
+    move_out = moves + b_view[:, None]
+    mm = jnp.max(move_out, axis=0)
+    move_lse = mm + jnp.log(jnp.sum(jnp.exp(move_out - mm[None]), axis=0))
+    beta_ref[...] = _lse(stay + beta, move_lse.reshape(S, N))
+
+
+def supported(seqdist, scores, require_tpu=True):
+    from bonito_tpu.ops.decode_pallas import supported as _sup
+    return _sup(seqdist, scores, require_tpu=require_tpu)
+
+
+def _split(seqdist, scores):
+    nb, S = seqdist.n_base, seqdist.n_states
+    R = S // nb
+    N, T, C = scores.shape
+    ms = scores.reshape(N, T, S, nb + 1)
+    stay = ms[..., 0].transpose(1, 2, 0)
+    moves = ms.reshape(N, T, R, nb, nb + 1)[..., 1:]
+    moves = moves.transpose(1, 3, 4, 2, 0).reshape(T, nb * nb, R, N)
+    return stay, moves
+
+
+def _run_fwd(seqdist, stay, moves, interpret):
+    nb, S = seqdist.n_base, seqdist.n_states
+    R = S // nb
+    T, _, N = stay.shape
+    alpha, alog_T = pl.pallas_call(
+        partial(_fwd_kernel, nb, R),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, nb * nb, R, N), lambda t: (t, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
+            pl.BlockSpec((S, N), lambda t: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, N), jnp.float32),
+            jax.ShapeDtypeStruct((S, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+        interpret=interpret,
+    )(stay, moves)
+    return alpha, jax.nn.logsumexp(alog_T, axis=0)       # [N]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def logZ_pallas(seqdist, scores, interpret=False):
+    """logZ [N] for scores [N, T, C] via the Pallas scan."""
+    stay, moves = _split(seqdist, scores)
+    _, logZ = _run_fwd(seqdist, stay, moves, interpret)
+    return logZ
+
+
+def _logZ_fwd(seqdist, scores, interpret):
+    stay, moves = _split(seqdist, scores)
+    alpha, logZ = _run_fwd(seqdist, stay, moves, interpret)
+    return logZ, (stay, moves, alpha, logZ)
+
+
+def _logZ_bwd(seqdist, interpret, res, g):
+    stay, moves, alpha, logZ = res
+    nb, S = seqdist.n_base, seqdist.n_states
+    R = S // nb
+    T, _, N = stay.shape
+
+    gz = jnp.stack([g.astype(jnp.float32), logZ], axis=0)        # [2, N]
+    gz = jnp.concatenate([gz, jnp.zeros((6, N), jnp.float32)], axis=0)
+
+    gstay, gmoves = pl.pallas_call(
+        partial(_bwd_kernel, nb, R),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, S, N), lambda t: (T - 1 - t, 0, 0)),
+            pl.BlockSpec((1, nb * nb, R, N), lambda t: (T - 1 - t, 0, 0, 0)),
+            pl.BlockSpec((1, S, N), lambda t: (T - 1 - t, 0, 0)),
+            pl.BlockSpec((8, N), lambda t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, N), lambda t: (T - 1 - t, 0, 0)),
+            pl.BlockSpec((1, nb * nb, R, N), lambda t: (T - 1 - t, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, N), jnp.float32),
+            jax.ShapeDtypeStruct((T, nb * nb, R, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+        interpret=interpret,
+    )(stay, moves, alpha, gz)
+
+    # reassemble [N, T, C] cotangent
+    gstay = gstay.transpose(2, 0, 1)                     # [N, T, S]
+    gmoves = gmoves.reshape(T, nb, nb, R, N).transpose(4, 0, 3, 1, 2)
+    # [N, T, r, b, j] -> moves slots of [N, T, S, nb+1]
+    grad = jnp.concatenate([
+        gstay.reshape(N, T, S, 1),
+        gmoves.reshape(N, T, S, nb)], axis=-1)
+    return (grad.reshape(N, T, S * (nb + 1)),)
+
+
+logZ_pallas.defvjp(_logZ_fwd, _logZ_bwd)

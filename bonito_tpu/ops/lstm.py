@@ -66,7 +66,7 @@ def lstm(x, w_ih, w_hh, b, reverse=False):
         return lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
     try:
         from bonito_tpu.ops.lstm_pallas import lstm_pallas, supported
-        if supported(x, w_hh):
+        if supported(x, w_hh):  # includes TPU-backend gate
             return lstm_pallas(x, w_ih, w_hh, b, reverse=reverse)
     except ImportError:
         pass

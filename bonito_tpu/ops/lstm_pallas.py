@@ -87,9 +87,11 @@ def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False):
     return jnp.swapaxes(out, 0, 1)
 
 
-def supported(x, w_hh):
+def supported(x, w_hh, require_tpu=True):
     """Shape gate for the fused kernel: lane-aligned hidden size and a
     VMEM budget that fits W_hh + stream buffers."""
+    if require_tpu and jax.default_backend() != "tpu":
+        return False
     N, T, C = x.shape
     H = w_hh.shape[0]
     if H % 128 != 0 or H * 4 % 128 != 0:

@@ -20,9 +20,12 @@ def seqdist():
 class TestPallasDecode:
     def test_supported_gate(self, seqdist):
         ok = jnp.zeros((8, 10, seqdist.n_score()))
-        assert supported(seqdist, ok)
-        assert not supported(CTC_CRF(2, "NACGT"), jnp.zeros((8, 10, 80)))
-        assert not supported(seqdist, jnp.zeros((7, 10, seqdist.n_score())))
+        assert supported(seqdist, ok, require_tpu=False)
+        assert not supported(CTC_CRF(2, "NACGT"), jnp.zeros((8, 10, 80)),
+                             require_tpu=False)
+        assert not supported(seqdist, jnp.zeros((7, 10, seqdist.n_score())),
+                             require_tpu=False)
+        assert not supported(seqdist, ok)  # CPU backend in tests
 
     def test_matches_scan(self, seqdist):
         key = jax.random.PRNGKey(0)

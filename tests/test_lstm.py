@@ -65,5 +65,8 @@ class TestLSTMPallas:
     def test_supported_gate(self):
         from bonito_tpu.ops.lstm_pallas import supported
         x = jnp.zeros((96, 100, 1024), jnp.bfloat16)
-        assert supported(x, jnp.zeros((1024, 4096), jnp.bfloat16))
-        assert not supported(x, jnp.zeros((96, 384), jnp.bfloat16))  # H%128
+        assert supported(x, jnp.zeros((1024, 4096), jnp.bfloat16),
+                         require_tpu=False)
+        assert not supported(x, jnp.zeros((96, 384), jnp.bfloat16),
+                             require_tpu=False)  # H % 128
+        assert not supported(x, jnp.zeros((1024, 4096), jnp.bfloat16))  # CPU
