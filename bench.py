@@ -1,14 +1,22 @@
 """
-Benchmark: hac-class LSTM-CRF basecalling throughput on one chip.
+Benchmark: basecalling throughput on one chip.
 
-Measures the full device step (encoder forward + CRF Viterbi decode) on the
-flagship model shapes (features 1024, state_len 5, stride 6, chunksize
-10000 — reference dna_r10.4.1@v4.3.toml:46-113) and prints one JSON line:
+Default metric is the flagship hac-class LSTM-CRF model (features 1024,
+state_len 5, stride 6, chunksize ~10000 — reference
+dna_r10.4.1@v4.3.toml:46-113): full device step (encoder forward + CRF
+Viterbi decode). Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
 
-vs_baseline is measured against the 1 Gsamples/s/chip north-star from
-BASELINE.md.
+vs_baseline is against the 1 Gsamples/s/chip north-star from BASELINE.md.
+
+Env knobs: BENCH_MODEL=hac|sup|train, BENCH_BATCH, BENCH_CHUNK,
+BENCH_ITERS.
+
+NOTE: on the axon remote backend, block_until_ready returns before
+execution finishes and the host tunnel is ~75 MB/s — the only honest
+timing protocol is reducing outputs to small arrays on device and
+fetching those.
 """
 
 import json
@@ -21,49 +29,105 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 1e9
 
 
-def main():
+def _sync(out):
+    return np.asarray(out)
+
+
+def bench_basecall(model_kind, batchsize, chunksize, iters):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/bonito_tpu_jax_cache")
     import jax.numpy as jnp
-    from __graft_entry__ import _build_model
     from bonito_tpu.ops.decode import viterbi_decode
 
-    batchsize = int(os.environ.get("BENCH_BATCH", 128))
-    chunksize = int(os.environ.get("BENCH_CHUNK", 9996))
-    iters = int(os.environ.get("BENCH_ITERS", 8))
-
-    model = _build_model()
+    if model_kind == "sup":
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+        config = transformer_crf_config()
+        model = Model(config)
+        model.init(jax.random.PRNGKey(0))
+        chunksize = chunksize or 12288
+        batchsize = batchsize or 32
+    else:
+        from __graft_entry__ import _build_model
+        model = _build_model()
+        chunksize = chunksize or 9996
+        batchsize = batchsize or 128
     model.to_bf16()
     chunksize -= chunksize % model.stride
 
     @jax.jit
     def step(params, x):
         scores = model.apply(params, x.astype(jnp.bfloat16))
-        return viterbi_decode(model.seqdist, scores)
+        return viterbi_decode(model.seqdist, scores)["sequence"]
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batchsize, chunksize, 1)), jnp.bfloat16)
 
-    # NOTE: on the axon remote backend block_until_ready returns before
-    # execution finishes; a device->host fetch is the only reliable sync.
-    def sync(out):
-        return np.asarray(out["sequence"])
-
-    # warmup / compile
-    sync(step(model.params, x))
-
+    _sync(step(model.params, x))  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(model.params, x)
-    sync(out)
+    _sync(out)
     dt = time.perf_counter() - t0
+    return batchsize * chunksize * iters / dt
 
-    samples_per_sec = batchsize * chunksize * iters / dt
+
+def bench_train(batchsize, chunksize, iters):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from __graft_entry__ import _build_model
+    from bonito_tpu.training import make_train_step
+
+    model = _build_model()
+    chunksize = chunksize or 6000
+    batchsize = batchsize or 64
+    chunksize -= chunksize % model.stride
+
+    tx = optax.adamw(2e-3)
+    opt_state = tx.init(model.params)
+    step = make_train_step(model, tx, use_amp=True)
+
+    rng = np.random.default_rng(0)
+    L = chunksize // model.stride // 2
+    batch = (
+        jnp.asarray(rng.normal(size=(batchsize, chunksize, 1)), jnp.float32),
+        jnp.asarray(rng.integers(1, 5, (batchsize, L)), jnp.int32),
+        jnp.full((batchsize,), L, jnp.int32),
+    )
+    params, opt_state2, losses, gnorm = step(
+        model.params, opt_state, batch, jnp.float32(1.0), jnp.float32(1e9))
+    float(losses["loss"])  # sync
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state2, losses, gnorm = step(
+            params, opt_state2, batch, jnp.float32(1.0), jnp.float32(1e9))
+    float(losses["loss"])
+    dt = time.perf_counter() - t0
+    return batchsize * chunksize * iters / dt
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bonito_tpu_jax_cache")
+
+    kind = os.environ.get("BENCH_MODEL", "hac")
+    batchsize = int(os.environ.get("BENCH_BATCH", 0)) or None
+    chunksize = int(os.environ.get("BENCH_CHUNK", 0)) or None
+    iters = int(os.environ.get("BENCH_ITERS", 8))
+
+    if kind == "train":
+        sps = bench_train(batchsize, chunksize, iters)
+        metric = "hac_train_samples_per_sec"
+    else:
+        sps = bench_basecall(kind, batchsize, chunksize, iters)
+        metric = f"{kind}_basecall_samples_per_sec"
+
     print(json.dumps({
-        "metric": "hac_basecall_samples_per_sec",
-        "value": round(samples_per_sec, 1),
+        "metric": metric,
+        "value": round(sps, 1),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 4),
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 4),
     }))
 
 

@@ -63,6 +63,38 @@ def smith_waterman(query, ref, match=5, mismatch=-4, gap_open=8, gap_extend=4):
     return _sw_numpy(query, ref, match, mismatch, gap_open, gap_extend)
 
 
+def sw_to_sam(result: "SWResult", seq: str):
+    """
+    (ref_start, SAM-compatible cigar) from a local alignment, softclipping
+    the unaligned query ends (parasail_to_sam's role, reference
+    bonito/util.py:313-343).
+    """
+    import re
+    cigstr = result.cigar
+    first = re.search(r"(\d+)([MIDNSHP=X])", cigstr)
+    first_count, first_op = first.groups()
+    prefix = first.group()
+    rstart = result.beg_ref
+    cliplen = result.beg_query
+
+    clip = "" if cliplen == 0 else f"{cliplen}S"
+    if first_op == "I":
+        pre = f"{int(first_count) + cliplen}S"
+        mid_start = len(prefix)
+    elif first_op == "D":
+        pre = clip
+        rstart += int(first_count)
+        mid_start = len(prefix)
+    else:
+        pre = f"{clip}"
+        mid_start = 0
+
+    mid = cigstr[mid_start:]
+    end_clip = len(seq) - result.end_query
+    suf = f"{end_clip}S" if end_clip > 0 else ""
+    return rstart, "".join((pre, mid, suf))
+
+
 def edit_align(query, ref):
     """Global edit-distance alignment. Returns (distance, cigar) or None."""
     lib = native.load("align")

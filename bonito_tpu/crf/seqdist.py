@@ -190,6 +190,33 @@ class CTC_CRF:
             edge = jnp.exp(edge - z[..., None, None])
         return edge.reshape(N, T, -1)
 
+    def compute_transition_probs(self, scores, betas):
+        """
+        Normalised per-state transition probabilities + initial state
+        probabilities (reference: bonito/crf/model.py:69-82, but batch-major:
+        scores [N, T, C], betas [N, T+1, S]).
+
+        Returns (trans_probs [N, T, S, nb+1], init_state_probs [N, S]) where
+        the transition layout is (old_state, emitted_base) — stay first,
+        then the nb outgoing moves of each state.
+        """
+        N, T, C = scores.shape
+        nb, S = self.n_base, self.n_states
+        R = S // nb
+        log_trans = (scores.reshape(N, T, S, nb + 1)
+                     + betas[:, 1:, :, None])
+        # (new_state, dropped_base) -> (old_state, emitted_base):
+        # move slot j of new state s (= r*nb+b) comes FROM p = j*R + r and
+        # emits b; regroup moves by predecessor.
+        moves = log_trans[..., 1:]                          # [N,T,s,j]
+        moves = jnp.swapaxes(
+            moves.reshape(N, T, R, nb, nb), 3, 4)           # [N,T,r,j,b]
+        moves = jnp.swapaxes(moves, 2, 3).reshape(N, T, S, nb)  # p = j*R+r
+        out = jnp.concatenate([log_trans[..., :1], moves], axis=-1)
+        trans_probs = jax.nn.softmax(out, axis=-1)
+        init_state_probs = jax.nn.softmax(betas[:, 0], axis=-1)
+        return trans_probs, init_state_probs
+
     # -- decoding --------------------------------------------------------------
 
     def viterbi(self, scores):
@@ -280,6 +307,43 @@ class CTC_CRF:
 
         alpha_T, _ = jax.lax.scan(step, a0, (stay_t, move_t))
         return jnp.take_along_axis(alpha_T, (lengths - 1)[:, None], axis=1)[:, 0]
+
+    def ctc_viterbi_alignments(self, scores, targets, target_lengths):
+        """
+        One-hot Viterbi alignment of each target to the frames
+        (koi viterbi_alignments' role, reference bonito/crf/model.py:141-143):
+        returns [N, T, n_pos] with 1 where lattice position p is active at
+        frame t on the best alignment path.
+        """
+        stay, move = self.prepare_ctc_scores(scores, targets)
+        lengths = (target_lengths + 1 - self.state_len).astype(jnp.int32)
+        N, T, n = stay.shape
+
+        # max-semiring lattice forward with per-step move/stay choice
+        a0 = jnp.full((N, n), NEG, jnp.float32).at[:, 0].set(0.0)
+        stay_t = jnp.swapaxes(stay, 0, 1)
+        move_t = jnp.swapaxes(move, 0, 1)
+
+        def fwd(alpha, sm):
+            s_t, m_t = sm
+            stay_path = alpha + s_t
+            move_path = jnp.pad(alpha[:, :-1] + m_t, ((0, 0), (1, 0)),
+                                constant_values=NEG)
+            moved = move_path > stay_path
+            return jnp.where(moved, move_path, stay_path), moved
+
+        alpha_T, moved = jax.lax.scan(fwd, a0, (stay_t, move_t))
+
+        # traceback from the last valid position of each sample
+        pos_T = (lengths - 1)
+
+        def bwd(pos, moved_t):
+            onehot = jax.nn.one_hot(pos, n, dtype=jnp.float32)
+            did_move = jnp.take_along_axis(moved_t, pos[:, None], 1)[:, 0]
+            return pos - did_move.astype(jnp.int32), onehot
+
+        _, path = jax.lax.scan(bwd, pos_T, moved, reverse=True)
+        return jnp.swapaxes(path, 0, 1)                      # [N, T, n]
 
     def ctc_loss(self, scores, targets, target_lengths, loss_clip=None,
                  reduction="mean", normalise_scores=True):

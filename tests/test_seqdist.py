@@ -218,3 +218,41 @@ class TestCTCLoss:
         )(scores)
         assert float(loss) > 0
         assert np.isfinite(np.asarray(grad)).all()
+
+
+class TestTransitionProbsAndAlignments:
+    """compute_transition_probs + ctc_viterbi_alignments parity helpers."""
+
+    def test_transition_probs_normalised(self):
+        import jax
+        from bonito_tpu.crf.seqdist import CTC_CRF
+        sd = CTC_CRF(2, "NACGT")
+        key = jax.random.PRNGKey(0)
+        scores = jax.random.normal(key, (2, 6, sd.n_score()))
+        betas = sd.backward_scores(scores)
+        trans, init = sd.compute_transition_probs(scores, betas)
+        assert trans.shape == (2, 6, sd.n_states, sd.n_base + 1)
+        np.testing.assert_allclose(np.asarray(trans).sum(-1), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(init).sum(-1), 1.0, rtol=1e-5)
+
+    def test_viterbi_alignment_is_valid_path(self):
+        import jax
+        import jax.numpy as jnp
+        from bonito_tpu.crf.seqdist import CTC_CRF
+        sd = CTC_CRF(2, "NACGT")
+        key = jax.random.PRNGKey(1)
+        N, T, L = 3, 20, 8
+        scores = jax.random.normal(key, (N, T, sd.n_score()))
+        targets = jnp.asarray(
+            np.random.default_rng(0).integers(1, 5, (N, L)), jnp.int32)
+        lengths = jnp.full((N,), L, jnp.int32)
+        path = np.asarray(sd.ctc_viterbi_alignments(scores, targets, lengths))
+        # one active lattice position per frame
+        np.testing.assert_array_equal(path.sum(-1), 1.0)
+        pos = path.argmax(-1)
+        # monotone, steps of 0/1, starts at 0, ends at last position
+        steps = np.diff(pos, axis=1)
+        assert ((steps == 0) | (steps == 1)).all()
+        # first frame either stays at the start or makes the first move
+        assert (pos[:, 0] <= 1).all()
+        assert (pos[:, -1] == L + 1 - sd.state_len - 1).all()
