@@ -52,6 +52,8 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         chunksize = chunksize or 9996
         batchsize = batchsize or 128
     model.to_bf16()
+    if os.environ.get("BENCH_QUANT") and hasattr(model, "quantize"):
+        model.quantize()
     chunksize -= chunksize % model.stride
 
     @jax.jit

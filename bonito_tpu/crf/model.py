@@ -81,6 +81,23 @@ class SeqdistModel:
         self.params = nn.cast_tree(self.params, jnp.bfloat16)
         return self
 
+    def quantize(self):
+        """int8-quantise the recurrent weights of every LSTM layer
+        (koi update_graph(quantize=True) equivalent,
+        reference: bonito/crf/model.py:240-246)."""
+        def walk_params(layer, params):
+            if isinstance(layer, nn.LSTM):
+                return layer.quantize_params(params)
+            out = dict(params)
+            for name, sub in layer.sublayer_items():
+                if name in out and isinstance(out[name], dict):
+                    out[name] = walk_params(sub, out[name])
+            return out
+
+        self.params["encoder"] = walk_params(
+            self.encoder, self.params["encoder"])
+        return self
+
     # -- forward ------------------------------------------------------------------
 
     def apply(self, params, x, ctx=None):

@@ -505,9 +505,24 @@ class LSTM(Layer):
         return p
 
     def apply(self, params, x, ctx=None):
-        from bonito_tpu.ops.lstm import lstm
+        from bonito_tpu.ops.lstm import lstm, lstm_int8
         b = params.get("b")
+        if "w_hh_q" in params:
+            return lstm_int8(x, params["w_ih"], params["w_hh_q"],
+                             params["scales"], b, reverse=self.reverse)
         return lstm(x, params["w_ih"], params["w_hh"], b, reverse=self.reverse)
+
+    def quantize_params(self, params):
+        """w_hh -> per-channel int8 (w_hh_q, scales); koi's quantized-LSTM
+        equivalent (reference flag path: bonito/util.py:292-296)."""
+        from bonito_tpu.ops.lstm_pallas import quantize_whh
+        if "w_hh" not in params:
+            return params
+        w_q, scales = quantize_whh(params["w_hh"])
+        out = {k: v for k, v in params.items() if k != "w_hh"}
+        out["w_hh_q"] = w_q
+        out["scales"] = scales
+        return out
 
     def to_dict(self):
         return {"size": self.size, "insize": self.insize, "bias": self.bias,

@@ -71,3 +71,15 @@ def lstm(x, w_ih, w_hh, b, reverse=False):
     except ImportError:
         pass
     return lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
+
+
+def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False):
+    """Quantised-recurrence LSTM; Pallas int8 kernel on TPU, dequantised
+    scan elsewhere."""
+    import jax
+    from bonito_tpu.ops.lstm_pallas import lstm_pallas_int8
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("BONITO_TPU_NO_PALLAS")):
+        return lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=reverse)
+    w_hh = w_hh_q.astype(jnp.float32) * scales * 127.0
+    return lstm_scan(x, w_ih, w_hh.astype(x.dtype), b, reverse=reverse)

@@ -87,6 +87,85 @@ def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False):
     return jnp.swapaxes(out, 0, 1)
 
 
+def _lstm_kernel_int8(xw_ref, whh_ref, scale_ref, out_ref, h_ref, c_ref):
+    """int8 recurrent matmul: h is bounded (-1,1) so a static 127 scale
+    quantises it; W_hh is pre-quantised per output channel (koi's
+    quantized-LSTM role, reference flag path bonito/util.py:292-296)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    H = whh_ref.shape[0]
+    h = h_ref[...]
+    h_q = jnp.round(h * 127.0).astype(jnp.int8)
+    acc = jnp.dot(h_q, whh_ref[...], preferred_element_type=jnp.int32)
+    rec = acc.astype(jnp.float32) * scale_ref[...]       # [N,4H] * [1,4H]
+    gates = xw_ref[0].astype(jnp.float32) + rec
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c = f * c_ref[...] + i * g
+    h = o * jnp.tanh(c)
+    c_ref[...] = c
+    h_ref[...] = h
+    out_ref[0] = h.astype(out_ref.dtype)
+
+
+def quantize_whh(w_hh):
+    """Per-output-channel symmetric int8 quantisation of W_hh.
+    Returns (w_q int8 [H, 4H], scales f32 [1, 4H]) with scales folding in
+    the 1/127 activation step."""
+    import numpy as np
+    w = np.asarray(w_hh, np.float32)
+    col_max = np.abs(w).max(axis=0)
+    col_scale = np.where(col_max > 0, col_max / 127.0, 1.0)
+    w_q = np.clip(np.round(w / col_scale), -127, 127).astype(np.int8)
+    scales = (col_scale / 127.0).astype(np.float32)[None, :]
+    return jnp.asarray(w_q), jnp.asarray(scales)
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret"))
+def lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
+                     interpret=False):
+    """Quantised-recurrence LSTM: int8 h @ W_hh on the MXU."""
+    N, T, C = x.shape
+    H = w_hh_q.shape[0]
+    dtype = x.dtype
+
+    xw = x @ w_ih.astype(dtype)
+    if b is not None:
+        xw = xw + b.astype(dtype)
+    xw = jnp.swapaxes(xw, 0, 1)
+
+    if reverse:
+        index = lambda t: (T - 1 - t, 0, 0)
+    else:
+        index = lambda t: (t, 0, 0)
+
+    out = pl.pallas_call(
+        _lstm_kernel_int8,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, N, 4 * H), index),
+            pl.BlockSpec((H, 4 * H), lambda t: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, N, H), index),
+        out_shape=jax.ShapeDtypeStruct((T, N, H), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((N, H), jnp.float32),
+            pltpu.VMEM((N, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw, w_hh_q, scales)
+
+    return jnp.swapaxes(out, 0, 1)
+
+
 def supported(x, w_hh, require_tpu=True):
     """Shape gate for the fused kernel: lane-aligned hidden size and a
     VMEM budget that fits W_hh + stream buffers."""

@@ -284,6 +284,8 @@ def _load_model(weights_path, config, half=True, use_compiled=True):
     model.params = params
     if half:
         model.to_bf16()
+    if config["basecaller"].get("quantize") and hasattr(model, "quantize"):
+        model.quantize()
     return model
 
 

@@ -70,3 +70,40 @@ class TestLSTMPallas:
         assert not supported(x, jnp.zeros((96, 384), jnp.bfloat16),
                              require_tpu=False)  # H % 128
         assert not supported(x, jnp.zeros((1024, 4096), jnp.bfloat16))  # CPU
+
+
+class TestLSTMInt8:
+    def test_kernel_matches_dequantised_scan(self):
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas_int8, quantize_whh
+        C = H = 128
+        N, T = 8, 10
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(5), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(6), (N, T, C))
+        w_q, scales = quantize_whh(w_hh)
+        out = lstm_pallas_int8(x, w_ih, w_q, scales, b, interpret=True)
+        ref = lstm_scan(x, w_ih, w_hh, b)
+        # quantisation noise is small relative to the bounded activations
+        err = np.abs(np.asarray(out) - np.asarray(ref))
+        assert err.max() < 0.05
+        assert err.mean() < 0.01
+
+    def test_quantize_roundtrip_error(self):
+        from bonito_tpu.ops.lstm_pallas import quantize_whh
+        w = jax.random.normal(jax.random.PRNGKey(7), (64, 256)) * 0.3
+        w_q, scales = quantize_whh(w)
+        w_back = np.asarray(w_q, np.float32) * np.asarray(scales) * 127.0
+        rel = np.abs(w_back - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+        assert rel < 0.01
+
+    def test_model_quantize_walk(self):
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        cfg = lstm_crf_config(features=32, num_layers=2, state_len=2, stride=5)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(0))
+        m.quantize()
+        lstm_params = m.params["encoder"]["4"]
+        assert "w_hh_q" in lstm_params and "w_hh" not in lstm_params
+        # forward still runs (CPU fallback dequantises)
+        y = m.forward(jnp.zeros((1, 100, 1)))
+        assert y.shape[0] == 1
