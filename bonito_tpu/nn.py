@@ -505,11 +505,16 @@ class LSTM(Layer):
         return p
 
     def apply(self, params, x, ctx=None):
-        from bonito_tpu.ops.lstm import lstm, lstm_int8
+        from bonito_tpu.ops.lstm import lstm, lstm_int8, lstm_scan
         b = params.get("b")
         if "w_hh_q" in params:
             return lstm_int8(x, params["w_ih"], params["w_hh_q"],
                              params["scales"], b, reverse=self.reverse)
+        if ctx and ctx.get("train"):
+            # training differentiates through the recurrence; the Pallas
+            # kernel has no VJP yet, so use the scan (XLA derives BPTT)
+            return lstm_scan(x, params["w_ih"], params["w_hh"], b,
+                             reverse=self.reverse)
         return lstm(x, params["w_ih"], params["w_hh"], b, reverse=self.reverse)
 
     def quantize_params(self, params):

@@ -71,13 +71,14 @@ def _bwd_kernel(nb, R, stay_ref, moves_ref, alpha_ref, gz_ref,
     logZ = gz[1]
 
     # edge posteriors * g
-    gstay_out[0] = jnp.exp(a_log + stay + beta - logZ[None]) * scale[None]
+    gstay_out[0] = (jnp.exp(a_log + stay + beta - logZ[None])
+                    * scale[None]).astype(gstay_out.dtype)
 
     a_view = a_log.reshape(nb, R, N)                     # [j, r, N]
     b_view = jnp.swapaxes(beta.reshape(R, nb, N), 0, 1)  # [b, r, N]
     edge = moves + a_view[None] + b_view[:, None]        # [b, j, r, N]
     gmoves = jnp.exp(edge - logZ[None, None, None]) * scale[None, None, None]
-    gmoves_out[0] = gmoves.reshape(nb * nb, R, N)
+    gmoves_out[0] = gmoves.reshape(nb * nb, R, N).astype(gmoves_out.dtype)
 
     # beta update: new beta[p=j*R+r]
     move_out = moves + b_view[:, None]
@@ -92,10 +93,13 @@ def supported(seqdist, scores, require_tpu=True):
 
 
 def _split(seqdist, scores):
+    """Batch-minor stay/move streams in bf16 (halves VMEM stream buffers;
+    model scores are bf16 upstream so nothing is lost — kernels compute
+    in f32)."""
     nb, S = seqdist.n_base, seqdist.n_states
     R = S // nb
     N, T, C = scores.shape
-    ms = scores.reshape(N, T, S, nb + 1)
+    ms = scores.astype(jnp.bfloat16).reshape(N, T, S, nb + 1)
     stay = ms[..., 0].transpose(1, 2, 0)
     moves = ms.reshape(N, T, R, nb, nb + 1)[..., 1:]
     moves = moves.transpose(1, 3, 4, 2, 0).reshape(T, nb * nb, R, N)
@@ -164,16 +168,17 @@ def _logZ_bwd(seqdist, interpret, res, g):
             pl.BlockSpec((1, nb * nb, R, N), lambda t: (T - 1 - t, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, S, N), jnp.float32),
-            jax.ShapeDtypeStruct((T, nb * nb, R, N), jnp.float32),
+            jax.ShapeDtypeStruct((T, S, N), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, nb * nb, R, N), jnp.bfloat16),
         ],
         scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
         interpret=interpret,
     )(stay, moves, alpha, gz)
 
     # reassemble [N, T, C] cotangent
-    gstay = gstay.transpose(2, 0, 1)                     # [N, T, S]
-    gmoves = gmoves.reshape(T, nb, nb, R, N).transpose(4, 0, 3, 1, 2)
+    gstay = gstay.astype(jnp.float32).transpose(2, 0, 1)  # [N, T, S]
+    gmoves = gmoves.astype(jnp.float32).reshape(
+        T, nb, nb, R, N).transpose(4, 0, 3, 1, 2)
     # [N, T, r, b, j] -> moves slots of [N, T, S, nb+1]
     grad = jnp.concatenate([
         gstay.reshape(N, T, S, 1),

@@ -358,7 +358,19 @@ def tqdm_environ():
 
 
 def init(seed=25):
-    """Seed host-side RNGs (device RNG is explicit via jax PRNG keys)."""
+    """Seed host-side RNGs (device RNG is explicit via jax PRNG keys) and
+    enable the persistent XLA compilation cache (first compiles of the big
+    scan graphs take minutes; cached ones take seconds)."""
     import random
     random.seed(seed)
     np.random.seed(seed)
+    try:
+        import jax
+        cache = os.environ.get(
+            "BONITO_TPU_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "bonito_tpu",
+                         "jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass

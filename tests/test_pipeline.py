@@ -1,0 +1,54 @@
+"""Pipeline primitives: ordering, bounded queues, cancellation."""
+
+import time
+
+import pytest
+
+from bonito_tpu.pipeline import (
+    process_map, thread_iter, thread_map, thread_starmap,
+)
+
+
+class TestThreadMap:
+    def test_preserves_order(self):
+        items = [(i, i) for i in range(50)]
+
+        def slow_sq(v):
+            time.sleep(0.001 * (v % 7))
+            return v * v
+
+        out = list(thread_map(slow_sq, iter(items), n_thread=4))
+        assert out == [(i, i * i) for i in range(50)]
+
+    def test_zero_threads_inline(self):
+        out = list(thread_map(lambda v: v + 1, iter([(0, 1), (1, 2)]),
+                              n_thread=0))
+        assert out == [(0, 2), (1, 3)]
+
+    def test_starmap(self):
+        out = list(thread_starmap(lambda a, b: a + b,
+                                  iter([(0, (1, 2)), (1, (3, 4))]),
+                                  n_thread=2))
+        assert out == [(0, 3), (1, 7)]
+
+
+class TestThreadIter:
+    def test_yields_all(self):
+        ti = thread_iter(iter(range(100)), maxsize=4)
+        assert list(ti) == list(range(100))
+
+    def test_generator_chaining(self):
+        a = thread_iter((i * 2 for i in range(20)))
+        b = thread_iter((x + 1 for x in a))
+        assert list(b) == [i * 2 + 1 for i in range(20)]
+
+
+class TestProcessMap:
+    def test_preserves_order(self):
+        items = [(i, i) for i in range(20)]
+        out = list(process_map(_square, iter(items), n_proc=3))
+        assert out == [(i, i * i) for i in range(20)]
+
+
+def _square(v):
+    return v * v
