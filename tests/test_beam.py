@@ -1,0 +1,50 @@
+"""Host beam search vs exact Viterbi."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bonito_tpu.crf.seqdist import CTC_CRF
+from bonito_tpu.ops.beam import beam_search_host
+from bonito_tpu.ops.decode import viterbi_decode_scan
+
+
+@pytest.fixture(scope="module")
+def seqdist():
+    return CTC_CRF(2, "NACGT")
+
+
+class TestBeam:
+    def test_wide_beam_matches_viterbi_on_confident_scores(self, seqdist):
+        """With strongly peaked scores the beam recovers the MAP path."""
+        key = jax.random.PRNGKey(0)
+        scores = 6.0 * jax.random.normal(
+            key, (2, 30, seqdist.n_score()), jnp.float32)
+        vit = viterbi_decode_scan(seqdist, scores)
+        beam = beam_search_host(np.asarray(scores), seqdist, beam_width=32)
+        np.testing.assert_array_equal(
+            beam["sequence"], np.asarray(vit["sequence"]))
+        np.testing.assert_array_equal(
+            beam["moves"], np.asarray(vit["moves"]))
+
+    def test_flat_scores_similar_emission_count(self, seqdist):
+        """On flatter scores the (marginalising) beam emits nearly as many
+        bases as the MAP path (sanity on ambiguous inputs)."""
+        key = jax.random.PRNGKey(1)
+        scores = 1.0 * jax.random.normal(
+            key, (1, 25, seqdist.n_score()), jnp.float32)
+        vit = viterbi_decode_scan(seqdist, scores)
+        beam = beam_search_host(np.asarray(scores), seqdist, beam_width=16)
+        assert abs(int(beam["moves"].sum())
+                   - int(np.asarray(vit["moves"]).sum())) <= 3
+
+    def test_narrow_beam_still_valid_output(self, seqdist):
+        key = jax.random.PRNGKey(2)
+        scores = jax.random.normal(key, (1, 15, seqdist.n_score()))
+        out = beam_search_host(np.asarray(scores), seqdist, beam_width=1)
+        assert out["sequence"].shape == (1, 15)
+        assert (out["moves"] <= 1).all()
+        # emitted frames carry qscores
+        idx = np.flatnonzero(out["moves"][0])
+        assert (out["qstring"][0, idx] >= 33).all()
