@@ -287,25 +287,44 @@ class CTC_CRF:
         return stay, move
 
     @staticmethod
-    def _lattice_logZ(stay, move, lengths, S: Semiring = Log):
+    def _lattice_logZ(stay, move, lengths, S: Semiring = Log, unroll=16):
         """
         Alignment-lattice partition function: stay [N, T, n], move [N, T, n-1],
         lengths [N] = number of valid lattice positions per sample.
+
+        The scan body unrolls ``unroll`` timesteps: the per-step tensors are
+        tiny ([N, n]), so plain per-step while-loop iterations are dominated
+        by loop overhead on TPU; identity steps (stay=0, move=-inf) pad T.
         """
         N, T, n = stay.shape
         a0 = jnp.full((N, n), NEG, jnp.float32).at[:, 0].set(0.0)
         stay_t = jnp.swapaxes(stay, 0, 1)
         move_t = jnp.swapaxes(move, 0, 1)
 
-        def step(alpha, sm):
-            s_t, m_t = sm
+        pad = (-T) % unroll
+        if pad:
+            stay_t = jnp.concatenate(
+                [stay_t, jnp.zeros((pad, N, n), stay_t.dtype)], axis=0)
+            move_t = jnp.concatenate(
+                [move_t, jnp.full((pad, N, n - 1), NEG, move_t.dtype)],
+                axis=0)
+        blocks = (T + pad) // unroll
+        stay_b = stay_t.reshape(blocks, unroll, N, n)
+        move_b = move_t.reshape(blocks, unroll, N, n - 1)
+
+        def one(alpha, s_t, m_t):
             stay_path = alpha + s_t
             move_path = jnp.pad(alpha[:, :-1] + m_t, ((0, 0), (1, 0)),
                                 constant_values=NEG)
-            alpha = S.sum(jnp.stack([stay_path, move_path], -1), axis=-1)
+            return S.sum(jnp.stack([stay_path, move_path], -1), axis=-1)
+
+        def step(alpha, sm):
+            s_blk, m_blk = sm
+            for k in range(unroll):
+                alpha = one(alpha, s_blk[k], m_blk[k])
             return alpha, None
 
-        alpha_T, _ = jax.lax.scan(step, a0, (stay_t, move_t))
+        alpha_T, _ = jax.lax.scan(step, a0, (stay_b, move_b))
         return jnp.take_along_axis(alpha_T, (lengths - 1)[:, None], axis=1)[:, 0]
 
     def ctc_viterbi_alignments(self, scores, targets, target_lengths):

@@ -511,10 +511,11 @@ class LSTM(Layer):
             return lstm_int8(x, params["w_ih"], params["w_hh_q"],
                              params["scales"], b, reverse=self.reverse)
         if ctx and ctx.get("train"):
-            # training differentiates through the recurrence; the Pallas
-            # kernel has no VJP yet, so use the scan (XLA derives BPTT)
-            return lstm_scan(x, params["w_ih"], params["w_hh"], b,
-                             reverse=self.reverse)
+            # training needs a differentiable recurrence: the Pallas BPTT
+            # custom-VJP on TPU, lax.scan (XLA-derived BPTT) elsewhere
+            from bonito_tpu.ops.lstm import lstm_train
+            return lstm_train(x, params["w_ih"], params["w_hh"], b,
+                              reverse=self.reverse)
         return lstm(x, params["w_ih"], params["w_hh"], b, reverse=self.reverse)
 
     def quantize_params(self, params):

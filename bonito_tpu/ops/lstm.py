@@ -83,3 +83,15 @@ def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False):
         return lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=reverse)
     w_hh = w_hh_q.astype(jnp.float32) * scales * 127.0
     return lstm_scan(x, w_ih, w_hh.astype(x.dtype), b, reverse=reverse)
+
+
+def lstm_train(x, w_ih, w_hh, b, reverse=False):
+    """Differentiable LSTM: Pallas recurrence + BPTT custom-VJP on TPU,
+    scan elsewhere."""
+    import jax
+    if (not os.environ.get("BONITO_TPU_NO_PALLAS")
+            and jax.default_backend() == "tpu"):
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas_train, supported
+        if supported(x, w_hh):
+            return lstm_pallas_train(x, w_ih, w_hh, b, reverse=reverse)
+    return lstm_scan(x, w_ih, w_hh, b, reverse=reverse)

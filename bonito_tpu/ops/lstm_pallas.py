@@ -87,6 +87,197 @@ def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False):
     return jnp.swapaxes(out, 0, 1)
 
 
+# ---------------------------------------------------------------------------
+# training: custom-VJP recurrence (BPTT as a second Pallas grid)
+# ---------------------------------------------------------------------------
+
+def _lstm_train_fwd_kernel(xw_ref, whh_ref, h_out, c_out, h_ref, c_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    H = whh_ref.shape[0]
+    h = h_ref[...]
+    gates = xw_ref[0].astype(jnp.float32) + jnp.dot(
+        h.astype(whh_ref.dtype), whh_ref[...],
+        preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c = f * c_ref[...] + i * g
+    h = o * jnp.tanh(c)
+    c_ref[...] = c
+    h_ref[...] = h
+    h_out[0] = h.astype(h_out.dtype)
+    c_out[0] = c.astype(c_out.dtype)
+
+
+def _lstm_train_bwd_kernel(xw_ref, hprev_ref, c_ref, cprev_ref, g_ref,
+                           whh_ref, dgates_out, dh_ref, dc_ref):
+    """One reverse step of BPTT; gates are recomputed from the saved
+    h_{t-1} (cheaper than streaming a [T, N, 4H] gate stack)."""
+    k = pl.program_id(0)
+    T = pl.num_programs(0)
+    H = whh_ref.shape[0]
+
+    @pl.when(k == 0)
+    def _():
+        dh_ref[...] = jnp.zeros_like(dh_ref)
+        dc_ref[...] = jnp.zeros_like(dc_ref)
+
+    first_step = k == T - 1  # processing t == 0
+    hprev = jnp.where(first_step, 0.0, hprev_ref[0].astype(jnp.float32))
+    cprev = jnp.where(first_step, 0.0, cprev_ref[0].astype(jnp.float32))
+
+    gates = xw_ref[0].astype(jnp.float32) + jnp.dot(
+        hprev.astype(whh_ref.dtype), whh_ref[...],
+        preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c = c_ref[0].astype(jnp.float32)
+    tc = jnp.tanh(c)
+
+    dh = dh_ref[...] + g_ref[0].astype(jnp.float32)
+    do = dh * tc
+    dc = dc_ref[...] + dh * o * (1.0 - tc * tc)
+    di = dc * g
+    dg = dc * i
+    df = dc * cprev
+
+    dgates = jnp.concatenate([
+        di * i * (1.0 - i),
+        df * f * (1.0 - f),
+        dg * (1.0 - g * g),
+        do * o * (1.0 - o),
+    ], axis=1)
+    dgates_out[0] = dgates.astype(dgates_out.dtype)
+
+    # dh_{t-1} = dgates @ W_hh^T (contract over the 4H dim of both)
+    dh_ref[...] = jax.lax.dot_general(
+        dgates.astype(whh_ref.dtype), whh_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dc_ref[...] = dc * f
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _lstm_rec(xw, w_hh, reverse=False, interpret=False):
+    """Recurrence over precomputed gate inputs xw [T, N, 4H] (time-major).
+    Returns hidden states [T, N, H]."""
+    h, _ = _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret)
+    return h
+
+
+def _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret):
+    T, N, G = xw.shape
+    H = G // 4
+    if reverse:
+        index = lambda t: (T - 1 - t, 0, 0)
+    else:
+        index = lambda t: (t, 0, 0)
+    h, c = pl.pallas_call(
+        _lstm_train_fwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, N, G), index),
+            pl.BlockSpec((H, G), lambda t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, H), index),
+            pl.BlockSpec((1, N, H), index),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N, H), xw.dtype),
+            jax.ShapeDtypeStruct((T, N, H), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, H), jnp.float32),
+            pltpu.VMEM((N, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw, w_hh)
+    return h, c
+
+
+def _lstm_rec_fwd(xw, w_hh, reverse, interpret):
+    h, c = _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret)
+    return h, (xw, w_hh, h, c)
+
+
+def _lstm_rec_bwd(reverse, interpret, res, gout):
+    xw, w_hh, h, c = res
+    T, N, G = xw.shape
+    H = G // 4
+
+    # BPTT walks recurrence steps last-to-first. For the forward direction
+    # that is array index t = T-1-k; with reverse=True the recurrence read
+    # arrays at mirrored indices, so its last step is array index 0 and the
+    # walk ascends: t = k. "prev step" is the neighbouring index, clamped —
+    # the kernel substitutes zeros at the recurrence's first step anyway.
+    if reverse:
+        tidx = lambda k: (k, 0, 0)
+        prev_idx = lambda k: (jnp.minimum(k + 1, T - 1), 0, 0)
+    else:
+        tidx = lambda k: (T - 1 - k, 0, 0)
+        prev_idx = lambda k: (jnp.maximum(T - 2 - k, 0), 0, 0)
+
+    dgates = pl.pallas_call(
+        _lstm_train_bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, N, G), tidx),
+            pl.BlockSpec((1, N, H), prev_idx),
+            pl.BlockSpec((1, N, H), tidx),
+            pl.BlockSpec((1, N, H), prev_idx),
+            pl.BlockSpec((1, N, H), tidx),
+            pl.BlockSpec((H, G), lambda k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, N, G), tidx),
+        out_shape=jax.ShapeDtypeStruct((T, N, G), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((N, H), jnp.float32),
+            pltpu.VMEM((N, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw, h, c, c, gout, w_hh)
+
+    # dW_hh = sum_t h_{t-1}^T dgates_t as one big matmul
+    if reverse:
+        hprev = jnp.concatenate([h[1:], jnp.zeros_like(h[:1])], axis=0)
+    else:
+        hprev = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
+    dW = jnp.einsum(
+        "tnh,tng->hg", hprev.astype(jnp.float32),
+        dgates.astype(jnp.float32))
+    return dgates.astype(xw.dtype), dW.astype(w_hh.dtype)
+
+
+_lstm_rec.defvjp(_lstm_rec_fwd, _lstm_rec_bwd)
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret"))
+def lstm_pallas_train(x, w_ih, w_hh, b, reverse=False, interpret=False):
+    """Differentiable fused LSTM: Pallas recurrence with a Pallas BPTT
+    custom VJP; the input projection stays in XLA (autodiff handles
+    dx/dW_ih/db through it)."""
+    N, T, C = x.shape
+    xw = x @ w_ih.astype(x.dtype)
+    if b is not None:
+        xw = xw + b.astype(x.dtype)
+    xw = jnp.swapaxes(xw, 0, 1)
+    h = _lstm_rec(xw, w_hh.astype(x.dtype), reverse, interpret)
+    return jnp.swapaxes(h, 0, 1)
+
+
 def _lstm_kernel_int8(xw_ref, whh_ref, scale_ref, out_ref, h_ref, c_ref):
     """int8 recurrent matmul: h is bounded (-1,1) so a static 127 scale
     quantises it; W_hh is pre-quantised per output channel (koi's

@@ -107,3 +107,44 @@ class TestLSTMInt8:
         # forward still runs (CPU fallback dequantises)
         y = m.forward(jnp.zeros((1, 100, 1)))
         assert y.shape[0] == 1
+
+
+class TestLSTMTrainVJP:
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_grads_match_scan_autodiff(self, reverse):
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas_train
+        C = H = 128
+        N, T = 8, 9
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(8), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(9), (N, T, C))
+
+        def loss_scan(p):
+            return jnp.sum(jnp.tanh(
+                lstm_scan(x, p[0], p[1], p[2], reverse=reverse)))
+
+        def loss_pallas(p):
+            return jnp.sum(jnp.tanh(lstm_pallas_train(
+                x, p[0], p[1], p[2], reverse=reverse, interpret=True)))
+
+        ref_val, ref_grads = jax.value_and_grad(loss_scan)((w_ih, w_hh, b))
+        out_val, out_grads = jax.value_and_grad(loss_pallas)((w_ih, w_hh, b))
+        np.testing.assert_allclose(float(out_val), float(ref_val),
+                                   rtol=2e-2, atol=1e-2)
+        for g_ref, g_out, name in zip(ref_grads, out_grads,
+                                      ("w_ih", "w_hh", "b")):
+            np.testing.assert_allclose(
+                np.asarray(g_out, np.float32), np.asarray(g_ref, np.float32),
+                rtol=0.1, atol=0.02, err_msg=name)
+
+    def test_x_grad_matches(self):
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas_train
+        C = H = 128
+        N, T = 4, 6
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(10), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(11), (N, T, C))
+        g_ref = jax.grad(lambda x: jnp.sum(
+            jnp.tanh(lstm_scan(x, w_ih, w_hh, b))))(x)
+        g_out = jax.grad(lambda x: jnp.sum(jnp.tanh(
+            lstm_pallas_train(x, w_ih, w_hh, b, interpret=True))))(x)
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                                   rtol=0.1, atol=0.02)
