@@ -266,9 +266,14 @@ class CTC_CRF:
 
     def prepare_ctc_scores(self, scores, targets):
         """
-        Gather per-position stay/move scores along the target alignment
-        lattice. targets: [N, L] CTC labels (blank=0, bases 1..nb).
+        Per-position stay/move scores along the target alignment lattice.
+        targets: [N, L] CTC labels (blank=0, bases 1..nb).
         Returns (stay [N, T, n_pos], move [N, T, n_pos-1]).
+
+        TPU-first: the selection runs as one-hot matmuls rather than
+        take_along_axis — a [T, C] x [C, n_pos] contraction per sample is
+        MXU work in both directions, while the gather's backward would be
+        a scatter-add into [N, T, C] (orders of magnitude slower on TPU).
         """
         targets = jnp.clip(targets - 1, 0, None)        # zero-indexed bases
         N, T, C = scores.shape
@@ -280,10 +285,11 @@ class CTC_CRF:
             for i in range(self.state_len)
         ) * (self.n_base + 1)
         move_idx = stay_idx[:, 1:] + targets[:, :n - 1] + 1
-        stay = jnp.take_along_axis(scores, stay_idx[:, None, :].astype(jnp.int32)
-                                   .repeat(T, 1), axis=2)
-        move = jnp.take_along_axis(scores, move_idx[:, None, :].astype(jnp.int32)
-                                   .repeat(T, 1), axis=2)
+
+        stay_oh = jax.nn.one_hot(stay_idx, C, dtype=scores.dtype)  # [N,n,C]
+        move_oh = jax.nn.one_hot(move_idx, C, dtype=scores.dtype)
+        stay = jnp.einsum("ntc,npc->ntp", scores, stay_oh)
+        move = jnp.einsum("ntc,npc->ntp", scores, move_oh)
         return stay, move
 
     @staticmethod

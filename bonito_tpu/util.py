@@ -204,11 +204,15 @@ def unbatchify(batches, dim=0):
 # ---------------------------------------------------------------------------
 
 def load_symbol(config, symbol):
-    """Dynamically load ``symbol`` from the package named in the config."""
+    """Dynamically load ``symbol`` from the package named in the config.
+    Reference bonito configs name 'bonito.<family>' packages; these map
+    onto our families so downloaded model dirs work unmodified."""
     if not isinstance(config, dict):
         from bonito_tpu.config import load_config
         config = load_config(model_directory(config) / "config.toml")
     package = config["model"]["package"]
+    if package.startswith("bonito."):
+        package = "bonito_tpu." + package[len("bonito."):]
     return getattr(import_module(package), symbol)
 
 
