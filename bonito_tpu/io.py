@@ -215,6 +215,25 @@ def summary_row(read, seqlen, qscore, alignment=False):
     return row
 
 
+def duplex_summary_row(read_temp, read_comp, seqlen, qscore, alignment=False):
+    """summary.tsv row for a duplex pair (reference: bonito/io.py:261-340)."""
+    temp = summary_row(read_temp, seqlen, qscore, alignment=alignment)
+    row = {
+        ("template_" + k if not k.startswith("alignment") else k): v
+        for k, v in temp.items()
+    }
+    comp_rate = getattr(read_comp, "sample_rate", 0) or 1
+    row.update({
+        "complement_read_id": read_comp.read_id,
+        "complement_channel": getattr(read_comp, "channel", 0),
+        "complement_mux": getattr(read_comp, "mux", 0),
+        "complement_start_time": getattr(read_comp, "start", 0) or 0,
+        "complement_duration": (
+            (getattr(read_comp, "num_samples", 0) or 0) / comp_rate),
+    })
+    return row
+
+
 # ---------------------------------------------------------------------------
 # CSV logger
 # ---------------------------------------------------------------------------
@@ -421,9 +440,14 @@ class DuplexWriter(Writer):
             stub.signal = np.empty(0)
             self.write(stub, seq, qstring, mapping, tags=[
                 f"qs:f:{mean_q:.4f}"])
+            self._summary_logger().append(duplex_summary_row(
+                template, complement, len(seq), mean_q,
+                alignment=mapping if self.aligner else False))
             self.log.append((read_id, len(seq)))
         if self._bam is not None:
             self._bam.close()
+        if self._summary is not None:
+            self._summary.close()
 
 
 class CTCWriter(Thread):
