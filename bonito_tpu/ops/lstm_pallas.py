@@ -26,7 +26,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lstm_kernel(xw_ref, whh_ref, out_ref, h_ref, c_ref):
+def _lstm_step(h, c, xw_row, whh_ref, H):
+    gates = xw_row.astype(jnp.float32) + jnp.dot(
+        h.astype(whh_ref.dtype), whh_ref[...],
+        preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def _lstm_kernel(K, descending, xw_ref, whh_ref, out_ref, h_ref, c_ref):
+    """K timesteps per grid step (amortises per-step pipeline overhead);
+    ``descending`` walks rows K-1..0 within the block (reverse direction)."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -36,22 +51,17 @@ def _lstm_kernel(xw_ref, whh_ref, out_ref, h_ref, c_ref):
 
     H = whh_ref.shape[0]
     h = h_ref[...]
-    gates = xw_ref[0].astype(jnp.float32) + jnp.dot(
-        h.astype(whh_ref.dtype), whh_ref[...],
-        preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
-    c = f * c_ref[...] + i * g
-    h = o * jnp.tanh(c)
+    c = c_ref[...]
+    rows = range(K - 1, -1, -1) if descending else range(K)
+    for k in rows:
+        h, c = _lstm_step(h, c, xw_ref[k], whh_ref, H)
+        out_ref[k] = h.astype(out_ref.dtype)
     c_ref[...] = c
     h_ref[...] = h
-    out_ref[0] = h.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("reverse", "interpret"))
-def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False):
+@partial(jax.jit, static_argnames=("reverse", "interpret", "block_k"))
+def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False, block_k=4):
     """x: [N, T, C]; w_ih: [C, 4H]; w_hh: [H, 4H]; b: [4H] or None
     -> hidden states [N, T, H]."""
     N, T, C = x.shape
@@ -63,20 +73,32 @@ def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False):
         xw = xw + b.astype(dtype)
     xw = jnp.swapaxes(xw, 0, 1)  # [T, N, 4H] time-major
 
+    K = block_k
+    pad = (-T) % K
+    if pad:
+        # padding rows sit AFTER the recurrence's real steps: at the array
+        # end for the forward direction, at the front for reverse (the
+        # reverse recurrence starts from the highest index)
+        zeros = jnp.zeros((pad, N, 4 * H), dtype)
+        xw = (jnp.concatenate([zeros, xw], axis=0) if reverse
+              else jnp.concatenate([xw, zeros], axis=0))
+    Tp = T + pad
+    G = Tp // K
+
     if reverse:
-        index = lambda t: (T - 1 - t, 0, 0)
+        index = lambda g: (G - 1 - g, 0, 0)
     else:
-        index = lambda t: (t, 0, 0)
+        index = lambda g: (g, 0, 0)
 
     out = pl.pallas_call(
-        _lstm_kernel,
-        grid=(T,),
+        partial(_lstm_kernel, K, reverse),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, N, 4 * H), index),
-            pl.BlockSpec((H, 4 * H), lambda t: (0, 0)),
+            pl.BlockSpec((K, N, 4 * H), index),
+            pl.BlockSpec((H, 4 * H), lambda g: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, N, H), index),
-        out_shape=jax.ShapeDtypeStruct((T, N, H), dtype),
+        out_specs=pl.BlockSpec((K, N, H), index),
+        out_shape=jax.ShapeDtypeStruct((Tp, N, H), dtype),
         scratch_shapes=[
             pltpu.VMEM((N, H), jnp.float32),
             pltpu.VMEM((N, H), jnp.float32),
@@ -84,6 +106,8 @@ def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False):
         interpret=interpret,
     )(xw, w_hh)
 
+    if pad:
+        out = out[pad:] if reverse else out[:T]
     return jnp.swapaxes(out, 0, 1)
 
 

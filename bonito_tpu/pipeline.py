@@ -94,11 +94,14 @@ def process_iter(iterator, maxsize=8):
 
 class _ThreadMapWorker(threading.Thread):
     """One worker with its own input queue; order is preserved by
-    round-robin distribution and collection across workers."""
+    round-robin distribution and collection across workers. A raising
+    ``fn`` ends the stream and re-raises in the consumer instead of
+    hanging it."""
 
     def __init__(self, fn, inq, outq):
         super().__init__(daemon=True)
         self.fn, self.inq, self.outq = fn, inq, outq
+        self.error = None
 
     def run(self):
         while True:
@@ -107,7 +110,16 @@ class _ThreadMapWorker(threading.Thread):
                 self.outq.put(END)
                 return
             key, value = item
-            self.outq.put((key, self.fn(value)))
+            try:
+                self.outq.put((key, self.fn(value)))
+            except BaseException as e:  # noqa: BLE001 - propagated to consumer
+                self.error = e
+                # END first (unblocks the round-robin consumer), then keep
+                # draining input so the feeder never blocks on our full queue
+                self.outq.put(END)
+                while not isinstance(self.inq.get(), _End):
+                    pass
+                return
 
 
 def thread_map(fn, items, n_thread=4, maxsize=2, preserve_order=True):
@@ -135,18 +147,23 @@ def thread_map(fn, items, n_thread=4, maxsize=2, preserve_order=True):
             w.start()
         feed = threading.Thread(target=feeder, daemon=True)
         feed.start()
+        finished = [False] * n_thread
         done = 0
-        for i in count():
-            item = outqs[i % n_thread].get()
+        i = 0
+        while done < n_thread:
+            q = i % n_thread
+            i += 1
+            if finished[q]:
+                continue
+            item = outqs[q].get()
             if isinstance(item, _End):
+                finished[q] = True
                 done += 1
-                if done == n_thread:
-                    break
                 continue
             yield item
-        feed.join()
         for w in workers:
-            w.join()
+            if w.error is not None:
+                raise w.error
 
     return gen()
 
@@ -166,7 +183,15 @@ def _proc_worker(fn, inq, outq):
             outq.put("__END__")
             return
         key, value = item
-        outq.put((key, fn(value)))
+        try:
+            outq.put((key, fn(value)))
+        except BaseException:  # noqa: BLE001 - reported to consumer
+            import traceback
+            outq.put(("__ERROR__", traceback.format_exc()))
+            outq.put("__END__")
+            while inq.get() != "__END__":
+                pass
+            return
 
 
 def process_map(fn, items, n_proc=4, maxsize=2):
@@ -198,17 +223,29 @@ def process_map(fn, items, n_proc=4, maxsize=2):
 
         feed = threading.Thread(target=feeder, daemon=True)
         feed.start()
+        finished = [False] * n_proc
         done = 0
-        for i in count():
-            item = outqs[i % n_proc].get()
+        i = 0
+        error = None
+        while done < n_proc:
+            q = i % n_proc
+            i += 1
+            if finished[q]:
+                continue
+            item = outqs[q].get()
             if item == "__END__":
+                finished[q] = True
                 done += 1
-                if done == n_proc:
-                    break
+                continue
+            key, value = item
+            if key == "__ERROR__":
+                error = value
                 continue
             yield item
         feed.join()
         for p in procs:
             p.join()
+        if error is not None:
+            raise RuntimeError(f"process_map worker failed:\n{error}")
 
     return gen()

@@ -148,3 +148,19 @@ class TestLSTMTrainVJP:
             lstm_pallas_train(x, w_ih, w_hh, b, interpret=True))))(x)
         np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                    rtol=0.1, atol=0.02)
+
+
+class TestLSTMBlockK:
+    @pytest.mark.parametrize("reverse", [False, True])
+    @pytest.mark.parametrize("T", [12, 13, 7])
+    def test_blocked_matches_scan(self, reverse, T):
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas
+        C = H = 128
+        N = 8
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(12), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(13), (N, T, C))
+        ref = lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
+        out = lstm_pallas(x, w_ih, w_hh, b, reverse=reverse,
+                          interpret=True, block_k=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -52,3 +52,27 @@ class TestProcessMap:
 
 def _square(v):
     return v * v
+
+
+class TestErrorPropagation:
+    def test_thread_map_raises(self):
+        def boom(v):
+            if v == 5:
+                raise ValueError("worker exploded")
+            return v
+
+        gen = thread_map(boom, iter([(i, i) for i in range(20)]), n_thread=3)
+        with pytest.raises(ValueError, match="worker exploded"):
+            list(gen)
+
+    def test_process_map_raises(self):
+        gen = process_map(_maybe_boom, iter([(i, i) for i in range(10)]),
+                          n_proc=2)
+        with pytest.raises(RuntimeError, match="process_map worker failed"):
+            list(gen)
+
+
+def _maybe_boom(v):
+    if v == 3:
+        raise ValueError("proc exploded")
+    return v
