@@ -77,7 +77,7 @@ def _fwd_kernel(nb, R, stay_ref, moves_ref, alpha_out, choice_out,
     stay_m = stay + a_max
     is_move = mbest > stay_m
     amax_ref[...] = jnp.where(is_move, mbest, stay_m)
-    choice_out[0] = jnp.where(is_move, jbest + 1, 0).astype(jnp.int8)
+    choice_out[0] = jnp.where(is_move, jbest + 1, 0).astype(jnp.int32)
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
@@ -184,7 +184,7 @@ def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, S, N), jnp.float32),
-            jax.ShapeDtypeStruct((T, S, N), jnp.int8),
+            jax.ShapeDtypeStruct((T, S, N), jnp.int32),
             jax.ShapeDtypeStruct((S, N), jnp.float32),
             jax.ShapeDtypeStruct((S, N), jnp.float32),
         ],
