@@ -111,6 +111,12 @@ def main(args):
     if aligner:
         results = align_map(aligner, results, n_thread=args.alignment_threads)
 
+    from tqdm import tqdm
+    from bonito_tpu.util import tqdm_environ
+    results = tqdm(
+        results, desc="> calling", unit=" reads", leave=False,
+        smoothing=0, **tqdm_environ())
+
     output_dir = args.output_dir or "."
     if args.save_ctc:
         writer = CTCWriter(

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from bonito_tpu.pipeline import thread_iter
+from bonito_tpu.profiling import instrument
 from bonito_tpu.util import chunk, stitch, batchify, unbatchify
 from bonito_tpu.ops.decode import beam_search, to_str
 
@@ -97,24 +98,26 @@ def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
     chunks = thread_iter(
         ((read, 0, read.signal.shape[-1]),
          chunk(np.asarray(read.signal, np.float32), chunksize, overlap))
-        for read in reads
+        for read in instrument("read", reads)
     )
 
-    batches = thread_iter(batchify(chunks, batchsize=batchsize))
+    batches = thread_iter(batchify(instrument("chunk", chunks),
+                                   batchsize=batchsize))
 
     scores = thread_iter(
-        (spans, compute(batch)) for spans, batch in batches
+        (spans, compute(batch)) for spans, batch in instrument("batch", batches)
     )
 
     results = thread_iter(
         (read, stitch_results(attrs, end - start, chunksize, overlap,
                               model.stride, reverse))
-        for ((read, start, end), attrs) in unbatchify(scores)
+        for ((read, start, end), attrs) in unbatchify(
+            instrument("device", scores))
     )
 
     return thread_iter(
         (read, fmt(model.stride, attrs, model.alphabet, rna))
-        for read, attrs in results
+        for read, attrs in instrument("stitch", results)
     )
 
 
