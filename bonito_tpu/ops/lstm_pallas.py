@@ -61,9 +61,11 @@ def _lstm_kernel(K, descending, xw_ref, whh_ref, out_ref, h_ref, c_ref):
 
 
 @partial(jax.jit, static_argnames=("reverse", "interpret", "block_k"))
-def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False, block_k=4):
+def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False,
+                block_k=None):
     """x: [N, T, C]; w_ih: [C, 4H]; w_hh: [H, 4H]; b: [4H] or None
     -> hidden states [N, T, H]."""
+    import os
     N, T, C = x.shape
     H = w_hh.shape[0]
     dtype = x.dtype
@@ -73,6 +75,11 @@ def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False, block_k=4):
         xw = xw + b.astype(dtype)
     xw = jnp.swapaxes(xw, 0, 1)  # [T, N, 4H] time-major
 
+    if block_k is None:
+        # K > 1 amortises grid overhead but doubles stream buffers; K = 1
+        # measured fastest at hac sizes (bigger K starves double-buffering
+        # VMEM). Tunable for other shapes.
+        block_k = int(os.environ.get("BONITO_TPU_LSTM_BLOCK_K", 1))
     K = block_k
     pad = (-T) % K
     if pad:
