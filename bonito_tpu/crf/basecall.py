@@ -54,11 +54,14 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None):
         scores = model.apply(params, x.astype(model.compute_dtype))
         if reverse:
             scores = model.seqdist.reverse_complement(scores)
-        return beam_search(
+        out = beam_search(
             model.seqdist, scores,
             beam_width=int(decode_params.get("beam_width", 32)),
             qscale=qscale, qbias=qbias,
         )
+        # one packed array -> one device->host transfer per batch
+        return jnp.stack(
+            [out["sequence"], out["qstring"], out["moves"]]).astype(jnp.uint8)
 
     if mesh is not None:
         from bonito_tpu import parallel
@@ -77,8 +80,9 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None):
         x = batch[..., None]
         x = (jax.device_put(x, batch_sharding) if batch_sharding is not None
              else jnp.asarray(x))
-        out = step(params, x)
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+        packed = np.asarray(step(params, x))
+        return {"sequence": packed[0, :n], "qstring": packed[1, :n],
+                "moves": packed[2, :n]}
 
     return compute
 
