@@ -11,7 +11,6 @@ backend is our native minimizer-chaining mapper (native/mapper/mapper.cpp)
 import ctypes
 import gzip
 from dataclasses import dataclass, field
-from pathlib import Path
 
 from bonito_tpu import native
 from bonito_tpu.pipeline import thread_map

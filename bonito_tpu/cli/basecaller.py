@@ -11,7 +11,6 @@ import time
 from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
 from datetime import timedelta
 from itertools import chain
-from pathlib import Path
 
 import numpy as np
 

@@ -14,7 +14,7 @@ from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
 from datetime import timedelta
 
 from bonito_tpu.io import DuplexWriter, biofmt
-from bonito_tpu.pipeline import process_cancel, process_map
+from bonito_tpu.pipeline import process_map
 from bonito_tpu.util import init
 
 

@@ -15,7 +15,7 @@ from bonito_tpu.data import (
 )
 from bonito_tpu import schedule as schedules
 from bonito_tpu.util import load_symbol, model_directory, init
-from bonito_tpu.training import Trainer, load_state
+from bonito_tpu.training import Trainer
 
 
 def main(args):

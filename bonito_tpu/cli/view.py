@@ -10,7 +10,6 @@ import jax
 import numpy as np
 
 from bonito_tpu import models as model_zoo
-from bonito_tpu import nn
 from bonito_tpu.config import load_config
 from bonito_tpu.util import load_symbol
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bonito_tpu import nn
-from bonito_tpu.crf.seqdist import CTC_CRF, Log, Max
+from bonito_tpu.crf.seqdist import CTC_CRF, Log
 
 
 def rnn_encoder(n_base, state_len, insize=1, first_conv_size=4, stride=5,

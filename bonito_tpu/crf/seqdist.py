@@ -23,8 +23,6 @@ Semantics match the reference exactly (same idx table, same normalisation),
 verified in tests against a brute-force enumeration.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,8 +9,6 @@ with host collapse, plus a host prefix beam search; loss is CTC with label
 smoothing (reference: ctc/model.py:48-54).
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,6 @@ BAM with a warning).
 import os
 import sys
 import csv
-import queue
 import threading
 from collections import namedtuple, defaultdict
 from pathlib import Path
@@ -21,7 +20,7 @@ from threading import Thread
 
 import numpy as np
 
-from bonito_tpu.util import mean_qscore_from_qstring, tqdm_environ
+from bonito_tpu.util import mean_qscore_from_qstring
 
 __ont_bam_spec__ = "0.0.2"
 

@@ -505,7 +505,7 @@ class LSTM(Layer):
         return p
 
     def apply(self, params, x, ctx=None):
-        from bonito_tpu.ops.lstm import lstm, lstm_int8, lstm_scan
+        from bonito_tpu.ops.lstm import lstm, lstm_int8
         b = params.get("b")
         if "w_hh_q" in params:
             return lstm_int8(x, params["w_ih"], params["w_hh_q"],

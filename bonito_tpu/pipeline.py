@@ -16,7 +16,6 @@ C libraries or happens in worker processes.
 import queue
 import signal
 import threading
-from itertools import count
 from multiprocessing import Process, Queue, Event
 
 __all__ = [

@@ -27,7 +27,7 @@ from bonito_tpu.schedule import linear_warmup_cosine_decay
 from bonito_tpu.util import accuracy, decode_ref
 from bonito_tpu.io import CSVLogger
 from bonito_tpu.checkpoint import (
-    save_params, load_params, save_checkpoint, load_optim_state,
+    load_params, save_checkpoint, load_optim_state,
 )
 
 

@@ -9,8 +9,6 @@ blocked local attention on the MXU (bonito_tpu.ops.attention) instead of
 flash-attn CUDA kernels; everything is [N, T, C] batch-major.
 """
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
