@@ -72,7 +72,8 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None):
         batch_sharding = None
         params = model.params
 
-    def compute(batch):
+    def dispatch(batch):
+        """Enqueue one batch on the device; returns the unfetched result."""
         n = batch.shape[0]
         if n < batchsize:
             batch = np.concatenate(
@@ -80,10 +81,19 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None):
         x = batch[..., None]
         x = (jax.device_put(x, batch_sharding) if batch_sharding is not None
              else jnp.asarray(x))
-        packed = np.asarray(step(params, x))
+        return n, step(params, x)
+
+    def fetch(handle):
+        n, packed_dev = handle
+        packed = np.asarray(packed_dev)
         return {"sequence": packed[0, :n], "qstring": packed[1, :n],
                 "moves": packed[2, :n]}
 
+    def compute(batch):
+        return fetch(dispatch(batch))
+
+    compute.dispatch = dispatch
+    compute.fetch = fetch
     return compute
 
 
@@ -108,9 +118,21 @@ def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
     batches = thread_iter(batchify(instrument("chunk", chunks),
                                    batchsize=batchsize))
 
-    scores = thread_iter(
-        (spans, compute(batch)) for spans, batch in instrument("batch", batches)
-    )
+    def device_stage(batches, depth=2):
+        """Keep ``depth`` batches in flight: dispatch runs ahead of the
+        host fetch so the chip never idles on the device->host transfer."""
+        from collections import deque
+        pending = deque()
+        for spans, batch in batches:
+            pending.append((spans, compute.dispatch(batch)))
+            if len(pending) >= depth:
+                spans_done, handle = pending.popleft()
+                yield spans_done, compute.fetch(handle)
+        while pending:
+            spans_done, handle = pending.popleft()
+            yield spans_done, compute.fetch(handle)
+
+    scores = thread_iter(device_stage(instrument("batch", batches)))
 
     results = thread_iter(
         (read, stitch_results(attrs, end - start, chunksize, overlap,

@@ -166,6 +166,14 @@ MODELS = {
     "dna_r10.4.1_e8.2_400bps_hac@v4.3": lambda: lstm_crf_config(),
     "dna_r10.4.1_e8.2_400bps_sup@v5.0": lambda: transformer_crf_config(),
     "dna_r9.4.1_e8_fast@v2": lambda: conv_ctc_config(),
+    # RNA: same families, 130 bps chemistry at 4 kHz; the basecaller's
+    # --rna flag handles the 3'->5' sequence reversal
+    "rna004_130bps_fast@v3.0.1": lambda: lstm_crf_config(
+        features=96, num_layers=5, state_len=3, stride=5,
+        batchsize=1024, chunksize=6000, overlap=500, sample_rate=4000),
+    "rna004_130bps_hac@v3.0.1": lambda: lstm_crf_config(sample_rate=4000),
+    "rna004_130bps_sup@v5.0": lambda: transformer_crf_config(
+        sample_rate=4000),
 }
 
 
