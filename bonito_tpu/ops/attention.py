@@ -84,11 +84,18 @@ def local_attention(q, k, v, window, block=128):
 
 
 def attend(q, k, v, window=None, block=128):
-    """Dispatch: banded blocked path when the window fits, dense otherwise."""
+    """Dispatch: Pallas flash-style kernel on TPU, blocked XLA path
+    elsewhere, dense fallback when the window doesn't fit the blocking."""
+    import os
     if window is None or window == (-1, -1):
         return dense_attention(q, k, v)
     T = q.shape[2]
     left, right = window
+    if not os.environ.get("BONITO_TPU_NO_PALLAS"):
+        from bonito_tpu.ops import attention_pallas
+        if attention_pallas.supported(q, window, block):
+            return attention_pallas.local_attention_pallas(
+                q, k, v, (left, right), block)
     if T % block == 0 and left < block and right <= block:
         return local_attention(q, k, v, (left, right), block)
     return dense_attention(q, k, v, window)

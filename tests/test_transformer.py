@@ -129,3 +129,22 @@ class TestTransformerModel:
         m = Model(cfg)
         assert m.stride == 6
         assert m.seqdist.state_len == 5
+
+
+class TestPallasAttention:
+    def test_matches_dense(self):
+        from bonito_tpu.ops.attention_pallas import local_attention_pallas
+        q, k, v = _qkv(jax.random.PRNGKey(5), N=2, H=3, T=256, D=16)
+        for window in [(127, 128), (63, 64), (100, 20)]:
+            ref = dense_attention(q, k, v, window)
+            out = local_attention_pallas(q, k, v, window, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_single_block(self):
+        from bonito_tpu.ops.attention_pallas import local_attention_pallas
+        q, k, v = _qkv(jax.random.PRNGKey(6), T=128, D=64)
+        ref = dense_attention(q, k, v, (127, 128))
+        out = local_attention_pallas(q, k, v, (127, 128), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
