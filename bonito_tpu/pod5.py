@@ -301,23 +301,51 @@ def get_read_groups(directory, model, read_ids=None, skip=False, n_proc=1,
     return sorted(groups)
 
 
+def _read_file(args):
+    """Worker: parse one pod5 file into a list of Read objects (plain
+    attrs + numpy signal — picklable across the process boundary)."""
+    filename, read_ids, skip, do_trim, scaling_strategy, norm_params = args
+    out = []
+    try:
+        p5 = Pod5File(filename)
+    except Exception as e:
+        sys.stderr.write(f"> warning: {filename} - {e}\n")
+        return out
+    for row in range(p5.num_reads()):
+        rid = str(uuid.UUID(bytes=bytes(
+            p5.reads.column("read_id")[row].as_py())))
+        if not (read_ids is None or (rid in read_ids) ^ skip):
+            continue
+        try:
+            out.append(Read(p5, row, filename, do_trim=do_trim,
+                            scaling_strategy=scaling_strategy,
+                            norm_params=norm_params))
+        except Exception as e:
+            sys.stderr.write(f"> warning: {filename} {rid} - {e}\n")
+    return out
+
+
 def get_reads(directory, read_ids=None, skip=False, max_read_size=0,
               n_proc=1, recursive=False, cancel=None, do_trim=True,
               scaling_strategy=None, norm_params=None):
-    for filename in _files(directory, recursive):
-        try:
-            p5 = Pod5File(filename)
-        except Exception as e:
-            sys.stderr.write(f"> warning: {filename} - {e}\n")
-            continue
-        for row in range(p5.num_reads()):
-            rid = str(uuid.UUID(bytes=bytes(
-                p5.reads.column("read_id")[row].as_py())))
-            if not (read_ids is None or (rid in read_ids) ^ skip):
-                continue
-            read = Read(p5, row, filename, do_trim=do_trim,
-                        scaling_strategy=scaling_strategy,
-                        norm_params=norm_params)
+    """Stream reads; files are parsed (signal decompression + trim +
+    normalisation) in ``n_proc`` worker processes — the per-host sharded
+    prefetcher shape from SURVEY.md §7."""
+    from bonito_tpu.pipeline import process_map
+
+    files = _files(directory, recursive)
+    args = [(f, read_ids, skip, do_trim, scaling_strategy, norm_params)
+            for f in files]
+
+    if n_proc <= 1 or len(files) <= 1:
+        batches = ((None, _read_file(a)) for a in args)
+    else:
+        batches = process_map(
+            _read_file, ((i, a) for i, a in enumerate(args)),
+            n_proc=min(n_proc, len(files)))
+
+    for _, reads in batches:
+        for read in reads:
             if max_read_size > 0 and len(read.signal) > max_read_size:
                 sys.stderr.write(
                     f"> skipping long read {read.read_id} "

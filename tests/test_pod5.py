@@ -87,3 +87,16 @@ class TestPod5:
         bad.write_bytes(b"not a pod5 at all")
         with pytest.raises(ValueError):
             Pod5File(bad)
+
+    def test_multiprocess_reader(self, tmp_path):
+        import uuid as _uuid
+        rng = np.random.default_rng(5)
+        for f in range(3):
+            reads = [{
+                "read_id": str(_uuid.UUID(int=f * 10 + i + 1)),
+                "signal": rng.integers(0, 500, size=3000).astype(np.int16),
+            } for i in range(2)]
+            write_pod5(tmp_path / f"f{f}.pod5", reads)
+        out = list(get_reads(str(tmp_path), n_proc=3))
+        assert len(out) == 6
+        assert len({r.read_id for r in out}) == 6
