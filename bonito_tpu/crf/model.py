@@ -112,8 +112,18 @@ class SeqdistModel:
     # -- decoding -------------------------------------------------------------------
 
     def decode_batch(self, scores):
-        """Viterbi strings from raw scores (posterior-space, as the
-        reference's decode_batch: bonito/crf/model.py:196-199)."""
+        """Viterbi strings from raw scores. Uses the fused decode (exact
+        MAP path) — the reference's decode_batch Viterbi-s +1e-8-smoothed
+        posteriors instead (bonito/crf/model.py:196-199), which only
+        differs on near-tie frames; the smoothed variant is
+        decode_batch_posteriors."""
+        from bonito_tpu.ops.decode import viterbi_decode
+        out = viterbi_decode(self.seqdist, jnp.asarray(scores))
+        seqs = np.asarray(out["sequence"])
+        return [self.seqdist.path_to_str(p) for p in seqs]
+
+    def decode_batch_posteriors(self, scores):
+        """Reference-semantics validation decoder (smoothed posteriors)."""
         scores = jnp.asarray(scores, jnp.float32)
         post = self.seqdist.posteriors(scores, Log) + 1e-8
         paths = np.asarray(self.seqdist.viterbi(jnp.log(post)))
