@@ -171,6 +171,14 @@ def thread_starmap(fn, items, n_thread=4):
     return thread_map(lambda args: fn(*args), items, n_thread=n_thread)
 
 
+def thread_itemmap(fn, items, n_thread=4):
+    """Apply fn to the whole (key, value) item, yielding fn's results in
+    order (reference: bonito/multiprocessing.py:66-70 semantics)."""
+    indexed = ((i, item) for i, item in enumerate(items))
+    return (out for _, out in thread_map(
+        lambda kv: fn(*kv), indexed, n_thread=n_thread))
+
+
 # ---------------------------------------------------------------------------
 # process map (for CPU-heavy per-item work, e.g. host CTC beam decoding)
 # ---------------------------------------------------------------------------

@@ -27,6 +27,18 @@ __data_dir__ = __dir__ / "data"
 _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 
 
+def permute(x, input_layout, output_layout):
+    """
+    Reorder array dims by layout strings (reference: bonito/util.py:56-63).
+
+    >>> permute(np.zeros((2, 3, 4)), 'TNC', 'NTC').shape
+    (3, 2, 4)
+    """
+    if input_layout == output_layout:
+        return x
+    return x.transpose(*[input_layout.index(c) for c in output_layout])
+
+
 # ---------------------------------------------------------------------------
 # type-agnostic container helpers (np arrays / lists / strs / dicts)
 # ---------------------------------------------------------------------------
