@@ -46,6 +46,13 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         model.init(jax.random.PRNGKey(0))
         chunksize = chunksize or 12288
         batchsize = batchsize or 32
+    elif model_kind == "fast":
+        from bonito_tpu.models import get_config
+        from bonito_tpu.crf.model import Model
+        model = Model(get_config("dna_r10.4.1_e8.2_400bps_fast@v4.3"))
+        model.init(jax.random.PRNGKey(0))
+        chunksize = chunksize or 6000
+        batchsize = batchsize or 512
     else:
         from __graft_entry__ import _build_model
         model = _build_model()

@@ -60,15 +60,37 @@ def _lstm_kernel(K, descending, xw_ref, whh_ref, out_ref, h_ref, c_ref):
     h_ref[...] = h
 
 
+def _pad_gates(w_hh, b, H, Hp):
+    """Zero-pad W_hh [H, 4H] -> [Hp, 4Hp] per gate block (and b -> [4Hp]).
+    Padded hidden lanes produce garbage but cannot leak into real lanes:
+    the padded W_hh rows are zero."""
+    wg = w_hh.reshape(H, 4, H)
+    wg = jnp.pad(wg, ((0, Hp - H), (0, 0), (0, Hp - H)))
+    bp = None
+    if b is not None:
+        bp = jnp.pad(b.reshape(4, H), ((0, 0), (0, Hp - H))).reshape(4 * Hp)
+    return wg.reshape(Hp, 4 * Hp), bp
+
+
 @partial(jax.jit, static_argnames=("reverse", "interpret", "block_k"))
 def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False,
                 block_k=None):
     """x: [N, T, C]; w_ih: [C, 4H]; w_hh: [H, 4H]; b: [4H] or None
-    -> hidden states [N, T, H]."""
+    -> hidden states [N, T, H]. H is lane-padded to a 128 multiple when
+    needed (small "fast" models have H=96)."""
     import os
     N, T, C = x.shape
     H = w_hh.shape[0]
     dtype = x.dtype
+
+    H_orig = H
+    Hp = -(-H // 128) * 128
+    if Hp != H:
+        w_hh, b_p = _pad_gates(w_hh, b, H, Hp)
+        w_ih = jnp.pad(w_ih.reshape(C, 4, H),
+                       ((0, 0), (0, 0), (0, Hp - H))).reshape(C, 4 * Hp)
+        b = b_p
+        H = Hp
 
     xw = x @ w_ih.astype(dtype)
     if b is not None:
@@ -115,7 +137,10 @@ def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False,
 
     if pad:
         out = out[pad:] if reverse else out[:T]
-    return jnp.swapaxes(out, 0, 1)
+    out = jnp.swapaxes(out, 0, 1)
+    if H_orig != H:
+        out = out[..., :H_orig]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -394,8 +419,8 @@ def supported(x, w_hh, require_tpu=True):
     if require_tpu and jax.default_backend() != "tpu":
         return False
     N, T, C = x.shape
-    H = w_hh.shape[0]
-    if H % 128 != 0 or H * 4 % 128 != 0:
+    H = -(-w_hh.shape[0] // 128) * 128   # lane-padded if needed
+    if H % 8 != 0:
         return False
     itemsize = 2 if x.dtype in (jnp.bfloat16, jnp.float16) else 4
     whh_bytes = H * 4 * H * itemsize

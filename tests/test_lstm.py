@@ -67,8 +67,9 @@ class TestLSTMPallas:
         x = jnp.zeros((96, 100, 1024), jnp.bfloat16)
         assert supported(x, jnp.zeros((1024, 4096), jnp.bfloat16),
                          require_tpu=False)
-        assert not supported(x, jnp.zeros((96, 384), jnp.bfloat16),
-                             require_tpu=False)  # H % 128
+        # small H is lane-padded, so also supported
+        assert supported(x, jnp.zeros((96, 384), jnp.bfloat16),
+                         require_tpu=False)
         assert not supported(x, jnp.zeros((1024, 4096), jnp.bfloat16))  # CPU
 
 
@@ -162,5 +163,19 @@ class TestLSTMBlockK:
         ref = lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
         out = lstm_pallas(x, w_ih, w_hh, b, reverse=reverse,
                           interpret=True, block_k=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestLSTMHPadding:
+    def test_h96_matches_scan(self):
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas
+        C, H = 96, 96
+        N, T = 8, 11
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(20), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(21), (N, T, C))
+        ref = lstm_scan(x, w_ih, w_hh, b)
+        out = lstm_pallas(x, w_ih, w_hh, b, interpret=True)
+        assert out.shape == ref.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
