@@ -95,6 +95,10 @@ def main(args):
         cancel=cancel,
     )
 
+    if args.max_reads:
+        from itertools import islice
+        reads = islice(reads, args.max_reads)
+
     if args.save_ctc:
         reads = (
             ctc_chunk for read in reads
@@ -117,11 +121,14 @@ def main(args):
         smoothing=0, **tqdm_environ())
 
     output_dir = args.output_dir or "."
+    min_acc_ctc = (args.min_accuracy_save_ctc
+                   if args.min_accuracy_save_ctc is not None
+                   else args.ctc_min_accuracy)
     if args.save_ctc:
         writer = CTCWriter(
             fmt.mode, results, aligner,
             min_coverage=args.ctc_min_coverage,
-            min_accuracy=args.ctc_min_accuracy,
+            min_accuracy=min_acc_ctc,
             output_dir=output_dir, rna=args.rna, min_qscore=args.min_qscore,
         )
     elif args.no_output:
@@ -172,7 +179,15 @@ def argparser():
     parser.add_argument("--overlap", default=None, type=int)
     parser.add_argument("--batchsize", default=None, type=int)
     parser.add_argument("--max-read-size", default=0, type=int)
+    parser.add_argument("--max-reads", default=0, type=int)
     parser.add_argument("--alignment-threads", default=8, type=int)
     parser.add_argument("--min-qscore", default=0, type=int)
+    parser.add_argument("--min-accuracy-save-ctc", default=None, type=float,
+                        help="alias of --ctc-min-accuracy (reference flag)")
     parser.add_argument("--n-proc", default=8, type=int)
+    parser.add_argument("--device", default=None,
+                        help="accepted for reference CLI compatibility; "
+                             "device selection is automatic (mesh over all "
+                             "local chips)")
+    parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser
