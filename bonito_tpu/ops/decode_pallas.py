@@ -41,7 +41,7 @@ def _lse(a, b):
     return big + jnp.log(jnp.exp(a - big) + jnp.exp(b - big))
 
 
-def _fwd_kernel(nb, R, stay_ref, moves_ref, alpha_out, choice_out,
+def _fwd_kernel(nb, R, K, stay_ref, moves_ref, alpha_out, choice_out,
                 alog_out, amax_out, alog_ref, amax_ref):
     t = pl.program_id(0)
     S, N = alog_ref.shape
@@ -53,39 +53,42 @@ def _fwd_kernel(nb, R, stay_ref, moves_ref, alpha_out, choice_out,
 
     a_log = alog_ref[...]
     a_max = amax_ref[...]
-    alpha_out[0] = a_log
 
-    stay = stay_ref[0].astype(jnp.float32)               # [S, N]
-    moves = moves_ref[0].astype(jnp.float32).reshape(nb, nb, R, N)  # [b,j,r,N]
+    for k in range(K):
+        alpha_out[k] = a_log
+        stay = stay_ref[k].astype(jnp.float32)            # [S, N]
+        moves = moves_ref[k].astype(jnp.float32).reshape(nb, nb, R, N)
 
-    # Log semiring: alpha viewed by predecessor (j, r)
-    a_view = a_log.reshape(nb, R, N)                     # [j, r, N]
-    cand = moves + a_view[None]                          # [b, j, r, N]
-    m = jnp.max(cand, axis=1)
-    move_in = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None]), axis=1))
-    # [b, r, N] -> successor order s = r*nb + b
-    move_in = jnp.swapaxes(move_in, 0, 1).reshape(S, N)
-    alog_ref[...] = _lse(stay + a_log, move_in)
+        # Log semiring: alpha viewed by predecessor (j, r)
+        a_view = a_log.reshape(nb, R, N)                  # [j, r, N]
+        cand = moves + a_view[None]                       # [b, j, r, N]
+        m = jnp.max(cand, axis=1)
+        move_in = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None]), axis=1))
+        move_in = jnp.swapaxes(move_in, 0, 1).reshape(S, N)
+        a_log = _lse(stay + a_log, move_in)
 
-    # Max semiring + choices
-    ax_view = a_max.reshape(nb, R, N)
-    cand = moves + ax_view[None]
-    jbest = jnp.argmax(cand, axis=1)                     # [b, r, N] i32
-    mbest = jnp.max(cand, axis=1)
-    jbest = jnp.swapaxes(jbest, 0, 1).reshape(S, N)
-    mbest = jnp.swapaxes(mbest, 0, 1).reshape(S, N)
-    stay_m = stay + a_max
-    is_move = mbest > stay_m
-    amax_ref[...] = jnp.where(is_move, mbest, stay_m)
-    choice_out[0] = jnp.where(is_move, jbest + 1, 0).astype(jnp.int32)
+        # Max semiring + choices
+        ax_view = a_max.reshape(nb, R, N)
+        cand = moves + ax_view[None]
+        jbest = jnp.argmax(cand, axis=1)                  # [b, r, N] i32
+        mbest = jnp.max(cand, axis=1)
+        jbest = jnp.swapaxes(jbest, 0, 1).reshape(S, N)
+        mbest = jnp.swapaxes(mbest, 0, 1).reshape(S, N)
+        stay_m = stay + a_max
+        is_move = mbest > stay_m
+        a_max = jnp.where(is_move, mbest, stay_m)
+        choice_out[k] = jnp.where(is_move, jbest + 1, 0).astype(jnp.int32)
+
+    alog_ref[...] = a_log
+    amax_ref[...] = a_max
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
-        alog_out[...] = alog_ref[...]
-        amax_out[...] = amax_ref[...]
+        alog_out[...] = a_log
+        amax_out[...] = a_max
 
 
-def _bwd_kernel(nb, R, stay_ref, moves_ref, alpha_ref, choice_ref, end_ref,
+def _bwd_kernel(nb, R, K, stay_ref, moves_ref, alpha_ref, choice_ref, end_ref,
                 emit_out, beta_ref, state_ref):
     t = pl.program_id(0)
     S, N = beta_ref.shape
@@ -97,47 +100,51 @@ def _bwd_kernel(nb, R, stay_ref, moves_ref, alpha_ref, choice_ref, end_ref,
 
     beta = beta_ref[...]
     onehot = state_ref[...]                              # [S, N] one-hot f32
-
-    stay = stay_ref[0].astype(jnp.float32)
-    moves = moves_ref[0].astype(jnp.float32).reshape(nb, nb, R, N)
-    a_log = alpha_ref[0]                                 # [S, N]
-
-    # traceback lookups (one-hot reduces over sublanes)
     srow = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
-    choice = jnp.sum(choice_ref[0].astype(jnp.float32) * onehot, axis=0)
-    state_idx = jnp.sum(srow * onehot, axis=0)           # [N]
-    is_move = choice > 0.5
-    base = jnp.mod(state_idx, nb) + 1.0
-    j = jnp.maximum(choice - 1.0, 0.0)
-    prev_idx = jnp.where(
-        is_move, jnp.floor(state_idx / nb) + j * R, state_idx)
-    state_ref[...] = (srow == prev_idx[None]).astype(jnp.float32)
-
-    # emitted-base posterior mass:
-    # LSE over (j, r) of alpha[j*R+r] + moves[b,j,r] + beta[r*nb+b]
-    a_view = a_log.reshape(nb, R, N)                     # [j, r, N]
-    b_view = jnp.swapaxes(beta.reshape(R, nb, N), 0, 1)  # [b, r, N]
-    edge = moves + a_view[None] + b_view[:, None]        # [b, j, r, N]
-    m = jnp.max(edge, axis=(1, 2))
-    base_logp = m + jnp.log(
-        jnp.sum(jnp.exp(edge - m[:, None, None]), axis=(1, 2)))  # [b, N]
     brow = jax.lax.broadcasted_iota(
         jnp.int32, (nb, N), 0).astype(jnp.float32)
-    chosen = jnp.sum(
-        base_logp * (brow == (base - 1.0)[None]).astype(jnp.float32), axis=0)
 
-    code = jnp.where(is_move, base, 0.0)
-    emit = jnp.concatenate([
-        code[None], chosen[None],
-        jnp.zeros((emit_out.shape[1] - 2, N), jnp.float32)], axis=0)
-    emit_out[0] = emit
+    for k in range(K - 1, -1, -1):
+        stay = stay_ref[k].astype(jnp.float32)
+        moves = moves_ref[k].astype(jnp.float32).reshape(nb, nb, R, N)
+        a_log = alpha_ref[k]                             # [S, N]
 
-    # beta update to time t: new beta[p = j*R + r] (j-major: plain reshape)
-    move_out = moves + b_view[:, None]                   # [b, j, r, N]
-    mm = jnp.max(move_out, axis=0)
-    move_lse = mm + jnp.log(
-        jnp.sum(jnp.exp(move_out - mm[None]), axis=0))   # [j, r, N]
-    beta_ref[...] = _lse(stay + beta, move_lse.reshape(S, N))
+        # traceback lookups (one-hot reduces over sublanes)
+        choice = jnp.sum(choice_ref[k].astype(jnp.float32) * onehot, axis=0)
+        state_idx = jnp.sum(srow * onehot, axis=0)       # [N]
+        is_move = choice > 0.5
+        base = jnp.mod(state_idx, nb) + 1.0
+        j = jnp.maximum(choice - 1.0, 0.0)
+        prev_idx = jnp.where(
+            is_move, jnp.floor(state_idx / nb) + j * R, state_idx)
+        onehot = (srow == prev_idx[None]).astype(jnp.float32)
+
+        # emitted-base posterior mass:
+        # LSE over (j, r) of alpha[j*R+r] + moves[b,j,r] + beta[r*nb+b]
+        a_view = a_log.reshape(nb, R, N)                 # [j, r, N]
+        b_view = jnp.swapaxes(beta.reshape(R, nb, N), 0, 1)  # [b, r, N]
+        edge = moves + a_view[None] + b_view[:, None]    # [b, j, r, N]
+        m = jnp.max(edge, axis=(1, 2))
+        base_logp = m + jnp.log(
+            jnp.sum(jnp.exp(edge - m[:, None, None]), axis=(1, 2)))  # [b, N]
+        chosen = jnp.sum(
+            base_logp * (brow == (base - 1.0)[None]).astype(jnp.float32),
+            axis=0)
+
+        code = jnp.where(is_move, base, 0.0)
+        emit_out[k] = jnp.concatenate([
+            code[None], chosen[None],
+            jnp.zeros((emit_out.shape[1] - 2, N), jnp.float32)], axis=0)
+
+        # beta update: new beta[p = j*R + r] (j-major: plain reshape)
+        move_out = moves + b_view[:, None]               # [b, j, r, N]
+        mm = jnp.max(move_out, axis=0)
+        move_lse = mm + jnp.log(
+            jnp.sum(jnp.exp(move_out - mm[None]), axis=0))
+        beta = _lse(stay + beta, move_lse.reshape(S, N))
+
+    beta_ref[...] = beta
+    state_ref[...] = onehot
 
 
 def on_tpu():
@@ -155,6 +162,18 @@ def supported(seqdist, scores, require_tpu=True):
     )
 
 
+def _block_k(S):
+    import os
+    env = os.environ.get("BONITO_TPU_DECODE_BLOCK_K")
+    if env:
+        return int(env)
+    if S <= 128:
+        return 8
+    if S <= 256:
+        return 4
+    return 1
+
+
 @partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias", "interpret"))
 def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
                           interpret=False):
@@ -168,23 +187,35 @@ def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
     moves = ms.reshape(N, T, R, nb, nb + 1)[..., 1:]      # [N, T, r, b, j]
     moves = moves.transpose(1, 3, 4, 2, 0).reshape(T, nb * nb, R, N)
 
-    dt = scores.dtype
+    # K timesteps per grid step (amortises pipeline overhead on small-S
+    # models); identity padding: stay=0 / moves=-inf leaves alpha, beta
+    # and the traceback state unchanged on padded rows
+    K = _block_k(S)
+    pad = (-T) % K
+    if pad:
+        stay = jnp.concatenate(
+            [stay, jnp.zeros((pad, S, N), stay.dtype)], axis=0)
+        moves = jnp.concatenate(
+            [moves, jnp.full((pad, nb * nb, R, N), NEG, moves.dtype)], axis=0)
+    Tp = T + pad
+    G = Tp // K
+
     alpha, choices, alog_T, amax_T = pl.pallas_call(
-        partial(_fwd_kernel, nb, R),
-        grid=(T,),
+        partial(_fwd_kernel, nb, R, K),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, nb * nb, R, N), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((K, nb * nb, R, N), lambda g: (g, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
-            pl.BlockSpec((S, N), lambda t: (0, 0)),
-            pl.BlockSpec((S, N), lambda t: (0, 0)),
+            pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((S, N), lambda g: (0, 0)),
+            pl.BlockSpec((S, N), lambda g: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, S, N), jnp.float32),
-            jax.ShapeDtypeStruct((T, S, N), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, S, N), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, S, N), jnp.int32),
             jax.ShapeDtypeStruct((S, N), jnp.float32),
             jax.ShapeDtypeStruct((S, N), jnp.float32),
         ],
@@ -200,17 +231,17 @@ def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
     end_onehot = jax.nn.one_hot(end_state, S, axis=0, dtype=jnp.float32)
 
     emit = pl.pallas_call(
-        partial(_bwd_kernel, nb, R),
-        grid=(T,),
+        partial(_bwd_kernel, nb, R, K),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, S, N), lambda t: (T - 1 - t, 0, 0)),
-            pl.BlockSpec((1, nb * nb, R, N), lambda t: (T - 1 - t, 0, 0, 0)),
-            pl.BlockSpec((1, S, N), lambda t: (T - 1 - t, 0, 0)),
-            pl.BlockSpec((1, S, N), lambda t: (T - 1 - t, 0, 0)),
-            pl.BlockSpec((S, N), lambda t: (0, 0)),
+            pl.BlockSpec((K, S, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((K, nb * nb, R, N), lambda g: (G - 1 - g, 0, 0, 0)),
+            pl.BlockSpec((K, S, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((K, S, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((S, N), lambda g: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 8, N), lambda t: (T - 1 - t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, 8, N), jnp.float32),
+        out_specs=pl.BlockSpec((K, 8, N), lambda g: (G - 1 - g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, 8, N), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((S, N), jnp.float32),
             pltpu.VMEM((S, N), jnp.float32),
@@ -218,8 +249,8 @@ def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
         interpret=interpret,
     )(stay, moves, alpha, choices, end_onehot)
 
-    code = emit[:, 0, :].T                                # [N, T]
-    chosen_logp = emit[:, 1, :].T
+    code = emit[:T, 0, :].T                               # [N, T]
+    chosen_logp = emit[:T, 1, :].T
 
     is_move = code > 0.5
     prob = jnp.exp(chosen_logp - logZ[:, None])
