@@ -162,16 +162,17 @@ def supported(seqdist, scores, require_tpu=True):
     )
 
 
-def _block_k(S):
+def _block_k(S, N, nb):
     import os
     env = os.environ.get("BONITO_TPU_DECODE_BLOCK_K")
     if env:
         return int(env)
-    if S <= 128:
-        return 8
-    if S <= 256:
-        return 4
-    return 1
+    # per-timestep stream bytes across both kernels' buffers:
+    # stay bf16 + moves bf16 (nb*S wide) + alpha f32 + choices i32, double-
+    # buffered; keep total under ~11 MB of the 16 MB VMEM
+    per_step = S * N * (2 + 2 * nb + 4 + 4) * 2
+    k = max(1, (11 << 20) // max(per_step, 1))
+    return min(k, 8)
 
 
 @partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias", "interpret"))
@@ -190,7 +191,7 @@ def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
     # K timesteps per grid step (amortises pipeline overhead on small-S
     # models); identity padding: stay=0 / moves=-inf leaves alpha, beta
     # and the traceback state unchanged on padded rows
-    K = _block_k(S)
+    K = _block_k(S, N, nb)
     pad = (-T) % K
     if pad:
         stay = jnp.concatenate(
