@@ -52,7 +52,9 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         model = Model(get_config("dna_r10.4.1_e8.2_400bps_fast@v4.3"))
         model.init(jax.random.PRNGKey(0))
         chunksize = chunksize or 6000
-        batchsize = batchsize or 512
+        batchsize = batchsize or 1024
+        # tiny recurrences are grid-overhead-bound; 4 steps/grid measured best
+        os.environ.setdefault("BONITO_TPU_LSTM_BLOCK_K", "4")
     else:
         from __graft_entry__ import _build_model
         model = _build_model()
