@@ -84,13 +84,9 @@ def _iter_read_groups(f5):
     if "Raw" in f5:  # single-read legacy layout
         reads = f5["Raw/Reads"]
         for name in reads:
-            grp = reads[name]
-
-            class _Shim(dict):
-                pass
-            shim = {"Raw": grp, "channel_id": f5["UniqueGlobalKey/channel_id"],
-                    "tracking_id": f5["UniqueGlobalKey/tracking_id"]}
-            yield shim
+            yield {"Raw": reads[name],
+                   "channel_id": f5["UniqueGlobalKey/channel_id"],
+                   "tracking_id": f5["UniqueGlobalKey/tracking_id"]}
     else:
         for name in f5:
             if name.startswith("read_"):

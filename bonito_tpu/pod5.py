@@ -221,10 +221,23 @@ class Pod5File:
         return (np.concatenate(parts) if parts
                 else np.empty(0, np.int16))
 
-    def run_info_row(self, idx):
-        if self.run_info is None or idx is None or idx >= self.run_info.num_rows:
+    def run_info_row(self, key):
+        """Run-info row by integer index or acquisition id (real pod5
+        files dictionary-encode the reads table's run_info column as the
+        acquisition_id string)."""
+        if self.run_info is None or key is None:
             return {}
-        return {name: self.run_info.column(name)[idx].as_py()
+        if isinstance(key, str):
+            if "acquisition_id" not in self.run_info.schema.names:
+                return {}
+            ids = self.run_info.column("acquisition_id").to_pylist()
+            try:
+                key = ids.index(key)
+            except ValueError:
+                return {}
+        if key >= self.run_info.num_rows:
+            return {}
+        return {name: self.run_info.column(name)[key].as_py()
                 for name in self.run_info.schema.names}
 
     def _col(self, name, row, default=None):
@@ -242,11 +255,7 @@ class Read(BaseRead):
         self.read_id = str(uuid.UUID(bytes=rid))
         self.filename = Path(filename).name
 
-        ri_idx = p5._col("run_info", row)
-        if isinstance(ri_idx, str):
-            info = {}
-        else:
-            info = p5.run_info_row(ri_idx)
+        info = p5.run_info_row(p5._col("run_info", row))
         self.run_id = info.get("acquisition_id", "") or ""
         self.sample_id = info.get("sample_id", "unset") or "unset"
         self.flow_cell_id = info.get("flow_cell_id", "") or ""
