@@ -167,12 +167,15 @@ def _block_k(S, N, nb):
     env = os.environ.get("BONITO_TPU_DECODE_BLOCK_K")
     if env:
         return int(env)
-    # per-timestep stream bytes across both kernels' buffers:
-    # stay bf16 + moves bf16 (nb*S wide) + alpha f32 + choices i32, double-
-    # buffered; keep total under ~11 MB of the 16 MB VMEM
-    per_step = S * N * (2 + 2 * nb + 4 + 4) * 2
-    k = max(1, (11 << 20) // max(per_step, 1))
-    return min(k, 8)
+    # VMEM model: all buffers pad the lane dim (N) to 128; kernel-body
+    # temporaries (cand/edge blocks and their exp copies) cost ~14 f32
+    # planes of [S, N] independent of K; per-K stream cost = stay bf16 +
+    # moves bf16 (nb*S wide) + alpha f32 + choices i32, double-buffered.
+    eff_n = -(-N // 128) * 128
+    plane = S * eff_n
+    avail = (16 << 20) - 14 * plane * 4
+    per_k = plane * (2 + 2 * nb + 4 + 4) * 2
+    return max(1, min(4, avail // max(per_k, 1)))
 
 
 @partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias", "interpret"))
