@@ -174,10 +174,20 @@ def import_torch_checkpoint(path, model):
     decoder = getattr(model, "decoder", None)
     if decoder is not None:
         trees.append(("decoder", decoder))
+    def visit(layer, full):
+        entries = _expected_torch_params(layer, full)
+        expected.extend(entries)
+        if entries:
+            return  # parametric layers map their whole subtree (incl. norms)
+        for name, sub in layer.sublayer_items():
+            visit(sub, f"{full}.{name}")
+
     for prefix, tree in trees:
-        for lpath, layer in nn.walk(tree):
-            full = f"{prefix}.{lpath}" if lpath else prefix
-            expected.extend(_expected_torch_params(layer, full))
+        visit(tree, prefix)
+
+    rewrite = getattr(model, "rewrite_torch_keys", None)
+    if rewrite is not None:
+        expected = [(rewrite(tk), ok, conv) for tk, ok, conv in expected]
 
     remap = _match_names(state, expected)
     params = {}

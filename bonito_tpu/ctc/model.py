@@ -123,6 +123,42 @@ class Block(nn.Layer):
             items += [("res_conv", self.res[0]), ("res_bn", self.res[1])]
         return items
 
+    def torch_param_map(self, path):
+        """Reference QuartzNet module key layout (bonito/ctc/model.py:124-192:
+        Block.conv = ModuleList interleaving TCSConv/BN/act/Dropout, so the
+        k-th conv sits at index 4k, its BN at 4k+1; residual at
+        residual.0/.1; the torch tree nests one extra `.encoder`)."""
+        import numpy as np
+        t = lambda *axes: (lambda a: np.transpose(a, axes))
+        ident = lambda a: a
+        root, idx = path.split(".", 1)
+        tp = f"{root}.encoder.{idx}"
+        out = []
+
+        def conv_entries(tprefix, oprefix, conv):
+            if conv.separable:
+                out.append((f"{tprefix}.depthwise.weight",
+                            f"{oprefix}.w_depth", t(2, 1, 0)))
+                out.append((f"{tprefix}.pointwise.weight",
+                            f"{oprefix}.w_point", t(2, 1, 0)))
+            else:
+                out.append((f"{tprefix}.conv.weight",
+                            f"{oprefix}.w", t(2, 1, 0)))
+
+        def bn_entries(tprefix, oprefix):
+            out.append((f"{tprefix}.weight", f"{oprefix}.scale", ident))
+            out.append((f"{tprefix}.bias", f"{oprefix}.bias", ident))
+            out.append((f"{tprefix}.running_mean", f"{oprefix}.mean", ident))
+            out.append((f"{tprefix}.running_var", f"{oprefix}.var", ident))
+
+        for k, (conv, _) in enumerate(self.convs):
+            conv_entries(f"{tp}.conv.{4 * k}", f"{path}.conv{k}", conv)
+            bn_entries(f"{tp}.conv.{4 * k + 1}", f"{path}.bn{k}")
+        if self.residual:
+            conv_entries(f"{tp}.residual.0", f"{path}.res_conv", self.res[0])
+            bn_entries(f"{tp}.residual.1", f"{path}.res_bn")
+        return out
+
 
 class Model:
     """Conv-CTC model producing log posteriors [N, T, n_labels]."""
@@ -168,6 +204,14 @@ class Model:
         self.compute_dtype = jnp.bfloat16
         self.params = nn.cast_tree(self.params, jnp.bfloat16)
         return self
+
+    @staticmethod
+    def rewrite_torch_keys(key):
+        """Reference decoder is Decoder.layers (Sequential), not a bare
+        Convolution (bonito/ctc/model.py:195-207)."""
+        if key.startswith("decoder.0.conv."):
+            return key.replace("decoder.0.conv.", "decoder.layers.0.")
+        return key
 
     def apply(self, params, x, ctx=None):
         h = self.encoder.apply(params["encoder"],
