@@ -45,7 +45,7 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         model = Model(config)
         model.init(jax.random.PRNGKey(0))
         chunksize = chunksize or 12288
-        batchsize = batchsize or 32
+        batchsize = batchsize or 128
     elif model_kind == "fast":
         from bonito_tpu.models import get_config
         from bonito_tpu.crf.model import Model
