@@ -83,15 +83,17 @@ def local_attention(q, k, v, window, block=128):
     return out.reshape(N, H, T, D)
 
 
-def attend(q, k, v, window=None, block=128):
+def attend(q, k, v, window=None, block=128, differentiable=False):
     """Dispatch: Pallas flash-style kernel on TPU, blocked XLA path
-    elsewhere, dense fallback when the window doesn't fit the blocking."""
+    elsewhere, dense fallback when the window doesn't fit the blocking.
+    ``differentiable`` forces the XLA path (the Pallas kernel has no VJP
+    yet) — training passes it."""
     import os
     if window is None or window == (-1, -1):
         return dense_attention(q, k, v)
     T = q.shape[2]
     left, right = window
-    if not os.environ.get("BONITO_TPU_NO_PALLAS"):
+    if not differentiable and not os.environ.get("BONITO_TPU_NO_PALLAS"):
         from bonito_tpu.ops import attention_pallas
         if attention_pallas.supported(q, window, block):
             return attention_pallas.local_attention_pallas(

@@ -106,7 +106,8 @@ class MultiHeadAttention(nn.Layer):
         v = qkv[:, :, 2]
         # [N, T, H, D] -> [N, H, T, D]
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
-        o = attend(q, k, v, window=self.attn_window)
+        o = attend(q, k, v, window=self.attn_window,
+                   differentiable=bool(ctx and ctx.get("train")))
         o = jnp.swapaxes(o, 1, 2).reshape(N, T, self.d_model)
         o = o @ params["out_w"].astype(x.dtype)
         if self.out_bias:

@@ -148,3 +148,34 @@ class TestPallasAttention:
         out = local_attention_pallas(q, k, v, (127, 128), interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestTransformerTraining:
+    def test_train_step_runs(self):
+        """A full optimisation step through the transformer (attention must
+        route to the differentiable path under ctx train)."""
+        import optax
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+        from bonito_tpu.training import make_train_step
+
+        cfg = transformer_crf_config(
+            d_model=64, nhead=4, depth=2, dim_feedforward=128,
+            attn_window=(15, 16), state_len=3)
+        model = Model(cfg)
+        model.init(jax.random.PRNGKey(0))
+
+        tx = optax.adamw(1e-4)
+        opt_state = tx.init(model.params)
+        step = make_train_step(model, tx, use_amp=False)
+        rng = np.random.default_rng(0)
+        batch = (
+            jnp.asarray(rng.normal(size=(2, 288, 1)), jnp.float32),
+            jnp.asarray(rng.integers(1, 5, (2, 20)), jnp.int32),
+            jnp.full((2,), 20, jnp.int32),
+        )
+        params, opt_state, losses, gnorm = step(
+            model.params, opt_state, batch, jnp.float32(1.0),
+            jnp.float32(1e9))
+        assert np.isfinite(float(losses["loss"]))
+        assert float(gnorm) > 0
