@@ -189,12 +189,18 @@ class Trainer:
                 self.steps_per_epoch, epochs, last_epoch)
         return self._lr_schedule(step)
 
+    def _put_batch(self, batch):
+        if self.mesh is None:
+            return tuple(jnp.asarray(b) for b in batch)
+        from bonito_tpu import parallel
+        sharding = parallel.batch_sharding(self.mesh)
+        return tuple(jax.device_put(np.asarray(b), sharding) for b in batch)
+
     def train_one_step(self, batch, lr_scale):
         clip_max = (self.quantile_clip.max_norm()
                     if self.quantile_clip else self.fixed_clip)
         self.model.params, self.opt_state, losses, grad_norm = self._step_fn(
-            self.model.params, self.opt_state,
-            tuple(jnp.asarray(b) for b in batch),
+            self.model.params, self.opt_state, self._put_batch(batch),
             jnp.float32(lr_scale), jnp.float32(clip_max))
         return losses, grad_norm
 
@@ -272,6 +278,19 @@ class Trainer:
         self._step_fn = make_train_step(
             self.model, self.optimizer, use_amp=self.use_amp,
             grad_accum_split=self.grad_accum_split, criterion=self.criterion)
+
+        # data-parallel training: batch sharded over the mesh's data axis,
+        # params/optimizer replicated — GSPMD inserts the grad psums
+        if self.mesh is None and jax.device_count() > 1:
+            from bonito_tpu import parallel
+            n = jax.device_count()
+            if self.batch_size and self.batch_size % n == 0:
+                self.mesh = parallel.make_mesh(n_data=n)
+        if self.mesh is not None:
+            from bonito_tpu import parallel
+            rep = parallel.replicated(self.mesh)
+            self.model.params = jax.device_put(self.model.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
 
         for epoch in range(last_epoch + 1, last_epoch + epochs + 1):
             with CSVLogger(workdir / f"losses_{epoch}.csv") as loss_log:

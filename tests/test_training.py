@@ -107,3 +107,41 @@ class TestTrainerFit:
         # resume picks the latest epoch
         epoch, _ = load_state(tmp_path, model)
         assert epoch == 3
+
+
+class TestDataParallelFit:
+    def test_fit_on_mesh_matches_semantics(self, tmp_path):
+        """Trainer.fit auto-meshes over the 8 virtual devices (batch 16 is
+        divisible) and still learns / checkpoints."""
+        import jax
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        from bonito_tpu.data import ChunkDataSet, NumpyBatchLoader
+        from bonito_tpu.training import Trainer
+
+        cfg = lstm_crf_config(features=48, num_layers=1, state_len=1,
+                              stride=5, clamp=None)
+        model = Model(cfg)
+        model.init(jax.random.PRNGKey(0))
+
+        rng = np.random.default_rng(0)
+        N, T = 32, 200
+        L = T // 5 - 2
+        targets = rng.integers(1, 5, size=(N, L)).astype(np.int32)
+        levels = np.array([-1.5, -0.5, 0.5, 1.5], np.float32)
+        sig = levels[np.repeat(targets - 1, 5, axis=1)]
+        sig = np.pad(sig, ((0, 0), (0, T - sig.shape[1])))
+
+        train = ChunkDataSet(sig[:24], targets[:24], np.full(24, L))
+        trainer = Trainer(
+            model, NumpyBatchLoader(train, 16, seed=1), None,
+            use_amp=False, chunks_per_epoch=24, batch_size=16,
+        )
+        trainer.fit(tmp_path, epochs=2, lr=5e-3)
+        assert trainer.mesh is not None  # auto-meshed over 8 CPU devices
+        assert (tmp_path / "weights_2.npz").exists()
+        rows = (tmp_path / "training.csv").read_text().strip().split("\n")
+        header = rows[0].split(",")
+        losses = [float(dict(zip(header, r.split(",")))["train_loss"])
+                  for r in rows[1:]]
+        assert losses[-1] < losses[0] * 1.5  # training proceeds sanely
