@@ -1,24 +1,60 @@
 """
 Evaluate CLI: chunk-level accuracy report on training/validation data
-(reference: bonito/cli/evaluate.py:70-137).
+(reference: bonito/cli/evaluate.py:70-137) — accuracy plus
+substitution/insertion/deletion rates and clip statistics from local
+alignments, with optional seqs/refs fasta dumps.
 """
 
 import time
 from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
+from pathlib import Path
 
 import numpy as np
 
+from bonito_tpu.alignment import smith_waterman
 from bonito_tpu.data import load_numpy_datasets
-from bonito_tpu.util import accuracy, decode_ref, init, load_model
+from bonito_tpu.util import (
+    decode_ref, init, load_model, parasail_style_cigar_counts,
+)
+
+
+def align_stats(ref, seq):
+    """Alignment statistics for one chunk (reference: cli/evaluate.py:37-67)."""
+    stats = {
+        "accuracy": 0.0, "num_correct": 0, "num_mismatches": 0,
+        "num_insertions": 0, "num_deletions": 0,
+        "seq_len": len(seq), "ref_len": len(ref),
+        "align_seq_start": 0, "align_seq_end": -1,
+        "align_ref_start": 0, "align_ref_end": -1,
+    }
+    if not seq or not ref:
+        return stats
+    result = smith_waterman(seq, ref)
+    if result is None:
+        return stats
+    counts = parasail_style_cigar_counts(result.cigar)
+    correct = counts.get("=", 0)
+    total = sum(counts.values())
+    stats.update({
+        "accuracy": correct / total if total else 0.0,
+        "num_correct": correct,
+        "num_mismatches": counts.get("X", 0),
+        "num_insertions": counts.get("I", 0),
+        "num_deletions": counts.get("D", 0),
+        "align_seq_start": result.beg_query,
+        "align_seq_end": result.end_query - 1,
+        "align_ref_start": result.beg_ref,
+        "align_ref_end": result.end_ref - 1,
+    })
+    return stats
 
 
 def main(args):
     init(args.seed)
 
     print("* loading data")
-    directory = args.directory
     chunks, targets, lengths = load_numpy_datasets(
-        limit=args.chunks, directory=str(directory))
+        limit=args.chunks, directory=str(args.directory))
 
     print("* loading model", args.model_directory)
     model = load_model(args.model_directory, weights=args.weights, half=False)
@@ -26,29 +62,56 @@ def main(args):
     print("* calling")
     t0 = time.perf_counter()
 
-    seqs = []
-    accuracies = []
+    seqs, refs = [], []
     for i in range(0, len(chunks), args.batchsize):
         data = np.asarray(chunks[i:i + args.batchsize], np.float32)
         if data.ndim == 2:
             data = data[..., None]
         scores = model.forward(data)
-        batch_seqs = model.decode_batch(scores)
-        for seq, target, n in zip(
-                batch_seqs, targets[i:i + args.batchsize],
-                lengths[i:i + args.batchsize]):
-            ref = decode_ref(target[:n], model.alphabet)
-            accuracies.append(
-                accuracy(ref, seq, min_coverage=args.min_coverage)
-                if len(seq) else 0.0)
-            seqs.append(seq)
-
+        seqs.extend(model.decode_batch(scores))
+        refs.extend(decode_ref(t[:n], model.alphabet)
+                    for t, n in zip(targets[i:i + args.batchsize],
+                                    lengths[i:i + args.batchsize]))
     duration = time.perf_counter() - t0
 
-    print("* mean      %.2f%%" % np.mean(accuracies))
-    print("* median    %.2f%%" % np.median(accuracies))
-    print("* time      %.2f" % duration)
-    print("* samples/s %.2E" % (len(chunks) * chunks.shape[1] / duration))
+    print("* aligning")
+    rows = [align_stats(ref, seq) for ref, seq in zip(refs, seqs)]
+
+    def mean(key):
+        return float(np.mean([r[key] for r in rows]))
+
+    def rate(num):
+        vals = [r[num] / r["num_correct"] for r in rows if r["num_correct"]]
+        return float(np.mean(vals)) if vals else 0.0
+
+    print(f"""
+* num_chunks      {len(rows)}
+* accuracy        {mean('accuracy'):.2%}
+* sub-rate        {rate('num_mismatches'):.2%}
+* ins-rate        {rate('num_insertions'):.2%}
+* del-rate        {rate('num_deletions'):.2%}
+* seq_len         {mean('seq_len'):.1f}
+* seq_lclip       {mean('align_seq_start'):.1f}
+* seq_rclip       {float(np.mean([r['seq_len'] - r['align_seq_end'] - 1 for r in rows])):.1f}
+* ref_len         {mean('ref_len'):.1f}
+* ref_lclip       {mean('align_ref_start'):.1f}
+* ref_rclip       {float(np.mean([r['ref_len'] - r['align_ref_end'] - 1 for r in rows])):.1f}
+* time            {duration:.2f}
+* samples/s       {len(chunks) * chunks.shape[1] / duration:.2E}
+""")
+
+    if args.output_dir:
+        out = Path(args.output_dir)
+        out.mkdir(exist_ok=True, parents=True)
+        with (out / "seqs.fasta").open("w") as fh:
+            fh.write("".join(f">chunk_{i}\n{s}\n" for i, s in enumerate(seqs)))
+        with (out / "refs.fasta").open("w") as fh:
+            fh.write("".join(f">chunk_{i}\n{s}\n" for i, s in enumerate(refs)))
+        import csv
+        with (out / "summ.txt").open("w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[0]), delimiter="\t")
+            w.writeheader()
+            w.writerows(rows)
 
 
 def argparser():
@@ -56,6 +119,7 @@ def argparser():
         formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
     parser.add_argument("model_directory")
     parser.add_argument("--directory", required=True)
+    parser.add_argument("--output-dir", default=None)
     parser.add_argument("--seed", default=9, type=int)
     parser.add_argument("--weights", default=None, type=str)
     parser.add_argument("--chunks", default=1000, type=int)
