@@ -60,8 +60,12 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         model = _build_model()
         chunksize = chunksize or 9996
         batchsize = batchsize or 128
+        # the reference runs hac inference on koi's quantized LSTM kernels
+        # by default; mirror that (BENCH_QUANT=0 to disable)
+        os.environ.setdefault("BENCH_QUANT", "1")
     model.to_bf16()
-    if os.environ.get("BENCH_QUANT") and hasattr(model, "quantize"):
+    if (os.environ.get("BENCH_QUANT", "0") not in ("", "0")
+            and hasattr(model, "quantize")):
         model.quantize()
     chunksize -= chunksize % model.stride
 
