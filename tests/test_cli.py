@@ -39,3 +39,36 @@ class TestCLI:
         mod = import_module(f"bonito_tpu.cli.{tool}")
         parser = mod.argparser()
         assert parser is not None
+
+
+class TestExportDorado:
+    def test_dorado_export_roundtrip_config(self, tmp_path):
+        """dorado export: per-tensor npy files, BN fused away, Clamp
+        stripped from the serialized encoder."""
+        import jax
+        import numpy as np
+        from bonito_tpu.checkpoint import save_params
+        from bonito_tpu.config import load_config, save_config
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        from bonito_tpu.cli import export as export_cli
+
+        cfg = lstm_crf_config(features=32, num_layers=2, state_len=2,
+                              stride=5)
+        mdir = tmp_path / "model"
+        mdir.mkdir()
+        save_config(cfg, mdir / "config.toml")
+        m = Model(cfg)
+        save_params(mdir / "weights_1.npz", m.init(jax.random.PRNGKey(0)))
+
+        out = tmp_path / "exported"
+        args = export_cli.argparser().parse_args(
+            [str(mdir), "--output", str(out), "--format", "dorado"])
+        export_cli.main(args)
+
+        tensors = sorted(p.name for p in out.glob("*.npy"))
+        assert any("w_ih" in t for t in tensors)
+        assert not any(".norm." in t for t in tensors)  # BN fused
+        cfg2 = load_config(out / "config.toml")
+        types = [l["type"] for l in cfg2["encoder"]["sublayers"]]
+        assert "clamp" not in types
