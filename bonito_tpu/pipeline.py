@@ -256,3 +256,22 @@ def process_map(fn, items, n_proc=4, maxsize=2):
             raise RuntimeError(f"process_map worker failed:\n{error}")
 
     return gen()
+
+
+def process_itemmap(fn, items, n_proc=4):
+    """Apply fn to the whole (key, value) item in worker processes,
+    yielding fn's results in order (reference:
+    bonito/multiprocessing.py:47-56 semantics)."""
+    indexed = ((i, item) for i, item in enumerate(items))
+    return (out for _, out in process_map(_item_call(fn), indexed,
+                                          n_proc=n_proc))
+
+
+class _item_call:
+    """Picklable wrapper applying fn over an (key, value) tuple."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, kv):
+        return self.fn(*kv)

@@ -76,3 +76,21 @@ def _maybe_boom(v):
     if v == 3:
         raise ValueError("proc exploded")
     return v
+
+
+def _swap(k, v):
+    return (v, k)
+
+
+class TestItemMaps:
+    def test_thread_itemmap(self):
+        from bonito_tpu.pipeline import thread_itemmap
+        out = list(thread_itemmap(_swap, iter([("a", 1), ("b", 2)]),
+                                  n_thread=2))
+        assert out == [(1, "a"), (2, "b")]
+
+    def test_process_itemmap(self):
+        from bonito_tpu.pipeline import process_itemmap
+        out = list(process_itemmap(_swap, iter([("a", 1), ("b", 2)]),
+                                   n_proc=2))
+        assert out == [(1, "a"), (2, "b")]
