@@ -94,7 +94,9 @@ def _expected_torch_params(layer, path):
         if layer.bias:
             out.append((f"{path}.conv.bias", f"{path}.b", ident))
         if isinstance(layer.norm, nn.BatchNorm):
-            bn = f"{path}.norm"
+            # reference BatchNorm wraps an inner torch module named "bn"
+            # (bonito/nn.py:191-197), so its keys are <path>.norm.bn.*
+            bn = f"{path}.norm.bn"
             ours = f"{path}.norm"
             if layer.norm.affine:
                 out.append((f"{bn}.weight", f"{ours}.scale", ident))
@@ -104,11 +106,11 @@ def _expected_torch_params(layer, path):
                 out.append((f"{bn}.running_var", f"{ours}.var", ident))
     elif isinstance(layer, nn.BatchNorm):
         if layer.affine:
-            out.append((f"{path}.weight", f"{path}.scale", ident))
-            out.append((f"{path}.bias", f"{path}.bias", ident))
+            out.append((f"{path}.bn.weight", f"{path}.scale", ident))
+            out.append((f"{path}.bn.bias", f"{path}.bias", ident))
         if layer.track_running_stats:
-            out.append((f"{path}.running_mean", f"{path}.mean", ident))
-            out.append((f"{path}.running_var", f"{path}.var", ident))
+            out.append((f"{path}.bn.running_mean", f"{path}.mean", ident))
+            out.append((f"{path}.bn.running_var", f"{path}.var", ident))
     elif isinstance(layer, nn.LSTM):
         out.append((f"{path}.rnn.weight_ih_l0", f"{path}.w_ih", t(1, 0)))
         out.append((f"{path}.rnn.weight_hh_l0", f"{path}.w_hh", t(1, 0)))
@@ -119,9 +121,11 @@ def _expected_torch_params(layer, path):
         if layer.bias:
             out.append((f"{path}.linear.bias", f"{path}.b", ident))
     elif isinstance(layer, nn.Linear):
-        out.append((f"{path}.weight", f"{path}.w", t(1, 0)))
+        # reference Linear wraps an inner torch.nn.Linear named "linear"
+        # (bonito/nn.py:26-51)
+        out.append((f"{path}.linear.weight", f"{path}.w", t(1, 0)))
         if layer.bias:
-            out.append((f"{path}.bias", f"{path}.b", ident))
+            out.append((f"{path}.linear.bias", f"{path}.b", ident))
     elif isinstance(layer, nn.LinearUpsample):
         out.append((f"{path}.linear.weight", f"{path}.w", t(1, 0)))
         out.append((f"{path}.linear.bias", f"{path}.b", ident))

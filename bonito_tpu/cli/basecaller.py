@@ -50,6 +50,7 @@ def main(args):
             overlap=args.overlap,
             batchsize=args.batchsize,
             quantize=args.quantize,
+            fuse_bn=True,
         )
     except FileNotFoundError:
         sys.stderr.write(f"> error: failed to load {args.model_directory}\n")
@@ -106,9 +107,15 @@ def main(args):
                 read, chunksize=chunksize, overlap=overlap)
         )
 
+    import inspect
+    basecall_kwargs = {}
+    if args.beam and "decoder" in inspect.signature(basecall).parameters:
+        # koi beam-search output parity (default decode is exact Viterbi)
+        basecall_kwargs["decoder"] = "beam"
     results = basecall(
         model, reads, reverse=args.revcomp, rna=args.rna,
         batchsize=batchsize, chunksize=chunksize, overlap=overlap,
+        **basecall_kwargs,
     )
 
     if aligner:
@@ -175,6 +182,10 @@ def argparser():
     parser.add_argument("--no-output", action="store_true", default=False)
     parser.add_argument("--weights", default=None, type=str)
     parser.add_argument("--seed", default=25, type=int)
+    parser.add_argument(
+        "--beam", action="store_true", default=False,
+        help="decode with the fixed-width CRF beam search (koi output "
+             "parity) instead of the default exact-Viterbi path")
     parser.add_argument("--chunksize", default=None, type=int)
     parser.add_argument("--overlap", default=None, type=int)
     parser.add_argument("--batchsize", default=None, type=int)

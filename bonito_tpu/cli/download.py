@@ -16,50 +16,64 @@ from bonito_tpu.util import __models_dir__, __data_dir__
 
 __url__ = "https://cdn.oxfordnanoportal.com/software/analysis/bonito/"
 
+# published-model catalogue, newest first (parity with the reference's
+# table, bonito/cli/download.py:76-140: 42 models, fast/hac/sup per
+# condition across dna r9.4.1/r10.4.1 and rna002/rna004 chemistries)
 models = [
-    "dna_r10.4.1_e8.2_260bps_fast@v3.5.2",
-    "dna_r10.4.1_e8.2_260bps_hac@v3.5.2",
-    "dna_r10.4.1_e8.2_260bps_sup@v3.5.2",
-    "dna_r10.4.1_e8.2_400bps_fast@v3.5.2",
-    "dna_r10.4.1_e8.2_400bps_hac@v3.5.2",
-    "dna_r10.4.1_e8.2_400bps_sup@v3.5.2",
-    "dna_r10.4.1_e8.2_260bps_fast@v4.0.0",
-    "dna_r10.4.1_e8.2_260bps_hac@v4.0.0",
-    "dna_r10.4.1_e8.2_260bps_sup@v4.0.0",
-    "dna_r10.4.1_e8.2_400bps_fast@v4.0.0",
-    "dna_r10.4.1_e8.2_400bps_hac@v4.0.0",
-    "dna_r10.4.1_e8.2_400bps_sup@v4.0.0",
+    "dna_r10.4.1_e8.2_400bps_fast@v5.2.0",
+    "dna_r10.4.1_e8.2_400bps_hac@v5.2.0",
+    "dna_r10.4.1_e8.2_400bps_sup@v5.2.0",
+    "dna_r10.4.1_e8.2_400bps_fast@v5.0.0",
+    "dna_r10.4.1_e8.2_400bps_hac@v5.0.0",
+    "dna_r10.4.1_e8.2_400bps_sup@v5.0.0",
+    "dna_r10.4.1_e8.2_400bps_fast@v4.3.0",
+    "dna_r10.4.1_e8.2_400bps_hac@v4.3.0",
+    "dna_r10.4.1_e8.2_400bps_sup@v4.3.0",
+    "dna_r10.4.1_e8.2_400bps_fast@v4.2.0",
+    "dna_r10.4.1_e8.2_400bps_hac@v4.2.0",
+    "dna_r10.4.1_e8.2_400bps_sup@v4.2.0",
     "dna_r10.4.1_e8.2_260bps_fast@v4.1.0",
     "dna_r10.4.1_e8.2_260bps_hac@v4.1.0",
     "dna_r10.4.1_e8.2_260bps_sup@v4.1.0",
     "dna_r10.4.1_e8.2_400bps_fast@v4.1.0",
     "dna_r10.4.1_e8.2_400bps_hac@v4.1.0",
     "dna_r10.4.1_e8.2_400bps_sup@v4.1.0",
-    "dna_r10.4.1_e8.2_400bps_fast@v4.2.0",
-    "dna_r10.4.1_e8.2_400bps_hac@v4.2.0",
-    "dna_r10.4.1_e8.2_400bps_sup@v4.2.0",
-    "dna_r10.4.1_e8.2_400bps_fast@v4.3.0",
-    "dna_r10.4.1_e8.2_400bps_hac@v4.3.0",
-    "dna_r10.4.1_e8.2_400bps_sup@v4.3.0",
-    "dna_r10.4.1_e8.2_400bps_hac@v5.0.0",
-    "dna_r10.4.1_e8.2_400bps_sup@v5.0.0",
-    "dna_r10.4.1_e8.2_apk_sup@v5.0.0",
-    "dna_r9.4.1_e8_fast@v3.4",
-    "dna_r9.4.1_e8_hac@v3.3",
+    "dna_r10.4.1_e8.2_260bps_fast@v4.0.0",
+    "dna_r10.4.1_e8.2_260bps_hac@v4.0.0",
+    "dna_r10.4.1_e8.2_260bps_sup@v4.0.0",
+    "dna_r10.4.1_e8.2_400bps_fast@v4.0.0",
+    "dna_r10.4.1_e8.2_400bps_hac@v4.0.0",
+    "dna_r10.4.1_e8.2_400bps_sup@v4.0.0",
+    "dna_r10.4.1_e8.2_260bps_fast@v3.5.2",
+    "dna_r10.4.1_e8.2_260bps_hac@v3.5.2",
+    "dna_r10.4.1_e8.2_260bps_sup@v3.5.2",
+    "dna_r10.4.1_e8.2_400bps_fast@v3.5.2",
+    "dna_r10.4.1_e8.2_400bps_hac@v3.5.2",
+    "dna_r10.4.1_e8.2_400bps_sup@v3.5.2",
     "dna_r9.4.1_e8_sup@v3.3",
-    "dna_r9.4.1_e8_sup@v3.6",
-    "rna002_70bps_fast@v3",
-    "rna002_70bps_hac@v3",
+    "dna_r9.4.1_e8_hac@v3.3",
+    "dna_r9.4.1_e8_fast@v3.4",
+    "rna004_130bps_fast@v5.2.0",
+    "rna004_130bps_hac@v5.2.0",
+    "rna004_130bps_sup@v5.2.0",
+    "rna004_130bps_fast@v5.1.0",
+    "rna004_130bps_hac@v5.1.0",
+    "rna004_130bps_sup@v5.1.0",
+    "rna004_130bps_fast@v5.0.0",
+    "rna004_130bps_hac@v5.0.0",
+    "rna004_130bps_sup@v5.0.0",
     "rna004_130bps_fast@v3.0.1",
     "rna004_130bps_hac@v3.0.1",
     "rna004_130bps_sup@v3.0.1",
-    "rna004_130bps_hac@v5.0.0",
-    "rna004_130bps_sup@v5.0.0",
+    "rna002_70bps_fast@v3",
+    "rna002_70bps_hac@v3",
+    "rna002_70bps_sup@v3",
 ]
 
 training = [
     "example_data_dna_r9.4.1_v0",
     "example_data_dna_r10.4.1_v0",
+    "example_data_rna004_v0",
 ]
 
 

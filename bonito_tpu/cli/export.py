@@ -49,11 +49,13 @@ def _torch_state_dict(model):
             if layer.bias:
                 state[f"{path}.conv.bias"] = params["b"]
             if isinstance(layer.norm, nn.BatchNorm):
+                # reference BatchNorm wraps an inner "bn" module, so its
+                # state-dict keys are <path>.norm.bn.* (bonito/nn.py:191-197)
                 bn = params["norm"]
-                state[f"{path}.norm.weight"] = bn["scale"]
-                state[f"{path}.norm.bias"] = bn["bias"]
-                state[f"{path}.norm.running_mean"] = bn["mean"]
-                state[f"{path}.norm.running_var"] = bn["var"]
+                state[f"{path}.norm.bn.weight"] = bn["scale"]
+                state[f"{path}.norm.bn.bias"] = bn["bias"]
+                state[f"{path}.norm.bn.running_mean"] = bn["mean"]
+                state[f"{path}.norm.bn.running_var"] = bn["var"]
         elif isinstance(layer, nn.LSTM):
             state[f"{path}.rnn.weight_ih_l0"] = np.transpose(params["w_ih"])
             state[f"{path}.rnn.weight_hh_l0"] = np.transpose(params["w_hh"])
@@ -65,9 +67,10 @@ def _torch_state_dict(model):
             if layer.bias:
                 state[f"{path}.linear.bias"] = params["b"]
         elif isinstance(layer, nn.Linear):
-            state[f"{path}.weight"] = np.transpose(params["w"])
+            # reference Linear wraps an inner "linear" (bonito/nn.py:26-51)
+            state[f"{path}.linear.weight"] = np.transpose(params["w"])
             if layer.bias:
-                state[f"{path}.bias"] = params["b"]
+                state[f"{path}.linear.bias"] = params["b"]
 
     for root in ("encoder", "decoder"):
         tree = getattr(model, root, None)

@@ -34,7 +34,8 @@ def stitch_results(results, length, size, overlap, stride, reverse=False):
     return stitch(results, size, overlap, length, stride, reverse=reverse)
 
 
-def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None):
+def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
+                    decoder="viterbi"):
     """
     Build the jitted device step: signal batch -> decoded frame arrays.
 
@@ -54,11 +55,20 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None):
         scores = model.apply(params, x.astype(model.compute_dtype))
         if reverse:
             scores = model.seqdist.reverse_complement(scores)
-        out = beam_search(
-            model.seqdist, scores,
-            beam_width=int(decode_params.get("beam_width", 32)),
-            qscale=qscale, qbias=qbias,
-        )
+        if decoder == "beam":
+            # koi's beam contract, for output parity A/B runs (--beam)
+            out = beam_search(
+                model.seqdist, scores,
+                beam_width=int(decode_params.get("beam_width", 32)),
+                qscale=qscale, qbias=qbias,
+            )
+        else:
+            # default: exact Viterbi MAP path + true posterior qscores —
+            # upper-bounds what the width-32 beam approximates and runs
+            # ~10x faster on TPU (DESIGN.md "Decode" section)
+            from bonito_tpu.ops.decode import viterbi_decode
+            out = viterbi_decode(
+                model.seqdist, scores, qscale=qscale, qbias=qbias)
         # one packed array -> one device->host transfer per batch
         return jnp.stack(
             [out["sequence"], out["qstring"], out["moves"]]).astype(jnp.uint8)
@@ -98,7 +108,7 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None):
 
 
 def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
-             reverse=False, rna=False, mesh=None):
+             reverse=False, rna=False, mesh=None, decoder="viterbi"):
     """Basecall a stream of reads; yields (read, result-dict) pairs."""
     if mesh is None and jax.device_count() > 1:
         from bonito_tpu import parallel
@@ -107,7 +117,7 @@ def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
         n_data = mesh.shape["data"]
         batchsize = max(batchsize - batchsize % n_data, n_data)
     compute = make_compute_fn(model, batchsize, chunksize, reverse=reverse,
-                              mesh=mesh)
+                              mesh=mesh, decoder=decoder)
 
     chunks = thread_iter(
         ((read, 0, read.signal.shape[-1]),

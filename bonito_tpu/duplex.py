@@ -42,76 +42,87 @@ def seq_lens(cigartuples):
 
 
 def trim_while(cigar, from_end=False, num_match=11):
-    """Strip leading (or trailing) ops until a >=num_match '=' run
-    (reference: bonito/cli/duplex.py:204-221)."""
-    def keep_trimming(op_n):
-        return op_n[1] < num_match or op_n[0] != "="
-
-    from itertools import takewhile
-    trim = (list(takewhile(keep_trimming, reversed(cigar)))[::-1]
-            if from_end else list(takewhile(keep_trimming, cigar)))
-    if trim:
-        cigar = cigar[:-len(trim)] if from_end else cigar[len(trim):]
-    q_trim, r_trim = seq_lens(trim)
-    return cigar, q_trim, r_trim
+    """Drop cigar ops from one end up to (not including) the first
+    anchoring run: an '=' op of length >= num_match. Returns the kept
+    cigar plus how many query/ref bases the dropped ops consumed.
+    (The role of the reference's end-trimming, bonito/cli/duplex.py:204-221.)
+    """
+    view = cigar[::-1] if from_end else list(cigar)
+    anchor = next(
+        (i for i, (op, n) in enumerate(view) if op == "=" and n >= num_match),
+        len(view),
+    )
+    dropped, kept = view[:anchor], view[anchor:]
+    if from_end:
+        dropped, kept = dropped[::-1], kept[::-1]
+    q_trim, r_trim = seq_lens(dropped)
+    return kept, q_trim, r_trim
 
 
 def adj_qscores(qscores, seq, qshift, pool_window=5, avg_hps_gt=2):
-    """Shift, min-pool and homopolymer-average qscores
-    (reference: bonito/cli/duplex.py:154-177)."""
-    def shift(x, n):
-        if n > 0:
-            return np.concatenate([[x[0]] * n, x[:-n]])
-        if n < 0:
-            return np.concatenate([x[-n:], [x[-1]] * (-n)])
-        return x
+    """Deflate per-base qscores before consensus: shift by qshift positions
+    (edge-replicated), take a centred min over pool_window, then flatten
+    each homopolymer run of length >= avg_hps_gt to its mean — basecaller
+    confidence is least reliable just *after* an event and inside
+    homopolymers. Same arithmetic as the reference
+    (bonito/cli/duplex.py:154-177); pinned by tests/test_duplex.py."""
+    n = len(qscores)
+    pos = np.arange(n)
 
-    def min_pool(x):
-        x = np.pad(x.astype(np.float32), pool_window // 2, mode="edge")
-        view = np.lib.stride_tricks.sliding_window_view(x, pool_window)
-        return view.min(axis=1)
+    # shift then min-pool, both via clipped-index views (edge replication
+    # and edge padding collapse to the same index clamp)
+    shifted = qscores[np.clip(pos - qshift, 0, n - 1)].astype(np.float32)
+    lo, hi = -(pool_window // 2), pool_window - pool_window // 2
+    out = np.minimum.reduce(
+        [shifted[np.clip(pos + d, 0, n - 1)] for d in range(lo, hi)])
 
-    qscores = min_pool(shift(qscores, qshift))
-    pat = re.compile(r"(.)\1{%d,}" % (avg_hps_gt - 1))
-    for m in pat.finditer(seq):
-        st, en = m.span()
-        qscores[st:en] = np.mean(qscores[st:en])
-    return qscores
+    # homopolymer runs from run-length boundaries (no regex)
+    bases = np.frombuffer(seq.encode("ascii"), np.uint8)
+    if len(bases) > 1:
+        edges = np.flatnonzero(bases[1:] != bases[:-1]) + 1
+        starts = np.concatenate([[0], edges])
+        ends = np.concatenate([edges, [len(bases)]])
+        for st, en in zip(starts, ends):
+            if en - st >= avg_hps_gt:
+                out[st:en] = out[st:en].mean()
+    return out
 
 
 def compute_consensus(cigar, temp_seq, temp_qscores, comp_seq, comp_qscores):
-    """Qscore-argmax consensus over alignment columns
-    (reference: bonito/cli/duplex.py:109-151)."""
-    def mask_expand(values, mask):
-        x = np.full(len(mask), np.uint8(ord("-")), dtype=values.dtype)
-        x[mask] = values
-        return x
+    """Per-column consensus of an aligned template/complement pair: each
+    alignment column takes the base of whichever strand is more confident
+    there, summing the two qscores where the strands agree. A strand that
+    doesn't consume a base at a column (gap) competes with the qscore of
+    its most recent base. Same column arithmetic as the reference
+    (bonito/cli/duplex.py:109-151); pinned by tests/test_duplex.py."""
+    GAP = np.uint8(ord("-"))
 
-    def as_array(seq):
-        return np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    # one row per alignment column: which strands consume a base there
+    op_flags = np.array([(_CIG_Q[op], _CIG_R[op]) for op, _ in cigar], bool)
+    counts = [n for _, n in cigar]
+    uses_t, uses_c = np.repeat(op_flags, counts, axis=0).T
 
-    ops = np.concatenate([[op] * n for op, n in cigar])
-    is_temp = np.array([_CIG_Q[o] for o in ops])
-    is_comp = np.array([_CIG_R[o] for o in ops])
-    exp_temp = mask_expand(as_array(temp_seq), is_temp)
-    exp_comp = mask_expand(as_array(comp_seq), is_comp)
+    def column_view(seq, uses):
+        col = np.full(len(uses), GAP)
+        col[uses] = np.frombuffer(seq.encode("ascii"), np.uint8)
+        return col
 
-    qs = np.stack([
-        temp_qscores[np.maximum(np.cumsum(is_temp) - 1, 0)],
-        comp_qscores[np.maximum(np.cumsum(is_comp) - 1, 0)],
-    ])
-    idx = qs.argmax(axis=0)
+    def column_q(qscores, uses):
+        last_base = np.maximum(np.cumsum(uses) - 1, 0)
+        return qscores[last_base]
 
-    consensus = np.where(idx, exp_comp, exp_temp)
-    q = np.where(
-        exp_comp == exp_temp,
-        qs.sum(axis=0),
-        qs[idx, np.arange(qs.shape[1])],
-    )
-    keep = consensus != ord("-")
-    seq = consensus[keep].tobytes().decode()
-    qstring = np.round(
-        np.clip(q[keep], 0, 60) + 33).astype(np.uint8).tobytes().decode()
+    tb, cb = column_view(temp_seq, uses_t), column_view(comp_seq, uses_c)
+    tq, cq = column_q(temp_qscores, uses_t), column_q(comp_qscores, uses_c)
+
+    from_comp = cq > tq
+    agree = tb == cb
+    base = np.where(from_comp, cb, tb)
+    q = np.where(agree, tq + cq, np.where(from_comp, cq, tq))
+
+    emit = base != GAP
+    seq = base[emit].tobytes().decode()
+    qstring = np.round(np.clip(q[emit], 0, 60) + 33).astype(
+        np.uint8).tobytes().decode()
     return seq, qstring
 
 

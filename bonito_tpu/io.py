@@ -238,34 +238,47 @@ def duplex_summary_row(read_temp, read_comp, seqlen, qscore, alignment=False):
 # ---------------------------------------------------------------------------
 
 class CSVLogger:
-    """Append-mode CSV writer; header-aware, flushes every 100 rows
-    (reference: bonito/io.py:343-377)."""
+    """Append-only CSV sink for per-step/per-epoch metrics (the role of the
+    reference's training CSV logs, bonito/io.py:343-377).
+
+    The column set is fixed by the first row appended — or, when resuming
+    into an existing file, by its header line — and later rows are
+    projected onto it, "-" filling any missing field. Writes are flushed
+    in batches so per-step logging stays cheap."""
+
+    FLUSH_EVERY = 100
 
     def __init__(self, filename, sep=","):
         self.filename = str(filename)
-        if os.path.exists(self.filename):
-            with open(self.filename) as f:
-                self.columns = csv.DictReader(f, delimiter=sep).fieldnames
-        else:
-            self.columns = None
+        self.sep = sep
+        self.columns = self._existing_header()
         self.fh = open(self.filename, "a", newline="")
-        self.csvwriter = csv.writer(self.fh, delimiter=sep)
-        self.count = 0
+        self._unflushed = 0
+
+    def _existing_header(self):
+        if not os.path.exists(self.filename):
+            return None
+        with open(self.filename, newline="") as f:
+            header = next(csv.reader(f, delimiter=self.sep), None)
+        return header or None
+
+    def _write_fields(self, fields):
+        csv.writer(self.fh, delimiter=self.sep).writerow(fields)
 
     def set_columns(self, columns):
         if self.columns:
             raise Exception("columns already set")
         self.columns = list(columns)
-        self.csvwriter.writerow(self.columns)
+        self._write_fields(self.columns)
 
     def append(self, row):
         if self.columns is None:
             self.set_columns(row.keys())
-        self.csvwriter.writerow([row.get(k, "-") for k in self.columns])
-        self.count += 1
-        if self.count > 100:
-            self.count = 0
+        self._write_fields([row.get(name, "-") for name in self.columns])
+        self._unflushed += 1
+        if self._unflushed > self.FLUSH_EVERY:
             self.fh.flush()
+            self._unflushed = 0
 
     def close(self):
         self.fh.close()

@@ -508,8 +508,10 @@ class LSTM(Layer):
         from bonito_tpu.ops.lstm import lstm, lstm_int8
         b = params.get("b")
         if "w_hh_q" in params:
-            return lstm_int8(x, params["w_ih"], params["w_hh_q"],
-                             params["scales"], b, reverse=self.reverse)
+            return lstm_int8(x, params.get("w_ih"), params["w_hh_q"],
+                             params["scales"], b, reverse=self.reverse,
+                             w_ih_q=params.get("w_ih_q"),
+                             ih_scales=params.get("ih_scales"))
         if ctx and ctx.get("train"):
             # training needs a differentiable recurrence: the Pallas BPTT
             # custom-VJP on TPU, lax.scan (XLA-derived BPTT) elsewhere
@@ -519,15 +521,21 @@ class LSTM(Layer):
         return lstm(x, params["w_ih"], params["w_hh"], b, reverse=self.reverse)
 
     def quantize_params(self, params):
-        """w_hh -> per-channel int8 (w_hh_q, scales); koi's quantized-LSTM
-        equivalent (reference flag path: bonito/util.py:292-296)."""
-        from bonito_tpu.ops.lstm_pallas import quantize_whh
+        """Full-cell int8 quantisation (koi's quantized-LSTM equivalent,
+        reference flag path: bonito/util.py:292-296): w_hh -> per-channel
+        int8 with the static h-scale folded in; w_ih -> per-channel int8
+        dequantised against a dynamic per-tensor activation scale."""
+        from bonito_tpu.ops.lstm_pallas import quantize_whh, quantize_cols
         if "w_hh" not in params:
             return params
         w_q, scales = quantize_whh(params["w_hh"])
-        out = {k: v for k, v in params.items() if k != "w_hh"}
+        wih_q, ih_scales = quantize_cols(params["w_ih"])
+        out = {k: v for k, v in params.items()
+               if k not in ("w_hh", "w_ih")}
         out["w_hh_q"] = w_q
         out["scales"] = scales
+        out["w_ih_q"] = wih_q
+        out["ih_scales"] = ih_scales
         return out
 
     def to_dict(self):

@@ -39,11 +39,28 @@ NEG = -1e30
 def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
     """Raw scores [N, T, C] -> {sequence, qstring, moves} per-frame arrays.
     Dispatches to the Pallas kernels when shapes allow, else the lax.scan
-    implementation."""
+    implementation.
+
+    The decode kernels' VMEM working set caps the batch they can take
+    (~128 at hac sizes), but the encoder's MXU efficiency keeps improving
+    past that — so a large batch is decoded in sub-batches while the
+    forward runs at full batch (the kernels execute back-to-back inside
+    the same jit)."""
     import os
     if not os.environ.get("BONITO_TPU_NO_PALLAS"):
         from bonito_tpu.ops import decode_pallas
         if decode_pallas.supported(seqdist, scores):
+            N = scores.shape[0]
+            sub = int(os.environ.get("BONITO_TPU_DECODE_SUB_BATCH", 128))
+            if N > sub and N % sub == 0:
+                parts = [
+                    decode_pallas.viterbi_decode_pallas(
+                        seqdist, jax.lax.slice_in_dim(scores, i, i + sub),
+                        qscale=qscale, qbias=qbias)
+                    for i in range(0, N, sub)
+                ]
+                return {k: jnp.concatenate([p[k] for p in parts])
+                        for k in parts[0]}
             return decode_pallas.viterbi_decode_pallas(
                 seqdist, scores, qscale=qscale, qbias=qbias)
     return viterbi_decode_scan(seqdist, scores, qscale=qscale, qbias=qbias)
@@ -51,7 +68,17 @@ def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
 
 @partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias"))
 def viterbi_decode_scan(seqdist, scores, qscale=1.0, qbias=0.0):
-    """lax.scan implementation of the fused two-pass decode."""
+    """lax.scan implementation of the fused two-pass decode.
+
+    The sum-semiring side (posteriors) runs in *probability space* with a
+    per-step max renormalisation and per-batch-element log-correction
+    scalars: exp() once per score and plain multiply-adds replace the
+    logsumexp chains (max pass + subtract + exp + log per reduction),
+    roughly halving the transcendental count of the decode — the kernels
+    are VPU-bound, not HBM-bound. The Viterbi side (max semiring) stays in
+    log space (no transcendentals there). CRF scores are bounded by the
+    encoder's tanh*scale, so exp() cannot overflow and the running
+    normaliser keeps everything in f32 range."""
     nb = seqdist.n_base
     S = seqdist.n_states
     R = S // nb
@@ -61,22 +88,32 @@ def viterbi_decode_scan(seqdist, scores, qscale=1.0, qbias=0.0):
     Ms = jnp.swapaxes(
         scores.reshape(N, T, S, nb + 1), 0, 1)          # [T, N, S, nb+1]
 
-    # -- forward: Log alpha (stored bf16) + Max alpha with argmax choices --
+    # -- forward: prob-space alpha (normalised, + log-correction c) and
+    #    log-space Max alpha with argmax choices ----------------------------
 
-    a0 = jnp.zeros((N, S), jnp.float32)
+    A0 = jnp.ones((N, S), jnp.float32)
+    c0 = jnp.zeros((N,), jnp.float32)
+    x0 = jnp.zeros((N, S), jnp.float32)
 
     def fwd_step(carry, Ms_t):
-        a_log, a_max = carry
+        A, c, a_max = carry
         Ms_t = Ms_t.astype(jnp.float32)
         stay = Ms_t[..., 0]                              # [N, S]
         moves = Ms_t[..., 1:].reshape(N, R, nb, nb)      # [N, r, b, j]
 
-        # Log semiring
-        am = jnp.swapaxes(a_log.reshape(N, nb, R), 1, 2)     # [N, r, j]
-        move_in = jax.nn.logsumexp(moves + am[:, :, None, :], axis=-1)
-        a_log_new = jnp.logaddexp(stay + a_log, move_in.reshape(N, S))
+        # sum semiring in prob space
+        P_stay = jnp.exp(stay)
+        P_move = jnp.exp(moves)
+        Av = jnp.swapaxes(A.reshape(N, nb, R), 1, 2)     # [N, r, j]
+        move_in = jnp.sum(P_move * Av[:, :, None, :], axis=-1)  # [N, r, b]
+        move_in = move_in.reshape(N, S)
+        A_raw = P_stay * A + move_in
+        m = jnp.max(A_raw, axis=-1, keepdims=True)       # [N, 1]
+        inv = 1.0 / m
+        A_new = A_raw * inv
+        c_new = c + jnp.log(m[:, 0])
 
-        # Max semiring + choice
+        # Max semiring + choice (log space)
         axm = jnp.swapaxes(a_max.reshape(N, nb, R), 1, 2)
         cand = moves + axm[:, :, None, :]                # [N, r, b, j]
         jbest = jnp.argmax(cand, axis=-1)                # [N, r, b]
@@ -88,25 +125,28 @@ def viterbi_decode_scan(seqdist, scores, qscale=1.0, qbias=0.0):
         a_max_new = jnp.where(is_move, mbest, stay_in)
         choice = jnp.where(is_move, jbest + 1, 0).astype(jnp.uint8)
 
-        return (a_log_new, a_max_new), (a_log, choice)
+        return (A_new, c_new, a_max_new), (move_in * inv, c_new, choice)
 
-    (a_log_T, a_max_T), (alpha_stack, choices) = jax.lax.scan(
-        fwd_step, (a0, a0), Ms)
+    (A_T, c_T, a_max_T), (min_stack, c_stack, choices) = jax.lax.scan(
+        fwd_step, (A0, c0, x0), Ms)
 
-    logZ = jax.nn.logsumexp(a_log_T, axis=-1)            # [N]
+    logZ = jnp.log(jnp.sum(A_T, axis=-1)) + c_T          # [N]
     end_state = jnp.argmax(a_max_T, axis=-1).astype(jnp.int32)  # [N]
 
     # -- backward: beta + traceback + per-frame emission ----------------------
 
-    b0 = jnp.zeros((N, S), jnp.float32)
+    B0 = jnp.ones((N, S), jnp.float32)
+    d0 = jnp.zeros((N,), jnp.float32)
     narange = jnp.arange(N)
 
     def bwd_step(carry, inp):
-        beta, state = carry                              # beta at t+1, s_{t+1}
-        Ms_t, a_log_t, choice_t = inp
+        B, d, state = carry                      # B/d at t+1, state s_{t+1}
+        Ms_t, min_t, c_t, choice_t = inp         # c_t is c_{t+1}
         Ms_t = Ms_t.astype(jnp.float32)
         stay = Ms_t[..., 0]
         moves = Ms_t[..., 1:].reshape(N, R, nb, nb)      # [N, r, b, j]
+        P_stay = jnp.exp(stay)
+        P_move = jnp.exp(moves)
 
         # traceback emission for frame t
         c = choice_t[narange, state]                     # [N]
@@ -115,32 +155,37 @@ def viterbi_decode_scan(seqdist, scores, qscale=1.0, qbias=0.0):
         j = jnp.maximum(c.astype(jnp.int32) - 1, 0)
         prev_state = jnp.where(is_move, state // nb + j * R, state)
 
-        # posterior mass of each emitted base b at frame t:
-        # LSE over (r, j) of alpha_t[j*R+r] + moves[r,b,j] + beta_{t+1}[r*nb+b]
-        am = jnp.swapaxes(a_log_t.reshape(N, nb, R), 1, 2)   # [N, r, j]
-        bm = beta.reshape(N, R, nb)                          # [N, r, b]
-        edge = moves + am[:, :, None, :] + bm[..., None]     # [N, r, b, j]
-        base_logp = jax.nn.logsumexp(edge, axis=(1, 3))      # [N, b]
+        # posterior mass of each emitted base b at frame t: the stored
+        # move-in mass already sums the predecessors, so the per-base
+        # grouping is sum over r of move_in[r*nb+b] * beta_{t+1}[r*nb+b]
+        v = min_t * B                                    # [N, S]
+        bmass = v.reshape(N, R, nb).sum(axis=1)          # [N, b]
+        corr = jnp.exp(c_t + d - logZ)                   # [N]
+        base_prob = bmass * corr[:, None]
 
-        # beta update to time t
-        move_out = jax.nn.logsumexp(moves + bm[..., None], axis=2)  # [N,r,j]
+        # beta update to time t (prob space, renormalised)
+        bm = B.reshape(N, R, nb)                         # [N, r, b]
+        move_out = jnp.sum(P_move * bm[..., None], axis=2)   # [N, r, j]
         move_out = jnp.swapaxes(move_out, 1, 2).reshape(N, S)
-        beta_t = jnp.logaddexp(stay + beta, move_out)
+        B_raw = P_stay * B + move_out
+        n = jnp.max(B_raw, axis=-1, keepdims=True)
+        B_new = B_raw * (1.0 / n)
+        d_new = d + jnp.log(n[:, 0])
 
-        return (beta_t, prev_state), (is_move, base, base_logp)
+        return (B_new, d_new, prev_state), (is_move, base, base_prob)
 
-    (_, _), (is_move, base, base_logp) = jax.lax.scan(
-        bwd_step, (b0, end_state), (Ms, alpha_stack, choices), reverse=True)
+    (_, _, _), (is_move, base, base_prob) = jax.lax.scan(
+        bwd_step, (B0, d0, end_state), (Ms, min_stack, c_stack, choices),
+        reverse=True)
 
     # [T, N, ...] -> [N, T, ...]
     is_move = jnp.swapaxes(is_move, 0, 1)
     base = jnp.swapaxes(base, 0, 1)
-    base_logp = jnp.swapaxes(base_logp, 0, 1)            # [N, T, nb]
+    base_prob = jnp.swapaxes(base_prob, 0, 1)            # [N, T, nb]
 
-    chosen = jnp.take_along_axis(
-        base_logp, jnp.maximum(base.astype(jnp.int32) - 1, 0)[..., None],
+    prob = jnp.take_along_axis(
+        base_prob, jnp.maximum(base.astype(jnp.int32) - 1, 0)[..., None],
         axis=-1)[..., 0]
-    prob = jnp.exp(chosen - logZ[:, None])
 
     err = jnp.clip(1.0 - prob, 1e-4, 1.0)
     q = -10.0 * jnp.log10(err) * qscale + qbias
@@ -194,13 +239,21 @@ def viterbi_decode_reference(seqdist, scores, qscale=1.0, qbias=0.0):
 def beam_search(seqdist, scores, beam_width=32, beam_cut=100.0, scale=1.0,
                 offset=0.0, blank_score=2.0, qscale=1.0, qbias=0.0):
     """
-    Fixed-width CRF beam search (koi.decode.beam_search equivalent).
+    Fixed-width CRF beam search (koi.decode.beam_search equivalent,
+    reference call site bonito/crf/basecall.py:36-44).
 
-    Currently delegates to fused Viterbi decoding (the exact-MAP path,
-    which the fixed-width beam approximates); a vectorised on-device beam
-    with per-beam qstring semantics is planned.
+    Runs the vectorised device beam (ops/beam_device.py — merge-by-LSE,
+    beam_cut, traceback semantics pinned against the host implementation
+    in tests/test_beam.py). The default decode path remains exact Viterbi
+    + true posterior qscores (viterbi_decode): the MAP path upper-bounds
+    what the width-32 beam approximates and runs ~10x faster on TPU —
+    select with the basecaller's --beam flag when output parity with
+    koi's beam is required.
     """
-    return viterbi_decode(seqdist, scores, qscale=qscale, qbias=qbias)
+    from bonito_tpu.ops.beam_device import beam_search_device
+    return beam_search_device(
+        seqdist, scores, beam_width=beam_width, beam_cut=beam_cut,
+        scale=scale, offset=offset, qscale=qscale, qbias=qbias)
 
 
 def to_str(frame_codes, alphabet="NACGT", qstring=False):

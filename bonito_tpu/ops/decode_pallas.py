@@ -8,6 +8,15 @@ the while-loop pays ~0.7 ms/step of launch+slice overhead at
 Pallas pipeline streams per-step slabs through VMEM with carries in
 scratch.
 
+The decode is VPU-compute-bound (transcendentals), not HBM-bound, so the
+sum semiring (posteriors) runs in probability space with a per-step max
+renormalisation: exp() once per score and multiply-adds replace logsumexp
+chains, halving the transcendental count vs the log-space formulation.
+Per-batch-element log-corrections (c forward, d backward) carry the
+normalisation; CRF scores are bounded by the encoder's tanh*scale so
+exp() cannot overflow. The Viterbi side (max semiring) stays in log space
+— it has no transcendentals.
+
 Layout: batch-minor. All tensors are [T, states..., N] so that the CRF's
 two state factorisations — successor s = r*n_base + b and predecessor
 p = j*R + r — are *leading-dimension* reshapes of the [S, N] slab, which
@@ -36,38 +45,44 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _lse(a, b):
-    big = jnp.maximum(a, b)
-    return big + jnp.log(jnp.exp(a - big) + jnp.exp(b - big))
-
-
-def _fwd_kernel(nb, R, K, stay_ref, moves_ref, alpha_out, choice_out,
-                alog_out, amax_out, alog_ref, amax_ref):
+def _fwd_kernel(nb, R, K, T, stay_ref, moves_ref, min_out, choice_out, c_out,
+                a_out, amax_out, a_ref, c_ref, amax_ref):
     t = pl.program_id(0)
-    S, N = alog_ref.shape
+    S, N = a_ref.shape
 
     @pl.when(t == 0)
     def _():
-        alog_ref[...] = jnp.zeros_like(alog_ref)
+        a_ref[...] = jnp.ones_like(a_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
         amax_ref[...] = jnp.zeros_like(amax_ref)
 
-    a_log = alog_ref[...]
+    A = a_ref[...]
+    c = c_ref[...]
     a_max = amax_ref[...]
 
     for k in range(K):
-        alpha_out[k] = a_log
         stay = stay_ref[k].astype(jnp.float32)            # [S, N]
         moves = moves_ref[k].astype(jnp.float32).reshape(nb, nb, R, N)
 
-        # Log semiring: alpha viewed by predecessor (j, r)
-        a_view = a_log.reshape(nb, R, N)                  # [j, r, N]
-        cand = moves + a_view[None]                       # [b, j, r, N]
-        m = jnp.max(cand, axis=1)
-        move_in = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None]), axis=1))
+        # sum semiring in prob space: alpha viewed by predecessor (j, r)
+        P_stay = jnp.exp(stay)
+        P_move = jnp.exp(moves)
+        Av = A.reshape(nb, R, N)                          # [j, r, N]
+        move_in = jnp.sum(P_move * Av[None], axis=1)      # [b, r, N]
         move_in = jnp.swapaxes(move_in, 0, 1).reshape(S, N)
-        a_log = _lse(stay + a_log, move_in)
+        A_raw = P_stay * A + move_in
+        m = jnp.max(A_raw, axis=0, keepdims=True)         # [1, N]
+        # padded steps are an exact no-op (A_raw == A): force m = 1 so the
+        # renormalisation cannot introduce sub-ulp drift vs the scan oracle
+        valid = (t * K + k) < T
+        m = jnp.where(valid, m, 1.0)
+        inv = 1.0 / m
+        A = A_raw * inv
+        c = c + jnp.log(m)
+        min_out[k] = move_in * inv
+        c_out[k] = jnp.broadcast_to(c[:1], c_out.shape[1:])
 
-        # Max semiring + choices
+        # Max semiring + choices (log space)
         ax_view = a_max.reshape(nb, R, N)
         cand = moves + ax_view[None]
         jbest = jnp.argmax(cand, axis=1)                  # [b, r, N] i32
@@ -77,28 +92,33 @@ def _fwd_kernel(nb, R, K, stay_ref, moves_ref, alpha_out, choice_out,
         stay_m = stay + a_max
         is_move = mbest > stay_m
         a_max = jnp.where(is_move, mbest, stay_m)
-        choice_out[k] = jnp.where(is_move, jbest + 1, 0).astype(jnp.int32)
+        choice_out[k] = jnp.where(
+            is_move, (jbest + 1).astype(jnp.float32), 0.0
+        ).astype(choice_out.dtype)
 
-    alog_ref[...] = a_log
+    a_ref[...] = A
+    c_ref[...] = c
     amax_ref[...] = a_max
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
-        alog_out[...] = a_log
+        a_out[...] = A
         amax_out[...] = a_max
 
 
-def _bwd_kernel(nb, R, K, stay_ref, moves_ref, alpha_ref, choice_ref, end_ref,
-                emit_out, beta_ref, state_ref):
+def _bwd_kernel(nb, R, K, stay_ref, moves_ref, min_ref, choice_ref, c_ref,
+                end_ref, lz_ref, emit_out, b_ref, d_ref, state_ref):
     t = pl.program_id(0)
-    S, N = beta_ref.shape
+    S, N = b_ref.shape
 
     @pl.when(t == 0)
     def _():
-        beta_ref[...] = jnp.zeros_like(beta_ref)
+        b_ref[...] = jnp.ones_like(b_ref)
+        d_ref[...] = jnp.zeros_like(d_ref)
         state_ref[...] = end_ref[...]
 
-    beta = beta_ref[...]
+    B = b_ref[...]
+    d = d_ref[...]                                       # [8, N] (row 0 used)
     onehot = state_ref[...]                              # [S, N] one-hot f32
     srow = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
     brow = jax.lax.broadcasted_iota(
@@ -107,7 +127,8 @@ def _bwd_kernel(nb, R, K, stay_ref, moves_ref, alpha_ref, choice_ref, end_ref,
     for k in range(K - 1, -1, -1):
         stay = stay_ref[k].astype(jnp.float32)
         moves = moves_ref[k].astype(jnp.float32).reshape(nb, nb, R, N)
-        a_log = alpha_ref[k]                             # [S, N]
+        P_stay = jnp.exp(stay)
+        P_move = jnp.exp(moves)
 
         # traceback lookups (one-hot reduces over sublanes)
         choice = jnp.sum(choice_ref[k].astype(jnp.float32) * onehot, axis=0)
@@ -119,31 +140,32 @@ def _bwd_kernel(nb, R, K, stay_ref, moves_ref, alpha_ref, choice_ref, end_ref,
             is_move, jnp.floor(state_idx / nb) + j * R, state_idx)
         onehot = (srow == prev_idx[None]).astype(jnp.float32)
 
-        # emitted-base posterior mass:
-        # LSE over (j, r) of alpha[j*R+r] + moves[b,j,r] + beta[r*nb+b]
-        a_view = a_log.reshape(nb, R, N)                 # [j, r, N]
-        b_view = jnp.swapaxes(beta.reshape(R, nb, N), 0, 1)  # [b, r, N]
-        edge = moves + a_view[None] + b_view[:, None]    # [b, j, r, N]
-        m = jnp.max(edge, axis=(1, 2))
-        base_logp = m + jnp.log(
-            jnp.sum(jnp.exp(edge - m[:, None, None]), axis=(1, 2)))  # [b, N]
+        # emitted-base posterior mass: the stored move-in mass already sums
+        # predecessors, so group sum over r of move_in[r*nb+b] * B[r*nb+b],
+        # rescaled by exp(c_{t+1} + d_{t+1} - logZ)
+        v = min_ref[k] * B                               # [S, N]
+        bmass = jnp.sum(v.reshape(R, nb, N), axis=0)     # [b, N]
+        corr = jnp.exp(c_ref[k][:1] + d[:1] - lz_ref[:1])    # [1, N]
         chosen = jnp.sum(
-            base_logp * (brow == (base - 1.0)[None]).astype(jnp.float32),
+            bmass * (brow == (base - 1.0)[None]).astype(jnp.float32),
             axis=0)
+        prob = chosen * corr[0]
 
         code = jnp.where(is_move, base, 0.0)
         emit_out[k] = jnp.concatenate([
-            code[None], chosen[None],
+            code[None], prob[None],
             jnp.zeros((emit_out.shape[1] - 2, N), jnp.float32)], axis=0)
 
         # beta update: new beta[p = j*R + r] (j-major: plain reshape)
-        move_out = moves + b_view[:, None]               # [b, j, r, N]
-        mm = jnp.max(move_out, axis=0)
-        move_lse = mm + jnp.log(
-            jnp.sum(jnp.exp(move_out - mm[None]), axis=0))
-        beta = _lse(stay + beta, move_lse.reshape(S, N))
+        Bv = jnp.swapaxes(B.reshape(R, nb, N), 0, 1)     # [b, r, N]
+        move_out = jnp.sum(P_move * Bv[:, None], axis=0)     # [j, r, N]
+        B_raw = P_stay * B + move_out.reshape(S, N)
+        n = jnp.max(B_raw, axis=0, keepdims=True)
+        B = B_raw * (1.0 / n)
+        d = d + jnp.log(n)
 
-    beta_ref[...] = beta
+    b_ref[...] = B
+    d_ref[...] = d
     state_ref[...] = onehot
 
 
@@ -168,13 +190,14 @@ def _block_k(S, N, nb):
     if env:
         return int(env)
     # VMEM model: all buffers pad the lane dim (N) to 128; kernel-body
-    # temporaries (cand/edge blocks and their exp copies) cost ~14 f32
-    # planes of [S, N] independent of K; per-K stream cost = stay bf16 +
-    # moves bf16 (nb*S wide) + alpha f32 + choices i32, double-buffered.
+    # temporaries (P_move/cand blocks and friends) cost ~14 f32 planes of
+    # [S, N] independent of K; per-K stream cost = stay bf16 + moves bf16
+    # (nb*S wide) + move-in f32 + choices bf16 + c f32 rows,
+    # double-buffered.
     eff_n = -(-N // 128) * 128
     plane = S * eff_n
     avail = (16 << 20) - 14 * plane * 4
-    per_k = plane * (2 + 2 * nb + 4 + 4) * 2
+    per_k = plane * (2 + 2 * nb + 4 + 2) * 2
     return max(1, min(4, avail // max(per_k, 1)))
 
 
@@ -192,8 +215,9 @@ def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
     moves = moves.transpose(1, 3, 4, 2, 0).reshape(T, nb * nb, R, N)
 
     # K timesteps per grid step (amortises pipeline overhead on small-S
-    # models); identity padding: stay=0 / moves=-inf leaves alpha, beta
-    # and the traceback state unchanged on padded rows
+    # models); identity padding: stay=0 / moves=-inf leaves alpha (the max
+    # renormaliser stays 1 so c is unchanged), beta and the traceback state
+    # unchanged on padded rows
     K = _block_k(S, N, nb)
     pad = (-T) % K
     if pad:
@@ -204,8 +228,8 @@ def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
     Tp = T + pad
     G = Tp // K
 
-    alpha, choices, alog_T, amax_T = pl.pallas_call(
-        partial(_fwd_kernel, nb, R, K),
+    min_stack, choices, c_stack, A_T, amax_T = pl.pallas_call(
+        partial(_fwd_kernel, nb, R, K, T),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
@@ -214,25 +238,30 @@ def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
         out_specs=[
             pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
             pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((K, 8, N), lambda g: (g, 0, 0)),
             pl.BlockSpec((S, N), lambda g: (0, 0)),
             pl.BlockSpec((S, N), lambda g: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, S, N), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, S, N), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, S, N), jnp.bfloat16),
+            jax.ShapeDtypeStruct((Tp, 8, N), jnp.float32),
             jax.ShapeDtypeStruct((S, N), jnp.float32),
             jax.ShapeDtypeStruct((S, N), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
             pltpu.VMEM((S, N), jnp.float32),
         ],
         interpret=interpret,
     )(stay, moves)
 
-    logZ = jax.nn.logsumexp(alog_T, axis=0)               # [N]
+    c_T = c_stack[Tp - 1, 0]                              # [N]
+    logZ = jnp.log(jnp.sum(A_T, axis=0)) + c_T            # [N]
     end_state = jnp.argmax(amax_T, axis=0)                # [N]
     end_onehot = jax.nn.one_hot(end_state, S, axis=0, dtype=jnp.float32)
+    lz_rows = jnp.broadcast_to(logZ[None], (8, N))
 
     emit = pl.pallas_call(
         partial(_bwd_kernel, nb, R, K),
@@ -242,22 +271,24 @@ def viterbi_decode_pallas(seqdist, scores, qscale=1.0, qbias=0.0,
             pl.BlockSpec((K, nb * nb, R, N), lambda g: (G - 1 - g, 0, 0, 0)),
             pl.BlockSpec((K, S, N), lambda g: (G - 1 - g, 0, 0)),
             pl.BlockSpec((K, S, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((K, 8, N), lambda g: (G - 1 - g, 0, 0)),
             pl.BlockSpec((S, N), lambda g: (0, 0)),
+            pl.BlockSpec((8, N), lambda g: (0, 0)),
         ],
         out_specs=pl.BlockSpec((K, 8, N), lambda g: (G - 1 - g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((Tp, 8, N), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((S, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
             pltpu.VMEM((S, N), jnp.float32),
         ],
         interpret=interpret,
-    )(stay, moves, alpha, choices, end_onehot)
+    )(stay, moves, min_stack, choices, c_stack, end_onehot, lz_rows)
 
     code = emit[:T, 0, :].T                               # [N, T]
-    chosen_logp = emit[:T, 1, :].T
+    prob = emit[:T, 1, :].T
 
     is_move = code > 0.5
-    prob = jnp.exp(chosen_logp - logZ[:, None])
     err = jnp.clip(1.0 - prob, 1e-4, 1.0)
     q = -10.0 * jnp.log10(err) * qscale + qbias
     qchar = (jnp.round(q) + 33.0).astype(jnp.uint8)

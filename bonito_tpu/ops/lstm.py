@@ -73,14 +73,19 @@ def lstm(x, w_ih, w_hh, b, reverse=False):
     return lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
 
 
-def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False):
-    """Quantised-recurrence LSTM; Pallas int8 kernel on TPU, dequantised
-    scan elsewhere."""
+def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
+              w_ih_q=None, ih_scales=None):
+    """Quantised LSTM; Pallas int8 kernel on TPU, dequantised scan
+    elsewhere. w_ih_q/ih_scales (optional) quantise the input projection
+    too — pass w_ih=None then."""
     import jax
     from bonito_tpu.ops.lstm_pallas import lstm_pallas_int8
     if (jax.default_backend() == "tpu"
             and not os.environ.get("BONITO_TPU_NO_PALLAS")):
-        return lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=reverse)
+        return lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=reverse,
+                                w_ih_q=w_ih_q, ih_scales=ih_scales)
+    if w_ih is None:
+        w_ih = (w_ih_q.astype(jnp.float32) * ih_scales).astype(x.dtype)
     w_hh = w_hh_q.astype(jnp.float32) * scales * 127.0
     return lstm_scan(x, w_ih, w_hh.astype(x.dtype), b, reverse=reverse)
 

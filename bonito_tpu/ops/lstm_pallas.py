@@ -362,30 +362,56 @@ def _lstm_kernel_int8(xw_ref, whh_ref, scale_ref, out_ref, h_ref, c_ref):
     out_ref[0] = h.astype(out_ref.dtype)
 
 
-def quantize_whh(w_hh):
-    """Per-output-channel symmetric int8 quantisation of W_hh.
-    Returns (w_q int8 [H, 4H], scales f32 [1, 4H]) with scales folding in
-    the 1/127 activation step."""
+def quantize_cols(w):
+    """Per-output-channel symmetric int8 quantisation of a [C, 4H] weight.
+    Returns (w_q int8, col_scales f32 [1, 4H]) with w ~= w_q * col_scales."""
     import numpy as np
-    w = np.asarray(w_hh, np.float32)
+    w = np.asarray(w, np.float32)
     col_max = np.abs(w).max(axis=0)
     col_scale = np.where(col_max > 0, col_max / 127.0, 1.0)
     w_q = np.clip(np.round(w / col_scale), -127, 127).astype(np.int8)
-    scales = (col_scale / 127.0).astype(np.float32)[None, :]
-    return jnp.asarray(w_q), jnp.asarray(scales)
+    return jnp.asarray(w_q), jnp.asarray(col_scale.astype(np.float32)[None, :])
+
+
+def quantize_whh(w_hh):
+    """Quantise W_hh for the int8 recurrence. The returned scales fold in
+    the static 1/127 step used to quantise h (h is bounded by tanh*sigmoid)."""
+    w_q, col_scales = quantize_cols(w_hh)
+    return w_q, col_scales / 127.0
+
+
+def project_int8(x, w_ih_q, ih_scales, b, dtype):
+    """Quantised input projection: dynamic per-tensor activation scale
+    (conv outputs are unbounded, unlike h), int8 MXU matmul over all
+    timesteps at once, f32 rescale (koi quantizes the full cell —
+    reference flag path bonito/util.py:292-296)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    x_q = jnp.round(xf / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_ih_q, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    xw = acc.astype(jnp.float32) * (sx * ih_scales)
+    if b is not None:
+        xw = xw + b.astype(jnp.float32)
+    return xw.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("reverse", "interpret"))
 def lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
-                     interpret=False):
-    """Quantised-recurrence LSTM: int8 h @ W_hh on the MXU."""
+                     interpret=False, w_ih_q=None, ih_scales=None):
+    """Quantised-recurrence LSTM: int8 h @ W_hh on the MXU; when the input
+    projection is also quantised (w_ih_q given) it runs int8 too."""
     N, T, C = x.shape
     H = w_hh_q.shape[0]
     dtype = x.dtype
 
-    xw = x @ w_ih.astype(dtype)
-    if b is not None:
-        xw = xw + b.astype(dtype)
+    if w_ih_q is not None:
+        xw = project_int8(x, w_ih_q, ih_scales, b, dtype)
+    else:
+        xw = x @ w_ih.astype(dtype)
+        if b is not None:
+            xw = xw + b.astype(dtype)
     xw = jnp.swapaxes(xw, 0, 1)
 
     if reverse:

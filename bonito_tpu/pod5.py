@@ -112,18 +112,129 @@ def _svb16_decode_py(payload, count):
 
 
 # ---------------------------------------------------------------------------
+# flatbuffer footer (pod5 footer.fbs: table Footer { file_identifier,
+# software, pod5_version, contents: [EmbeddedFile] }; table EmbeddedFile
+# { offset, length, format, content_type }). Field ids follow schema
+# order; Format.FeatherV2 = 0; ContentType ReadsTable=0 SignalTable=1
+# RunInfoTable=4.
+# ---------------------------------------------------------------------------
+
+CONTENT_READS, CONTENT_SIGNAL, CONTENT_RUN_INFO = 0, 1, 4
+
+
+def build_footer(contents, file_identifier, software="bonito_tpu",
+                 pod5_version="0.3.10"):
+    """Serialise the footer flatbuffer. ``contents`` is a list of dicts
+    with offset/length/content_type (format is always FeatherV2 = 0)."""
+    import flatbuffers
+    b = flatbuffers.Builder(1024)
+    fid = b.CreateString(file_identifier)
+    sw = b.CreateString(software)
+    ver = b.CreateString(pod5_version)
+
+    efs = []
+    for c in contents:
+        b.StartObject(4)
+        b.PrependInt64Slot(0, c["offset"], 0)
+        b.PrependInt64Slot(1, c["length"], 0)
+        b.PrependInt16Slot(2, c.get("format", 0), 0)
+        b.PrependInt16Slot(3, c["content_type"], 0)
+        efs.append(b.EndObject())
+
+    b.StartVector(4, len(efs), 4)
+    for o in reversed(efs):
+        b.PrependUOffsetTRelative(o)
+    vec = b.EndVector()
+
+    b.StartObject(4)
+    b.PrependUOffsetTRelativeSlot(0, fid, 0)
+    b.PrependUOffsetTRelativeSlot(1, sw, 0)
+    b.PrependUOffsetTRelativeSlot(2, ver, 0)
+    b.PrependUOffsetTRelativeSlot(3, vec, 0)
+    b.Finish(b.EndObject())
+    return bytes(b.Output())
+
+
+def parse_footer(data):
+    """Parse the footer flatbuffer out of a pod5 byte string. The footer
+    sits before the trailing <int64 length><section marker><signature>.
+    Returns {file_identifier, software, pod5_version, contents: [...]} or
+    None when the footer is absent/empty (legacy placeholder files)."""
+    import flatbuffers
+    from flatbuffers import number_types as NT
+
+    tail = len(data) - len(_SIGNATURE) - 16          # before marker+signature
+    flen_off = tail - 8
+    if flen_off <= 0:
+        return None
+    flen = int.from_bytes(data[flen_off:tail], "little", signed=True)
+    if flen <= 0 or flen > flen_off:
+        return None
+    buf = bytearray(data[flen_off - flen:flen_off])
+
+    t = flatbuffers.table.Table(buf, 0)
+    root = t.Get(NT.UOffsetTFlags, 0)
+    root_t = flatbuffers.table.Table(buf, root)
+
+    def string_field(tab, slot):
+        o = tab.Offset(4 + 2 * slot)
+        return tab.String(o + tab.Pos).decode() if o else None
+
+    out = {
+        "file_identifier": string_field(root_t, 0),
+        "software": string_field(root_t, 1),
+        "pod5_version": string_field(root_t, 2),
+        "contents": [],
+    }
+    o = root_t.Offset(4 + 2 * 3)
+    if o:
+        n = root_t.VectorLen(o)
+        vec = root_t.Vector(o)
+        for i in range(n):
+            pos = vec + i * 4
+            ef = flatbuffers.table.Table(
+                buf, pos + root_t.Get(NT.UOffsetTFlags, pos))
+
+            def scalar(tab, slot, flags, default=0):
+                off = tab.Offset(4 + 2 * slot)
+                return tab.Get(flags, off + tab.Pos) if off else default
+
+            out["contents"].append({
+                "offset": scalar(ef, 0, NT.Int64Flags),
+                "length": scalar(ef, 1, NT.Int64Flags),
+                "format": scalar(ef, 2, NT.Int16Flags),
+                "content_type": scalar(ef, 3, NT.Int16Flags),
+            })
+    return out
+
+
+# ---------------------------------------------------------------------------
 # container parsing
 # ---------------------------------------------------------------------------
 
 def _embedded_arrow_tables(path):
     """Locate + open every embedded Arrow IPC file; returns list of
-    pyarrow Tables."""
+    pyarrow Tables. Prefers the flatbuffer footer index; falls back to an
+    ARROW1 framing-magic scan for files without one."""
     import pyarrow as pa
     import pyarrow.ipc
 
     data = Path(path).read_bytes()
     if not data.startswith(_SIGNATURE):
         raise ValueError(f"{path} is not a pod5 file (bad signature)")
+
+    try:
+        footer = parse_footer(data)
+    except Exception:
+        footer = None
+    if footer and footer["contents"]:
+        mv = memoryview(data)
+        tables = []
+        for ef in footer["contents"]:
+            sl = mv[ef["offset"]:ef["offset"] + ef["length"]]
+            reader = pa.ipc.open_file(pa.BufferReader(pa.py_buffer(sl)))
+            tables.append(reader.read_all())
+        return tables
 
     tables = []
     mv = memoryview(data)
@@ -441,13 +552,25 @@ def write_pod5(path, reads, run_info=None, compress=True):
             w.write_table(table)
         return sink.getvalue()
 
-    section = uuid.uuid4().bytes
+    file_id = uuid.uuid4()
+    section = file_id.bytes
+    content_types = (CONTENT_READS, CONTENT_SIGNAL, CONTENT_RUN_INFO)
     with open(path, "wb") as f:
         f.write(_SIGNATURE)
         f.write(section)
-        for table in (reads_table, signal_table, run_info_table):
+        contents = []
+        for table, ctype in zip(
+                (reads_table, signal_table, run_info_table), content_types):
             payload = arrow_file_bytes(table)
+            contents.append({
+                "offset": f.tell(), "length": len(payload),
+                "content_type": ctype,
+            })
             f.write(payload)
             f.write(b"\x00" * (-len(payload) % 8))
+        # footer index: <flatbuffer><int64 length><section marker><signature>
+        footer = build_footer(contents, file_identifier=str(file_id))
+        f.write(footer)
+        f.write(len(footer).to_bytes(8, "little"))
         f.write(section)
         f.write(_SIGNATURE)

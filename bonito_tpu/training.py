@@ -165,6 +165,7 @@ class Trainer:
         self.optimizer = None
         self.opt_state = None
         self._step_fn = None
+        self._valid_fn = None
 
     def init_optimizer(self, lr, **kwargs):
         """AdamW by default; pluggable via config [optim] package/symbol
@@ -230,18 +231,45 @@ class Trainer:
                 })
         return smoothed_loss, time.perf_counter() - t0
 
+    def _get_valid_fn(self):
+        """ONE jitted function per validation-batch shape: forward + loss
+        (+ fused Viterbi decode for seqdist models) all on device —
+        op-by-op dispatch through a remote-device tunnel makes an eager
+        validation loop pathologically slow at real sizes."""
+        if self._valid_fn is None:
+            model = self.model
+            criterion = self.criterion or self.model.loss
+            emits_codes = hasattr(model, "seqdist")
+
+            @jax.jit
+            def step(params, data, targets, lengths):
+                scores = model.apply(params, data)
+                losses = criterion(scores, targets, lengths)
+                if not isinstance(losses, dict):
+                    losses = {"loss": losses}
+                if emits_codes:
+                    from bonito_tpu.ops.decode import viterbi_decode
+                    codes = viterbi_decode(model.seqdist, scores)["sequence"]
+                    return losses, codes, scores
+                return losses, None, scores
+
+            self._valid_fn = step
+        return self._valid_fn
+
     def validate_one_step(self, batch):
         data, targets, lengths = batch
-        scores = self.model.apply(
-            self.model.params, jnp.asarray(data, jnp.float32)[..., None]
-            if data.ndim == 2 else jnp.asarray(data, jnp.float32))
-        criterion = self.criterion or self.model.loss
-        losses = criterion(scores, jnp.asarray(targets), jnp.asarray(lengths))
-        if isinstance(losses, dict):
-            losses = {k: float(v) for k, v in losses.items()}
+        data = (jnp.asarray(data, jnp.float32)[..., None]
+                if np.asarray(data).ndim == 2
+                else jnp.asarray(data, jnp.float32))
+        losses, codes, scores = self._get_valid_fn()(
+            self.model.params, data,
+            jnp.asarray(targets), jnp.asarray(lengths))
+        losses = {k: float(v) for k, v in losses.items()}
+        if codes is not None:
+            seqs = [self.model.seqdist.path_to_str(p)
+                    for p in np.asarray(codes)]
         else:
-            losses = {"loss": float(losses)}
-        seqs = self.model.decode_batch(scores)
+            seqs = self.model.decode_batch(scores)
         refs = [decode_ref(t[:l], self.model.alphabet)
                 for t, l in zip(np.asarray(targets), np.asarray(lengths))]
         n_pre = getattr(self.model, "n_pre_context_bases", 0)

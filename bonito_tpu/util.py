@@ -145,29 +145,35 @@ def stitch(chunks, chunksize, overlap, length, stride, reverse=False):
     """
     Stitch per-chunk model outputs back into one read.
 
-    ``chunks`` has shape [n_chunks, T_out, ...]; the overlap/2 frames on each
-    side of every junction are dropped (reference: bonito/util.py:164-183).
+    ``chunks`` has shape [n_chunks, T_out, ...]. Each junction between
+    consecutive chunks discards overlap/2 raw samples from both sides,
+    expressed here in output frames (i.e. divided by the model stride).
+    When the read length doesn't tile evenly, the first chunk was anchored
+    at the read start (the "stub"), so it contributes only its first
+    (stub + overlap/2)/stride frames. The boundary arithmetic must match
+    the reference's stitcher exactly (bonito/util.py:164-183) or base
+    strings diverge at chunk junctions — the keep-range table below
+    reproduces it and is pinned by tests/test_util.py.
     """
-    if size(chunks, 0) == 1:
+    n = size(chunks, 0)
+    if n == 1:
         return select_range(chunks, 0, 1)[0] if isinstance(chunks, dict) else chunks[0]
 
-    semi_overlap = overlap // 2
-    start, end = semi_overlap // stride, (chunksize - semi_overlap) // stride
+    cut = (overlap // 2) // stride
+    body = (chunksize - overlap // 2) // stride
     stub = (length - overlap) % (chunksize - overlap)
-    first_chunk_end = (stub + semi_overlap) // stride if (stub > 0) else end
+    head = (stub + overlap // 2) // stride if stub > 0 else body
 
+    # per-chunk keep-ranges in forward frame coordinates; None = to-the-end
+    keeps = [(0, head)] + [(cut, body)] * (n - 2) + [(cut, None)]
     if reverse:
-        pieces = list(chunks)
+        # a reversed model emits frames back-to-front, so the keep-ranges
+        # mirror (count from the chunk end) and the read order flips
         return concat([
-            pieces[-1][:-start],
-            *(x[-end:-start] for x in reversed(pieces[1:-1])),
-            pieces[0][-first_chunk_end:],
+            c[(-b if b is not None else None):(-a if a else None)]
+            for c, (a, b) in zip(list(chunks)[::-1], keeps[::-1])
         ])
-    return concat([
-        chunks[0, :first_chunk_end],
-        *(chunks[i, start:end] for i in range(1, size(chunks, 0) - 1)),
-        chunks[-1, start:],
-    ])
+    return concat([c[a:b] for c, (a, b) in zip(chunks, keeps)])
 
 
 # ---------------------------------------------------------------------------
@@ -177,37 +183,41 @@ def stitch(chunks, chunksize, overlap, length, stride, reverse=False):
 def batchify(items, batchsize, dim=0):
     """
     Pack a stream of (key, chunks-array) into fixed-size batches, yielding
-    (spans, batch) where spans = [(key, (start, end)), ...] records where each
-    read's chunks landed inside the batch.
+    (spans, batch) where spans = ((key, (start, end)), ...) records where
+    each read's chunks landed inside the batch. A read larger than the
+    remaining space is split greedily across batches.
     """
-    stack, pos = [], 0
-    for key, value in items:
-        breaks = range(batchsize - pos, size(value, dim), batchsize)
-        for start, end in zip([0, *breaks], [*breaks, size(value, dim)]):
-            part = select_range(value, start, end, dim)
-            stack.append(((key, (pos, pos + end - start)), part))
-            if pos + end - start == batchsize:
-                spans, parts = zip(*stack)
-                yield spans, concat(parts, dim)
-                stack, pos = [], 0
-            else:
-                pos += end - start
-
-    if stack:
-        spans, parts = zip(*stack)
-        yield spans, concat(parts, dim)
+    spans, parts, fill = [], [], 0
+    for key, chunks in items:
+        taken, total = 0, size(chunks, dim)
+        if total == 0:
+            # zero-chunk reads still get an (empty) span so they reappear
+            # from unbatchify and downstream stages see every read
+            spans.append((key, (fill, fill)))
+            parts.append(select_range(chunks, 0, 0, dim))
+        while taken < total:
+            take = min(batchsize - fill, total - taken)
+            spans.append((key, (fill, fill + take)))
+            parts.append(select_range(chunks, taken, taken + take, dim))
+            taken += take
+            fill += take
+            if fill == batchsize:
+                yield tuple(spans), concat(parts, dim)
+                spans, parts, fill = [], [], 0
+    if parts:
+        yield tuple(spans), concat(parts, dim)
 
 
 def unbatchify(batches, dim=0):
     """Invert batchify: regroup batch slices back into per-key arrays."""
-    sliced = (
-        (key, select_range(value, start, end, dim))
-        for spans, value in batches
-        for key, (start, end) in spans
-    )
+    def pieces():
+        for spans, batch in batches:
+            for key, (start, end) in spans:
+                yield key, select_range(batch, start, end, dim)
+
     return (
-        (key, concat([v for _, v in group], dim))
-        for key, group in groupby(sliced, itemgetter(0))
+        (key, concat([piece for _, piece in group], dim))
+        for key, group in groupby(pieces(), itemgetter(0))
     )
 
 
@@ -260,7 +270,7 @@ def set_config_defaults(config, chunksize=None, batchsize=None, overlap=None, qu
 
 
 def load_model(dirname, weights=None, half=True, chunksize=None, batchsize=None,
-               overlap=None, quantize=False, use_compiled=True):
+               overlap=None, quantize=False, use_compiled=True, fuse_bn=False):
     """
     Load a model (config + weights) off disk.
 
@@ -283,10 +293,12 @@ def load_model(dirname, weights=None, half=True, chunksize=None, batchsize=None,
 
     config = load_config(dirname / "config.toml")
     config = set_config_defaults(config, chunksize, batchsize, overlap, quantize)
-    return _load_model(weights_path, config, half=half, use_compiled=use_compiled)
+    return _load_model(weights_path, config, half=half,
+                       use_compiled=use_compiled, fuse_bn=fuse_bn)
 
 
-def _load_model(weights_path, config, half=True, use_compiled=True):
+def _load_model(weights_path, config, half=True, use_compiled=True,
+                fuse_bn=False):
     from bonito_tpu.checkpoint import load_weights
 
     Model = load_symbol(config, "Model")
@@ -298,6 +310,13 @@ def _load_model(weights_path, config, half=True, use_compiled=True):
 
     params = load_weights(weights_path, model)
     model.params = params
+    if fuse_bn and hasattr(model, "encoder"):
+        # inference-path conv+BN folding (reference fuses before
+        # basecalling: bonito/cli/basecaller.py:61, nn.py:447-454);
+        # before the bf16 cast so the fold happens in f32
+        from bonito_tpu import nn
+        model.params["encoder"] = nn.fuse_bn(
+            model.encoder, model.params["encoder"])
     if half:
         model.to_bf16()
     if config["basecaller"].get("quantize") and hasattr(model, "quantize"):

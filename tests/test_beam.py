@@ -48,3 +48,40 @@ class TestBeam:
         # emitted frames carry qscores
         idx = np.flatnonzero(out["moves"][0])
         assert (out["qstring"][0, idx] >= 33).all()
+
+
+class TestDeviceBeam:
+    """Vectorised device beam must match the host beam decision-for-
+    decision (sequence, moves, qstring) — both implement koi's
+    beam_search contract."""
+
+    @pytest.mark.parametrize("seed,width,cut", [
+        (0, 32, 100.0), (1, 8, 100.0), (2, 16, 5.0),
+    ])
+    def test_matches_host_beam(self, seqdist, seed, width, cut):
+        from bonito_tpu.ops.beam_device import beam_search_device
+        key = jax.random.PRNGKey(seed)
+        scores = 2.5 * jax.random.normal(
+            key, (3, 22, seqdist.n_score()), jnp.float32)
+        host = beam_search_host(
+            np.asarray(scores), seqdist, beam_width=width, beam_cut=cut)
+        dev = beam_search_device(
+            seqdist, scores, beam_width=width, beam_cut=cut)
+        np.testing.assert_array_equal(
+            np.asarray(dev["sequence"]), host["sequence"])
+        np.testing.assert_array_equal(
+            np.asarray(dev["moves"]), host["moves"])
+        np.testing.assert_array_equal(
+            np.asarray(dev["qstring"]), host["qstring"])
+
+    def test_scale_offset(self, seqdist):
+        from bonito_tpu.ops.beam_device import beam_search_device
+        key = jax.random.PRNGKey(3)
+        scores = 2.0 * jax.random.normal(
+            key, (2, 15, seqdist.n_score()), jnp.float32)
+        host = beam_search_host(
+            np.asarray(scores), seqdist, beam_width=8, scale=1.5, offset=0.2)
+        dev = beam_search_device(
+            seqdist, scores, beam_width=8, scale=1.5, offset=0.2)
+        np.testing.assert_array_equal(
+            np.asarray(dev["sequence"]), host["sequence"])

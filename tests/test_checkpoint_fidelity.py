@@ -15,6 +15,18 @@ from bonito_tpu.crf.model import Model
 from bonito_tpu.models import lstm_crf_config
 
 
+class _RefBatchNorm(tnn.Module):
+    """Reference BatchNorm wraps an inner torch module named `bn`
+    (bonito/nn.py:191-197), so state-dict keys are <path>.norm.bn.*."""
+
+    def __init__(self, n):
+        super().__init__()
+        self.bn = tnn.BatchNorm1d(n)
+
+    def forward(self, x):
+        return self.bn(x)
+
+
 class TorchHacLike(tnn.Module):
     """Reference-architecture torch model (bonito module naming) for a
     small hac-style config: conv(+BN+swish) x2, conv(+BN+tanh) stride 5,
@@ -26,7 +38,7 @@ class TorchHacLike(tnn.Module):
         def conv_block(cin, cout, k, stride, act):
             m = tnn.Module()
             m.conv = tnn.Conv1d(cin, cout, k, stride=stride, padding=k // 2)
-            m.norm = tnn.BatchNorm1d(cout)
+            m.norm = _RefBatchNorm(cout)
             m.act = act
             return m
 
@@ -67,7 +79,7 @@ def pair(tmp_path_factory):
     for i in range(3):
         for suffix in ("weight", "bias", "running_mean", "running_var",
                        "num_batches_tracked"):
-            for part in ("conv", "norm"):
+            for part in ("conv", "norm.bn"):
                 k = f"blocks.{i}.{part}.{suffix}"
                 if k in sd:
                     mapping[f"encoder.{i}.{part}.{suffix}"] = sd[k]

@@ -72,3 +72,22 @@ class TestExportDorado:
         cfg2 = load_config(out / "config.toml")
         types = [l["type"] for l in cfg2["encoder"]["sublayers"]]
         assert "clamp" not in types
+
+
+class TestDownloadTableParity:
+    """The published-model catalogue must match the reference's
+    (bonito/cli/download.py:76-146) so users find every model name."""
+
+    def _ref_lists(self):
+        import re
+        src = open("/root/reference/bonito/cli/download.py").read()
+        ns = {}
+        exec(re.search(r"^models = \[.*?^\]", src, re.S | re.M).group(0), ns)
+        exec(re.search(r"^training = \[.*?^\]", src, re.S | re.M).group(0), ns)
+        return ns["models"], ns["training"]
+
+    def test_model_table_matches_reference(self):
+        from bonito_tpu.cli import download
+        ref_models, ref_training = self._ref_lists()
+        assert download.models == ref_models
+        assert download.training == ref_training

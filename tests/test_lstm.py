@@ -179,3 +179,37 @@ class TestLSTMHPadding:
         assert out.shape == ref.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestLSTMInt8FullCell:
+    """int8 input projection (dynamic activation scale) + int8 recurrence."""
+
+    def test_full_int8_matches_float(self):
+        from bonito_tpu.ops.lstm_pallas import (
+            lstm_pallas_int8, quantize_whh, quantize_cols)
+        from bonito_tpu.ops.lstm import lstm_scan
+        C = H = 128
+        N, T = 8, 12
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(15), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(16), (N, T, C))
+        w_q, scales = quantize_whh(w_hh)
+        wih_q, ih_scales = quantize_cols(w_ih)
+        out = lstm_pallas_int8(x, None, w_q, scales, b, interpret=True,
+                               w_ih_q=wih_q, ih_scales=ih_scales)
+        ref = lstm_scan(x, w_ih, w_hh, b)
+        err = np.abs(np.asarray(out) - np.asarray(ref))
+        assert err.max() < 0.08
+        assert err.mean() < 0.02
+
+    def test_model_quantize_full_cell(self):
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        cfg = lstm_crf_config(features=32, num_layers=2, state_len=2, stride=5)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(0))
+        ref = np.asarray(m.forward(jnp.ones((1, 100, 1))), np.float32)
+        m.quantize()
+        lp = m.params["encoder"]["4"]
+        assert "w_ih_q" in lp and "w_ih" not in lp
+        out = np.asarray(m.forward(jnp.ones((1, 100, 1))), np.float32)
+        assert np.abs(out - ref).mean() < 0.15

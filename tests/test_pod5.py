@@ -100,3 +100,53 @@ class TestPod5:
         out = list(get_reads(str(tmp_path), n_proc=3))
         assert len(out) == 6
         assert len({r.read_id for r in out}) == 6
+
+
+class TestFooter:
+    """The flatbuffer footer must index the embedded tables exactly
+    (offsets/lengths point at valid Arrow files) and round-trip through
+    the parser."""
+
+    def test_footer_offsets_parse(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.ipc
+        from bonito_tpu.pod5 import (
+            write_pod5, parse_footer, CONTENT_READS, CONTENT_SIGNAL,
+            CONTENT_RUN_INFO)
+        import numpy as np
+        import uuid as _uuid
+
+        path = tmp_path / "f.pod5"
+        rng = np.random.default_rng(0)
+        reads = [{
+            "read_id": str(_uuid.UUID(int=i + 1)),
+            "signal": rng.integers(-100, 100, 500).astype(np.int16),
+        } for i in range(3)]
+        write_pod5(path, reads)
+
+        data = path.read_bytes()
+        footer = parse_footer(data)
+        assert footer is not None
+        assert footer["software"] == "bonito_tpu"
+        types = [c["content_type"] for c in footer["contents"]]
+        assert types == [CONTENT_READS, CONTENT_SIGNAL, CONTENT_RUN_INFO]
+        for ef in footer["contents"]:
+            assert ef["format"] == 0  # FeatherV2
+            sl = data[ef["offset"]:ef["offset"] + ef["length"]]
+            assert sl.startswith(b"ARROW1\x00\x00") and sl.endswith(b"ARROW1")
+            table = pa.ipc.open_file(pa.BufferReader(sl)).read_all()
+            assert table.num_rows >= 1
+
+    def test_reader_roundtrip_via_footer(self, tmp_path):
+        from bonito_tpu import pod5 as p5
+        import numpy as np
+        import uuid as _uuid
+
+        path = tmp_path / "f.pod5"
+        reads = [{
+            "read_id": str(_uuid.UUID(int=7)),
+            "signal": np.arange(100, dtype=np.int16),
+        }]
+        p5.write_pod5(path, reads)
+        f = p5.Pod5File(path)
+        assert list(f.read_ids()) == [str(_uuid.UUID(int=7))]

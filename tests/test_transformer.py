@@ -81,10 +81,10 @@ class TestTransformerModel:
                 state[f"{full}.conv.weight"] = rng.normal(
                     size=(layer.size, layer.insize, layer.winlen))
                 state[f"{full}.conv.bias"] = rng.normal(size=(layer.size,))
-                state[f"{full}.norm.weight"] = rng.normal(size=(layer.size,))
-                state[f"{full}.norm.bias"] = rng.normal(size=(layer.size,))
-                state[f"{full}.norm.running_mean"] = rng.normal(size=(layer.size,))
-                state[f"{full}.norm.running_var"] = np.abs(
+                state[f"{full}.norm.bn.weight"] = rng.normal(size=(layer.size,))
+                state[f"{full}.norm.bn.bias"] = rng.normal(size=(layer.size,))
+                state[f"{full}.norm.bn.running_mean"] = rng.normal(size=(layer.size,))
+                state[f"{full}.norm.bn.running_var"] = np.abs(
                     rng.normal(size=(layer.size,)))
             elif type(layer).__name__ == "TransformerEncoderLayer":
                 state[f"{full}.self_attn.Wqkv.weight"] = rng.normal(size=(3 * d, d))
