@@ -306,14 +306,16 @@ def _lstm_rec_bwd(reverse, interpret, res, gout):
         interpret=interpret,
     )(xw, h, c, c, gout, w_hh)
 
-    # dW_hh = sum_t h_{t-1}^T dgates_t as one big matmul
+    # dW_hh = sum_t h_{t-1}^T dgates_t as one big matmul. Operands stay
+    # bf16 (f32 accumulation): an f32 x f32 MXU matmul runs at ~1/4 the
+    # bf16 rate and this contraction is ~4.5 TFLOP per hac train step.
     if reverse:
         hprev = jnp.concatenate([h[1:], jnp.zeros_like(h[:1])], axis=0)
     else:
         hprev = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
     dW = jnp.einsum(
-        "tnh,tng->hg", hprev.astype(jnp.float32),
-        dgates.astype(jnp.float32))
+        "tnh,tng->hg", hprev, dgates,
+        preferred_element_type=jnp.float32)
     return dgates.astype(xw.dtype), dW.astype(w_hh.dtype)
 
 

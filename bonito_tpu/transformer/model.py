@@ -95,19 +95,36 @@ class MultiHeadAttention(nn.Layer):
         return p
 
     def apply(self, params, x, ctx=None):
+        import os
         N, T, _ = x.shape
         qkv = x @ params["wqkv"].astype(x.dtype)
         if self.qkv_bias:
             qkv = qkv + params["qkv_b"].astype(x.dtype)
         qkv = qkv.reshape(N, T, 3, self.nhead, self.head_dim)
         cos, sin = rotary_freqs(T, self.rotary_dim)
+
+        train = bool(ctx and ctx.get("train"))
+        if (self.attn_window is not None and not train
+                and not os.environ.get("BONITO_TPU_NO_PALLAS")):
+            # fused rotary + banded attention: qkv stays in its natural
+            # layout, rotary and the head transposes happen on VMEM tiles
+            from bonito_tpu.ops import attention_pallas as ap
+            if ap.fused_supported(qkv, self.attn_window, self.rotary_dim):
+                o = ap.fused_rotary_window_attention(
+                    qkv, cos, sin, self.attn_window)
+                o = o.reshape(N, T, self.d_model)
+                o = o @ params["out_w"].astype(x.dtype)
+                if self.out_bias:
+                    o = o + params["out_b"].astype(x.dtype)
+                return o
+
         q = apply_rotary(qkv[:, :, 0], cos, sin)
         k = apply_rotary(qkv[:, :, 1], cos, sin)
         v = qkv[:, :, 2]
         # [N, T, H, D] -> [N, H, T, D]
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
         o = attend(q, k, v, window=self.attn_window,
-                   differentiable=bool(ctx and ctx.get("train")))
+                   differentiable=train)
         o = jnp.swapaxes(o, 1, 2).reshape(N, T, self.d_model)
         o = o @ params["out_w"].astype(x.dtype)
         if self.out_bias:

@@ -62,13 +62,18 @@ def _kernel(left, right, qs_ref, qp_ref, qn_ref, cs_ref, cp_ref, cn_ref,
     _, k_prev, v_prev = load(qp_ref, cp_ref)
     _, k_next, v_next = load(qn_ref, cn_ref)
 
-    k = jnp.concatenate([k_prev, k_self, k_next], axis=0)   # [3B, H, D]
-    v = jnp.concatenate([v_prev, v_self, v_next], axis=0).astype(jnp.bfloat16)
+    # Mosaic requires leading batch dims: [B, H, D] -> [H, B, D] in VMEM
+    q_self = jnp.swapaxes(q_self, 0, 1)
+    k = jnp.swapaxes(
+        jnp.concatenate([k_prev, k_self, k_next], axis=0), 0, 1)  # [H,3B,D]
+    v = jnp.swapaxes(
+        jnp.concatenate([v_prev, v_self, v_next], axis=0), 0, 1
+    ).astype(jnp.bfloat16)
 
-    # scores [H, B, 3B]: batch over H (axis 1 of both operands)
+    # scores [H, B, 3B]
     s = jax.lax.dot_general(
         q_self.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (2,)), ((1,), (1,))),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     s = s * (1.0 / (D ** 0.5))
     qq = jax.lax.broadcasted_iota(jnp.int32, (B, 3 * B), 0)
@@ -80,10 +85,10 @@ def _kernel(left, right, qs_ref, qp_ref, qn_ref, cs_ref, cp_ref, cn_ref,
     m = jnp.max(s, axis=2, keepdims=True)
     p = jnp.exp(s - m)
     den = jnp.sum(p, axis=2, keepdims=True)
-    # out [H, B, D]: p batch H at 0, contract 3B; v [3B, H, D] batch H at 1
+    # out [H, B, D]
     o = jax.lax.dot_general(
         p.astype(jnp.bfloat16), v,
-        dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) / den
     o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)  # [B, H, D]
 

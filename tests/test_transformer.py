@@ -179,3 +179,46 @@ class TestTransformerTraining:
             jnp.float32(1e9))
         assert np.isfinite(float(losses["loss"]))
         assert float(gnorm) > 0
+
+
+class TestFusedRotaryAttention:
+    def test_fused_matches_unfused(self):
+        from bonito_tpu.ops.attention_pallas import (
+            fused_rotary_window_attention, fused_supported)
+        from bonito_tpu.transformer.model import rotary_freqs, apply_rotary
+        from bonito_tpu.ops.attention import local_attention
+        N, T, H, D = 2, 256, 4, 32
+        W = (63, 64)
+        key = jax.random.PRNGKey(0)
+        qkv = jax.random.normal(key, (N, T, 3, H, D), jnp.float32)
+        cos, sin = rotary_freqs(T, D)
+        assert fused_supported(qkv, W, D, block=128, require_tpu=False)
+        out = fused_rotary_window_attention(qkv, cos, sin, W, interpret=True)
+
+        q = apply_rotary(qkv[:, :, 0], cos, sin)
+        k = apply_rotary(qkv[:, :, 1], cos, sin)
+        v = qkv[:, :, 2]
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+        ref = jnp.swapaxes(local_attention(q, k, v, W), 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_partial_rotary_dim(self):
+        from bonito_tpu.ops.attention_pallas import (
+            fused_rotary_window_attention)
+        from bonito_tpu.transformer.model import rotary_freqs, apply_rotary
+        from bonito_tpu.ops.attention import local_attention
+        N, T, H, D, RD = 1, 128, 2, 32, 16
+        W = (63, 64)
+        qkv = jax.random.normal(jax.random.PRNGKey(1), (N, T, 3, H, D))
+        cos, sin = rotary_freqs(T, RD)
+        out = fused_rotary_window_attention(qkv, cos, sin, W, interpret=True)
+        q = apply_rotary(qkv[:, :, 0], cos, sin)
+        k = apply_rotary(qkv[:, :, 1], cos, sin)
+        v = qkv[:, :, 2]
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+        ref = jnp.swapaxes(local_attention(q, k, v, W), 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
