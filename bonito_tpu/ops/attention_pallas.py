@@ -72,72 +72,70 @@ def supported(q, window, block=128, require_tpu=True):
 
 
 # ---------------------------------------------------------------------------
-# fused rotary + banded attention: consumes the QKV projection in its
-# natural [N, T, 3, H, D] layout and emits [N, T, H, D], so the rotary
-# passes and the [N,H,T,D] layout transposes never touch HBM (measured
-# 17.8 -> 15.2 ms per sup layer end-to-end).
+# fused rotary + banded attention.
+#
+# Layout is everything here (measured on v5e, batch 128, T=1024, 8x64
+# heads): the head-split tensors have a 64-wide minor dim, which pads to
+# 128 lanes in both VMEM *and HBM* (so every byte moved twice), and
+# per-(n, q-block) grids pay ~6.5 us/program of pipeline overhead (copy
+# floor 6.8 ms at 1024 programs). The production kernel therefore:
+#   - runs ONE program per batch row (grid (N,)), looping the query
+#     blocks unrolled in-kernel;
+#   - uses the [N, 3, H, D, T] layout: T on lanes (block slices are
+#     lane-tile aligned), D on sublanes (8-aligned), so rotary is a
+#     sublane-half rotation and no relayouts occur anywhere;
+#   - contracts D (sublanes) for scores and T-window (lanes) for the
+#     output, both as head-batched MXU dots with bf16 operands.
+# 13.7 ms -> 4.3 ms for the kernel; 15.2 -> 5.8 ms for the full MHA
+# sublayer (prof_attn6/7).
 # ---------------------------------------------------------------------------
 
-def _rot_tile(x, cos, sin, D):
-    """x [B, H, D]; cos/sin [B, r2] (non-interleaved rotary on the leading
-    2*r2 of the head dim)."""
-    r2 = cos.shape[-1]
-    x1, x2 = x[..., :r2], x[..., r2:2 * r2]
-    c = cos[:, None, :]
-    s = sin[:, None, :]
-    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+def _rot_dt(x, cos, sin, D):
+    """x [H, D, X]; cos/sin [r2, X]: non-interleaved rotary on the
+    leading 2*r2 of the head dim (sublanes)."""
+    r2 = cos.shape[0]
+    x1, x2 = x[:, :r2], x[:, r2:2 * r2]
+    c = cos[None]
+    s = sin[None]
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=1)
     if 2 * r2 < D:
-        out = jnp.concatenate([out, x[..., 2 * r2:]], axis=-1)
+        out = jnp.concatenate([out, x[:, 2 * r2:]], axis=1)
     return out
 
 
-def _fused_kernel(left, right, B, T, qs_ref, qp_ref, qn_ref,
-                  cs_ref, cp_ref, cn_ref, o_ref):
-    g = pl.program_id(1)
-    D = qs_ref.shape[4]
-
-    def load(tile_ref, trig_ref, want_q):
-        cos = trig_ref[:, 0].astype(jnp.float32)          # [B, r2]
-        sin = trig_ref[:, 1].astype(jnp.float32)
-        k = _rot_tile(tile_ref[0, :, 1].astype(jnp.float32), cos, sin, D)
-        v = tile_ref[0, :, 2]
-        q = (_rot_tile(tile_ref[0, :, 0].astype(jnp.float32), cos, sin, D)
-             if want_q else None)
-        return q, k, v
-
-    q, k_self, v_self = load(qs_ref, cs_ref, True)
-    _, k_prev, v_prev = load(qp_ref, cp_ref, False)
-    _, k_next, v_next = load(qn_ref, cn_ref, False)
-
-    # Mosaic needs leading batch dims on dots: [B, H, D] -> [H, B, D]
-    q = jnp.swapaxes(q, 0, 1)
-    k = jnp.swapaxes(
-        jnp.concatenate([k_prev, k_self, k_next], axis=0), 0, 1)  # [H,3B,D]
-    v = jnp.swapaxes(
-        jnp.concatenate([v_prev, v_self, v_next], axis=0), 0, 1
-    ).astype(jnp.bfloat16)
-
-    s = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # [H, B, 3B]
-    s = s * (1.0 / (D ** 0.5))
-
-    qq = jax.lax.broadcasted_iota(jnp.int32, (B, 3 * B), 0)
-    kk = jax.lax.broadcasted_iota(jnp.int32, (B, 3 * B), 1)
-    delta = kk - B - qq
-    kabs = g * B + kk - B
-    mask = ((delta >= -left) & (delta <= right) & (kabs >= 0) & (kabs < T))
-    s = jnp.where(mask[None], s, NEG)
-
-    m = jnp.max(s, axis=2, keepdims=True)
-    p = jnp.exp(s - m)
-    den = jnp.sum(p, axis=2, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) / den
-    o_ref[0] = jnp.swapaxes(o, 0, 1).astype(o_ref.dtype)
+def _fused_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, o_ref):
+    # q_ref [1, 3, H, D, T]; trig_ref [2, r2, T]; o_ref [1, H, D, T]
+    D = q_ref.shape[3]
+    for g in range(G):
+        ks = min(max(g - 1, 0), G - KW)
+        qs = slice(g * B, (g + 1) * B)
+        ksl = slice(ks * B, (ks + KW) * B)
+        cq = trig_ref[0, :, qs].astype(jnp.float32)
+        sq = trig_ref[1, :, qs].astype(jnp.float32)
+        ck = trig_ref[0, :, ksl].astype(jnp.float32)
+        sk = trig_ref[1, :, ksl].astype(jnp.float32)
+        q = _rot_dt(q_ref[0, 0, :, :, qs].astype(jnp.float32), cq, sq, D)
+        k = _rot_dt(q_ref[0, 1, :, :, ksl].astype(jnp.float32), ck, sk, D)
+        v = q_ref[0, 2, :, :, ksl].astype(jnp.bfloat16)
+        # s[h, b, j] = sum_d q[h, d, b] k[h, d, j]
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (1.0 / (D ** 0.5))
+        qq = g * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 0)
+        kk = ks * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 1)
+        delta = kk - qq
+        mask = (delta >= -left) & (delta <= right)
+        s = jnp.where(mask[None], s, NEG)
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        den = jnp.sum(p, axis=2, keepdims=True)
+        p = (p / den).astype(jnp.bfloat16)
+        # o[h, d, b] = sum_j v[h, d, j] p[h, b, j]
+        o = jax.lax.dot_general(
+            v, p, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, :, qs] = o.astype(o_ref.dtype)
 
 
 def fused_supported(qkv, window, rotary_dim, block=128, require_tpu=True):
@@ -145,7 +143,7 @@ def fused_supported(qkv, window, rotary_dim, block=128, require_tpu=True):
     left, right = window
     return (
         three == 3 and T % block == 0 and left < block and right <= block
-        and D % 8 == 0 and rotary_dim % 2 == 0 and rotary_dim <= D
+        and D % 8 == 0 and rotary_dim % 16 == 0 and rotary_dim <= D
         and (jax.default_backend() == "tpu" or not require_tpu)
     )
 
@@ -153,32 +151,31 @@ def fused_supported(qkv, window, rotary_dim, block=128, require_tpu=True):
 @partial(jax.jit, static_argnames=("window", "block", "interpret"))
 def fused_rotary_window_attention(qkv, cos, sin, window, block=128,
                                   interpret=False):
-    """qkv: [N, T, 3, H, D]; cos/sin: [T, rotary_dim/2] -> [N, T, H, D]."""
+    """qkv: [N, T, 3, H, D]; cos/sin: [T, rotary_dim/2] -> [N, T, H, D].
+
+    The layout transposes at entry/exit fuse into the neighbouring
+    projection matmuls under jit (measured: proj+transpose == proj)."""
     left, right = window
     N, T, _, H, D = qkv.shape
     B = block
     G = T // B
-    trig = jnp.stack([cos, sin], axis=1).astype(jnp.float32)  # [T, 2, r2]
+    KW = min(3, G)
     r2 = cos.shape[-1]
+    qkv_dt = jnp.transpose(qkv, (0, 2, 3, 4, 1))          # [N, 3, H, D, T]
+    trig = jnp.stack([cos.T, sin.T], axis=0).astype(jnp.float32)
 
-    self_i = lambda n, g: (n, g, 0, 0, 0)
-    prev_i = lambda n, g: (n, jnp.maximum(g - 1, 0), 0, 0, 0)
-    next_i = lambda n, g: (n, jnp.minimum(g + 1, G - 1), 0, 0, 0)
-    tile = lambda idx: pl.BlockSpec((1, B, 3, H, D), idx)
-    t_self = lambda n, g: (g, 0, 0)
-    t_prev = lambda n, g: (jnp.maximum(g - 1, 0), 0, 0)
-    t_next = lambda n, g: (jnp.minimum(g + 1, G - 1), 0, 0)
-    ttile = lambda idx: pl.BlockSpec((B, 2, r2), idx)
-
-    return pl.pallas_call(
-        partial(_fused_kernel, left, right, B, T),
-        grid=(N, G),
-        in_specs=[tile(self_i), tile(prev_i), tile(next_i),
-                  ttile(t_self), ttile(t_prev), ttile(t_next)],
-        out_specs=pl.BlockSpec((1, B, H, D), lambda n, g: (n, g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, T, H, D), qkv.dtype),
+    out = pl.pallas_call(
+        partial(_fused_kernel_dt, left, right, B, G, KW),
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
+                  pl.BlockSpec((2, r2, T), lambda n: (0, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, D, T), lambda n: (n, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H, D, T), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qkv, qkv, qkv, trig, trig, trig)
+    )(qkv_dt, trig)
+    return jnp.transpose(out, (0, 3, 1, 2))               # [N, T, H, D]
 
 
 @partial(jax.jit, static_argnames=("window", "block", "interpret"))

@@ -166,6 +166,23 @@ class TestLSTMBlockK:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("reverse", [False, True])
+    @pytest.mark.parametrize("T", [12, 7])
+    def test_blocked_int8_matches_unblocked(self, reverse, T):
+        from bonito_tpu.ops.lstm_pallas import (
+            lstm_pallas_int8, quantize_whh)
+        C = H = 128
+        N = 8
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(14), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(15), (N, T, C))
+        w_q, scales = quantize_whh(w_hh)
+        ref = lstm_pallas_int8(x, w_ih, w_q, scales, b, reverse=reverse,
+                               interpret=True, block_k=1)
+        out = lstm_pallas_int8(x, w_ih, w_q, scales, b, reverse=reverse,
+                               interpret=True, block_k=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestLSTMHPadding:
     def test_h96_matches_scan(self):
