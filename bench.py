@@ -28,9 +28,42 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 1e9
 
+# v5e peak MXU throughput (bf16); the roofline figure reported alongside
+# samples/s so the absolute number is interpretable on this silicon.
+PEAK_BF16_FLOPS = 197e12
+
 
 def _sync(out):
     return np.asarray(out)
+
+
+def flops_per_sample(kind):
+    """Analytic matmul FLOPs per raw signal sample (dominant terms only:
+    LSTM/attention/MLP/CRF-head matmuls; conv stacks included, decode
+    kernels and elementwise excluded)."""
+    if kind == "sup":
+        d, ff, depth, stride, S = 512, 2048, 18, 12, 1024
+        per_tok = depth * (
+            2 * d * 3 * d            # qkv proj
+            + 2 * d * d              # out proj
+            + 2 * 2 * 256 * d        # banded attention (window 256)
+            + 2 * d * 2 * ff         # mlp fc1 (SwiGLU packs 2*ff)
+            + 2 * ff * d)            # mlp fc2
+        per_tok += 2 * d * 2 * d     # upsample
+        per_tok += 2 * 2 * d * S * 5  # crf head on 2 upsampled frames
+        conv = (2 * 1 * 64 * 5 + 2 * 64 * 64 * 5 + 2 * 64 * 128 * 9 / 3
+                + 2 * 128 * 128 * 9 / 6 + 2 * 128 * d * 5 / 12)
+        return per_tok / stride + conv
+    if kind == "fast":
+        H, stride, S = 96, 5, 64
+        per_frame = 5 * 2 * (2 * H * 4 * H) + 2 * H * S * 5
+        conv = 2 * 1 * 16 * 5 + 2 * 16 * 16 * 5 + 2 * 16 * H * 19 / stride
+        return per_frame / stride + conv
+    # hac (lstm_crf_config defaults: features 1024, stride 6, state_len 5)
+    H, stride, S = 1024, 6, 1024
+    per_frame = 5 * 2 * (2 * H * 4 * H) + 2 * H * S * 5
+    conv = 2 * 1 * 16 * 5 + 2 * 16 * 16 * 5 + 2 * 16 * H * 19 / stride
+    return per_frame / stride + conv
 
 
 def bench_basecall(model_kind, batchsize, chunksize, iters):
@@ -69,9 +102,17 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         model.quantize()
     chunksize -= chunksize % model.stride
 
+    from bonito_tpu.ops.decode import viterbi_decode_tcn
+
     @jax.jit
     def step(params, x):
-        scores = model.apply(params, x.astype(jnp.bfloat16))
+        xc = x.astype(jnp.bfloat16)
+        tcn = (model.forward_tcn(params, xc)
+               if hasattr(model, "forward_tcn") else None)
+        if tcn is not None:
+            mv, blank = tcn
+            return viterbi_decode_tcn(model.seqdist, mv, blank)["sequence"]
+        scores = model.apply(params, xc)
         return viterbi_decode(model.seqdist, scores)["sequence"]
 
     rng = np.random.default_rng(0)
@@ -134,15 +175,21 @@ def main():
     if kind == "train":
         sps = bench_train(batchsize, chunksize, iters)
         metric = "hac_train_samples_per_sec"
+        # fwd + bwd ~= 3x the forward matmul flops
+        fps = 3 * flops_per_sample("hac")
     else:
         sps = bench_basecall(kind, batchsize, chunksize, iters)
         metric = f"{kind}_basecall_samples_per_sec"
+        fps = flops_per_sample(kind)
 
+    roofline_sps = PEAK_BF16_FLOPS / fps
     print(json.dumps({
         "metric": metric,
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 4),
+        "roofline_pct": round(100 * sps / roofline_sps, 1),
+        "roofline_samples_per_sec": round(roofline_sps, 1),
     }))
 
 

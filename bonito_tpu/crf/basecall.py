@@ -52,7 +52,22 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
 
     @jax.jit
     def step(params, x):
-        scores = model.apply(params, x.astype(model.compute_dtype))
+        xc = x.astype(model.compute_dtype)
+        if decoder == "viterbi" and not reverse:
+            # prep-free decode layout: the head emits move scores directly
+            # in [T, moves, N] with stay = const blank_score, skipping the
+            # [N, T, C] scores tensor and its decode-side transposes
+            from bonito_tpu.ops.decode import viterbi_decode_tcn
+            tcn = (model.forward_tcn(params, xc)
+                   if hasattr(model, "forward_tcn") else None)
+            if tcn is not None:
+                mv, blank = tcn
+                out = viterbi_decode_tcn(
+                    model.seqdist, mv, blank, qscale=qscale, qbias=qbias)
+                return jnp.stack(
+                    [out["sequence"], out["qstring"], out["moves"]]
+                ).astype(jnp.uint8)
+        scores = model.apply(params, xc)
         if reverse:
             scores = model.seqdist.reverse_complement(scores)
         if decoder == "beam":

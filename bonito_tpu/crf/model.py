@@ -109,6 +109,62 @@ class SeqdistModel:
 
     __call__ = forward
 
+    def decode_head(self):
+        """(items_before_head, crf_layer, clamp_layer_or_None) — the
+        encoder split used by forward_tcn. None when the encoder does not
+        end in a LinearCRFEncoder with a fixed blank score."""
+        items = list(self.encoder.sublayer_items())
+        clamp = None
+        if items and isinstance(items[-1][1], nn.Clamp):
+            clamp = items.pop()
+        if not items or not isinstance(items[-1][1], nn.LinearCRFEncoder):
+            return None
+        crf = items.pop()
+        if crf[1].blank_score is None:
+            return None
+        return items, crf, clamp
+
+    def forward_tcn(self, params, x, ctx=None):
+        """Decode-layout forward: runs the encoder but emits only the
+        learned move scores, already in the decode kernels' [T, moves, N]
+        layout with rows in (base, predecessor, r) order (the head's
+        weight columns are permuted instead of transposing the [N, T, C]
+        scores tensor afterwards — the XLA stay/moves transposes cost
+        ~18 ms per hac batch, more than the decode kernels themselves).
+        Stay scores are the constant blank_score. Returns
+        (moves_tcn [T, S*nb, N], blank_score), or None when the model has
+        no fixed-blank CRF head."""
+        split = self.decode_head()
+        if split is None:
+            return None
+        items, (crf_name, crf), clamp = split
+        nb = self.seqdist.n_base
+        S = self.seqdist.n_states
+        R = S // nb
+
+        h = x
+        p_enc = params["encoder"]
+        for name, layer in items:
+            # .get: param-less layers (Permute etc.) have no entry after
+            # a checkpoint round-trip (np.savez drops empty subtrees)
+            h = layer.apply(p_enc.get(name, {}), h, ctx)
+
+        b_, j_, r_ = np.unravel_index(
+            np.arange(nb * nb * R), (nb, nb, R))
+        perm = jnp.asarray((r_ * nb + b_) * nb + j_)
+        p_crf = p_enc[crf_name]
+        w = p_crf["w"].astype(h.dtype)[:, perm]
+        moves = h @ w
+        if crf.bias:
+            moves = moves + p_crf["b"].astype(h.dtype)[perm]
+        if crf.activation is not None:
+            moves = crf.activation.apply({}, moves, ctx)
+        if crf.scale is not None:
+            moves = moves * crf.scale
+        if clamp is not None:
+            moves = clamp[1].apply({}, moves, ctx)
+        return jnp.transpose(moves, (1, 2, 0)), float(crf.blank_score)
+
     # -- decoding -------------------------------------------------------------------
 
     def decode_batch(self, scores):

@@ -178,6 +178,207 @@ def fused_rotary_window_attention(qkv, cos, sin, window, block=128,
     return jnp.transpose(out, (0, 3, 1, 2))               # [N, T, H, D]
 
 
+# ---------------------------------------------------------------------------
+# training: custom-VJP fused rotary + banded attention
+#
+# Forward = the inference kernel plus an LSE plane (m + log den per query);
+# backward recomputes the probability tiles from qkv + LSE flash-attn
+# style (nothing [T, 3B] ever hits HBM) and emits d_qkv in one pass.
+# dk/dv accumulate across the <=3 query blocks that see each key block in
+# f32 VMEM scratch; rotary's transpose-inverse (the rotation by -theta)
+# is applied in-kernel, so the VJP covers rotary too.
+# ---------------------------------------------------------------------------
+
+def _rot_dt_inv(x, cos, sin, D):
+    """Inverse (transpose) of _rot_dt: rotate by -theta."""
+    r2 = cos.shape[0]
+    x1, x2 = x[:, :r2], x[:, r2:2 * r2]
+    c = cos[None]
+    s = sin[None]
+    out = jnp.concatenate([x1 * c + x2 * s, x2 * c - x1 * s], axis=1)
+    if 2 * r2 < D:
+        out = jnp.concatenate([out, x[:, 2 * r2:]], axis=1)
+    return out
+
+
+def _fused_fwd_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, o_ref,
+                         lse_ref):
+    D = q_ref.shape[3]
+    for g in range(G):
+        ks = min(max(g - 1, 0), G - KW)
+        qs = slice(g * B, (g + 1) * B)
+        ksl = slice(ks * B, (ks + KW) * B)
+        cq = trig_ref[0, :, qs].astype(jnp.float32)
+        sq = trig_ref[1, :, qs].astype(jnp.float32)
+        ck = trig_ref[0, :, ksl].astype(jnp.float32)
+        sk = trig_ref[1, :, ksl].astype(jnp.float32)
+        q = _rot_dt(q_ref[0, 0, :, :, qs].astype(jnp.float32), cq, sq, D)
+        k = _rot_dt(q_ref[0, 1, :, :, ksl].astype(jnp.float32), ck, sk, D)
+        v = q_ref[0, 2, :, :, ksl].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (1.0 / (D ** 0.5))
+        qq = g * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 0)
+        kk = ks * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 1)
+        delta = kk - qq
+        mask = (delta >= -left) & (delta <= right)
+        s = jnp.where(mask[None], s, NEG)
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        den = jnp.sum(p, axis=2, keepdims=True)
+        lse_ref[0, :, qs] = (m + jnp.log(den))[:, :, 0]
+        p = (p / den).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(
+            v, p, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, :, qs] = o.astype(o_ref.dtype)
+
+
+def _fused_bwd_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, lse_ref,
+                         o_ref, do_ref, dq_out, dk_ref, dv_ref):
+    D = q_ref.shape[3]
+    T = q_ref.shape[4]
+    scale = 1.0 / (D ** 0.5)
+    dk_ref[...] = jnp.zeros_like(dk_ref)
+    dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for g in range(G):
+        ks = min(max(g - 1, 0), G - KW)
+        qs = slice(g * B, (g + 1) * B)
+        ksl = slice(ks * B, (ks + KW) * B)
+        cq = trig_ref[0, :, qs].astype(jnp.float32)
+        sq = trig_ref[1, :, qs].astype(jnp.float32)
+        ck = trig_ref[0, :, ksl].astype(jnp.float32)
+        sk = trig_ref[1, :, ksl].astype(jnp.float32)
+        q = _rot_dt(q_ref[0, 0, :, :, qs].astype(jnp.float32), cq, sq, D)
+        k = _rot_dt(q_ref[0, 1, :, :, ksl].astype(jnp.float32), ck, sk, D)
+        v = q_ref[0, 2, :, :, ksl].astype(jnp.bfloat16)
+        do = do_ref[0, :, :, qs].astype(jnp.float32)
+        o = o_ref[0, :, :, qs].astype(jnp.float32)
+        lse = lse_ref[0, :, qs]                           # [H, B]
+
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        qq = g * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 0)
+        kk = ks * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 1)
+        delta = kk - qq
+        mask = (delta >= -left) & (delta <= right)
+        p = jnp.where(mask[None], jnp.exp(s - lse[:, :, None]), 0.0)
+
+        # dp[h, b, j] = sum_d do[h, d, b] v[h, d, j]
+        dp = jax.lax.dot_general(
+            do.astype(jnp.bfloat16), v,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        Di = jnp.sum(do * o, axis=1)                      # [H, B]
+        ds = (p * (dp - Di[:, :, None]) * scale).astype(jnp.bfloat16)
+
+        # dq_rot[h, d, b] = sum_j k[h, d, j] ds[h, b, j]
+        dq_rot = jax.lax.dot_general(
+            k.astype(jnp.bfloat16), ds,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq_out[0, 0, :, :, qs] = _rot_dt_inv(
+            dq_rot, cq, sq, D).astype(dq_out.dtype)
+
+        # dk_rot[h, d, j] += sum_b q[h, d, b] ds[h, b, j]
+        dk_rot = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), ds,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk_ref[:, :, ksl] += dk_rot
+        # dv[h, d, j] += sum_b do[h, d, b] p[h, b, j]
+        dv = jax.lax.dot_general(
+            do.astype(jnp.bfloat16), p.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dv_ref[:, :, ksl] += dv
+
+    ck = trig_ref[0].astype(jnp.float32)                  # [r2, T]
+    sk = trig_ref[1].astype(jnp.float32)
+    dq_out[0, 1] = _rot_dt_inv(dk_ref[...], ck, sk, D).astype(dq_out.dtype)
+    dq_out[0, 2] = dv_ref[...].astype(dq_out.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_rotary_window_attention_train(qkv, cos, sin, window, block=128,
+                                        interpret=False):
+    """Differentiable twin of fused_rotary_window_attention (same layout
+    and kernels, plus an LSE plane saved for the flash-style backward).
+
+    qkv: [N, T, 3, H, D]; cos/sin: [T, rotary_dim/2] -> [N, T, H, D]."""
+    out, _ = _fused_train_fwd(qkv, cos, sin, window, block, interpret)
+    return out
+
+
+def _fused_train_fwd(qkv, cos, sin, window, block, interpret):
+    left, right = window
+    N, T, _, H, D = qkv.shape
+    B = block
+    G = T // B
+    KW = min(3, G)
+    r2 = cos.shape[-1]
+    qkv_dt = jnp.transpose(qkv, (0, 2, 3, 4, 1))          # [N, 3, H, D, T]
+    trig = jnp.stack([cos.T, sin.T], axis=0).astype(jnp.float32)
+
+    out_dt, lse = pl.pallas_call(
+        partial(_fused_fwd_kernel_dt, left, right, B, G, KW),
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
+                  pl.BlockSpec((2, r2, T), lambda n: (0, 0, 0))],
+        out_specs=[pl.BlockSpec((1, H, D, T), lambda n: (n, 0, 0, 0)),
+                   pl.BlockSpec((1, H, T), lambda n: (n, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((N, H, D, T), qkv.dtype),
+                   jax.ShapeDtypeStruct((N, H, T), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qkv_dt, trig)
+    out = jnp.transpose(out_dt, (0, 3, 1, 2))             # [N, T, H, D]
+    return out, (qkv_dt, trig, lse, out_dt)
+
+
+def _fused_train_bwd(window, block, interpret, res, g):
+    qkv_dt, trig, lse, out_dt = res
+    left, right = window
+    N, _, H, D, T = qkv_dt.shape
+    B = block
+    G = T // B
+    KW = min(3, G)
+    r2 = trig.shape[1]
+    do_dt = jnp.transpose(g, (0, 2, 3, 1))                # [N, H, D, T]
+
+    dqkv_dt = pl.pallas_call(
+        partial(_fused_bwd_kernel_dt, left, right, B, G, KW),
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
+                  pl.BlockSpec((2, r2, T), lambda n: (0, 0, 0)),
+                  pl.BlockSpec((1, H, T), lambda n: (n, 0, 0)),
+                  pl.BlockSpec((1, H, D, T), lambda n: (n, 0, 0, 0)),
+                  pl.BlockSpec((1, H, D, T), lambda n: (n, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 3, H, D, T), qkv_dt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H, D, T), jnp.float32),
+            pltpu.VMEM((H, D, T), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qkv_dt, trig, lse, out_dt, do_dt)
+    dqkv = jnp.transpose(dqkv_dt, (0, 4, 1, 2, 3))        # [N, T, 3, H, D]
+    return dqkv, jnp.zeros_like(trig[0].T), jnp.zeros_like(trig[1].T)
+
+
+fused_rotary_window_attention_train.defvjp(
+    lambda qkv, cos, sin, window, block, interpret: _fused_train_fwd(
+        qkv, cos, sin, window, block, interpret),
+    _fused_train_bwd)
+
+
 @partial(jax.jit, static_argnames=("window", "block", "interpret"))
 def local_attention_pallas(q, k, v, window, block=128, interpret=False):
     """q/k/v: [N, H, T, D] -> [N, H, T, D]; T % block == 0."""

@@ -52,10 +52,13 @@ def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
         if decode_pallas.supported(seqdist, scores):
             N = scores.shape[0]
             sub = int(os.environ.get("BONITO_TPU_DECODE_SUB_BATCH", 128))
-            if N > sub and N % sub == 0:
+            if N > sub:
+                # ragged tail (e.g. 192 = 128 + 64) is fine: the kernels
+                # only need N % 8 == 0, which `supported` already checked
                 parts = [
                     decode_pallas.viterbi_decode_pallas(
-                        seqdist, jax.lax.slice_in_dim(scores, i, i + sub),
+                        seqdist,
+                        jax.lax.slice_in_dim(scores, i, min(i + sub, N)),
                         qscale=qscale, qbias=qbias)
                     for i in range(0, N, sub)
                 ]
@@ -64,6 +67,53 @@ def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
             return decode_pallas.viterbi_decode_pallas(
                 seqdist, scores, qscale=qscale, qbias=qbias)
     return viterbi_decode_scan(seqdist, scores, qscale=qscale, qbias=qbias)
+
+
+def tcn_to_scores(seqdist, moves_tcn, blank_score):
+    """Rebuild full [N, T, C] scores from the decode-layout move tensor
+    (inverse of Model.forward_tcn's head permutation) — the CPU/test
+    fallback path and the parity oracle for the TCN kernels."""
+    import numpy as np
+    nb = seqdist.n_base
+    S = seqdist.n_states
+    R = S // nb
+    T, Cm, N = moves_tcn.shape
+    b_, j_, r_ = np.unravel_index(np.arange(nb * nb * R), (nb, nb, R))
+    inv = np.empty(Cm, np.int64)
+    inv[(r_ * nb + b_) * nb + j_] = np.arange(Cm)
+    mv = jnp.transpose(moves_tcn, (2, 0, 1))[:, :, jnp.asarray(inv)]
+    mv = mv.reshape(N, T, S, nb)
+    blanks = jnp.full((N, T, S, 1), blank_score, mv.dtype)
+    return jnp.concatenate([blanks, mv], axis=3).reshape(N, T, S * (nb + 1))
+
+
+def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
+                       qbias=0.0):
+    """Decode from the prep-free [T, moves, N] layout (Model.forward_tcn).
+    Same output contract as viterbi_decode; dispatches to the TCN Pallas
+    kernels on TPU, else reconstructs scores for the scan oracle."""
+    import os
+    T, Cm, N = moves_tcn.shape
+    if not os.environ.get("BONITO_TPU_NO_PALLAS"):
+        from bonito_tpu.ops import decode_pallas
+        if decode_pallas.supported_tcn(seqdist, moves_tcn, blank_score):
+            sub = int(os.environ.get("BONITO_TPU_DECODE_SUB_BATCH", 128))
+            if N > sub:
+                parts = [
+                    decode_pallas.viterbi_decode_tcn(
+                        seqdist,
+                        jax.lax.slice_in_dim(
+                            moves_tcn, i, min(i + sub, N), axis=2),
+                        blank_score, qscale=qscale, qbias=qbias)
+                    for i in range(0, N, sub)
+                ]
+                return {k: jnp.concatenate([p[k] for p in parts])
+                        for k in parts[0]}
+            return decode_pallas.viterbi_decode_tcn(
+                seqdist, moves_tcn, blank_score, qscale=qscale, qbias=qbias)
+    return viterbi_decode_scan(
+        seqdist, tcn_to_scores(seqdist, moves_tcn, blank_score),
+        qscale=qscale, qbias=qbias)
 
 
 @partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias"))

@@ -169,6 +169,247 @@ def _bwd_kernel(nb, R, K, stay_ref, moves_ref, min_ref, choice_ref, c_ref,
     state_ref[...] = onehot
 
 
+# ---------------------------------------------------------------------------
+# TCN ("prep-free") decode: every shipped config fixes blank_score, so the
+# stay plane is a CONSTANT and the learned scores are only the nb^(sl+1)
+# move columns. The model emits those directly in [T, moves, N] layout
+# (bonito_tpu.crf.model.Model.forward_tcn permutes the head's weight
+# columns to (b, j, r) order at trace time, and the final transpose fuses
+# into the head matmul) — so the ~18 ms of XLA stay/moves transposes the
+# [N, T, C] path pays per hac batch disappear, and the stay stream with
+# them. Kernel math is identical to the general kernels above.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_tcn(nb, R, K, T, blank, moves_ref, min_out, choice_out,
+                    c_out, a_out, amax_out, a_ref, c_ref, amax_ref):
+    t = pl.program_id(0)
+    S, N = a_ref.shape
+    P_stay = float(np.exp(blank))
+
+    @pl.when(t == 0)
+    def _():
+        a_ref[...] = jnp.ones_like(a_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+        amax_ref[...] = jnp.zeros_like(amax_ref)
+
+    A = a_ref[...]
+    c = c_ref[...]
+    a_max = amax_ref[...]
+
+    for k in range(K):
+        moves = moves_ref[k].astype(jnp.float32).reshape(nb, nb, R, N)
+
+        P_move = jnp.exp(moves)
+        Av = A.reshape(nb, R, N)
+        move_in = jnp.sum(P_move * Av[None], axis=1)
+        move_in = jnp.swapaxes(move_in, 0, 1).reshape(S, N)
+        A_raw = P_stay * A + move_in
+        m = jnp.max(A_raw, axis=0, keepdims=True)
+        # the constant stay makes padded steps non-trivial (A would scale
+        # by e^blank); guard the carries so padding is an exact no-op
+        valid = (t * K + k) < T
+        inv = 1.0 / m
+        A = jnp.where(valid, A_raw * inv, A)
+        c = jnp.where(valid, c + jnp.log(m), c)
+        min_out[k] = move_in * inv
+        c_out[k] = jnp.broadcast_to(c[:1], c_out.shape[1:])
+
+        ax_view = a_max.reshape(nb, R, N)
+        cand = moves + ax_view[None]
+        jbest = jnp.argmax(cand, axis=1)
+        mbest = jnp.max(cand, axis=1)
+        jbest = jnp.swapaxes(jbest, 0, 1).reshape(S, N)
+        mbest = jnp.swapaxes(mbest, 0, 1).reshape(S, N)
+        stay_m = blank + a_max
+        is_move = mbest > stay_m
+        a_max = jnp.where(valid, jnp.where(is_move, mbest, stay_m), a_max)
+        choice_out[k] = jnp.where(
+            is_move, (jbest + 1).astype(jnp.float32), 0.0
+        ).astype(choice_out.dtype)
+
+    a_ref[...] = A
+    c_ref[...] = c
+    amax_ref[...] = a_max
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        a_out[...] = A
+        amax_out[...] = a_max
+
+
+def _bwd_kernel_tcn(nb, R, K, Tlim, blank, moves_ref, min_ref, choice_ref,
+                    c_ref, end_ref, lz_ref, emit_out, b_ref, d_ref,
+                    state_ref):
+    t = pl.program_id(0)
+    S, N = b_ref.shape
+    P_stay = float(np.exp(blank))
+
+    @pl.when(t == 0)
+    def _():
+        b_ref[...] = jnp.ones_like(b_ref)
+        d_ref[...] = jnp.zeros_like(d_ref)
+        state_ref[...] = end_ref[...]
+
+    B = b_ref[...]
+    d = d_ref[...]
+    onehot = state_ref[...]
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
+    brow = jax.lax.broadcasted_iota(
+        jnp.int32, (nb, N), 0).astype(jnp.float32)
+
+    G = pl.num_programs(0)
+    for k in range(K - 1, -1, -1):
+        moves = moves_ref[k].astype(jnp.float32).reshape(nb, nb, R, N)
+        P_move = jnp.exp(moves)
+
+        choice = jnp.sum(choice_ref[k].astype(jnp.float32) * onehot, axis=0)
+        state_idx = jnp.sum(srow * onehot, axis=0)
+        is_move = choice > 0.5
+        base = jnp.mod(state_idx, nb) + 1.0
+        j = jnp.maximum(choice - 1.0, 0.0)
+        prev_idx = jnp.where(
+            is_move, jnp.floor(state_idx / nb) + j * R, state_idx)
+        onehot = (srow == prev_idx[None]).astype(jnp.float32)
+
+        v = min_ref[k] * B
+        bmass = jnp.sum(v.reshape(R, nb, N), axis=0)
+        corr = jnp.exp(c_ref[k][:1] + d[:1] - lz_ref[:1])
+        chosen = jnp.sum(
+            bmass * (brow == (base - 1.0)[None]).astype(jnp.float32),
+            axis=0)
+        prob = chosen * corr[0]
+
+        code = jnp.where(is_move, base, 0.0)
+        emit_out[k] = jnp.concatenate([
+            code[None], prob[None],
+            jnp.zeros((emit_out.shape[1] - 2, N), jnp.float32)], axis=0)
+
+        # padded rows (global index >= T) must leave beta/d untouched:
+        # with a constant stay, P_stay*B is not an identity update
+        valid = (G - 1 - t) * K + k < Tlim
+        Bv = jnp.swapaxes(B.reshape(R, nb, N), 0, 1)
+        move_out = jnp.sum(P_move * Bv[:, None], axis=0)
+        B_raw = P_stay * B + move_out.reshape(S, N)
+        n = jnp.max(B_raw, axis=0, keepdims=True)
+        B = jnp.where(valid, B_raw * (1.0 / n), B)
+        d = jnp.where(valid, d + jnp.log(n), d)
+
+    b_ref[...] = B
+    d_ref[...] = d
+    state_ref[...] = onehot
+
+
+def supported_tcn(seqdist, moves_tcn, blank_score, require_tpu=True):
+    T, Cm, N = moves_tcn.shape
+    S = seqdist.n_states
+    R = S // max(seqdist.n_base, 1)
+    return (
+        blank_score is not None
+        and seqdist.n_base == 4 and S % 8 == 0 and R % 8 == 0 and N % 8 == 0
+        and Cm == S * seqdist.n_base
+        and (on_tpu() or not require_tpu)
+    )
+
+
+@partial(jax.jit, static_argnames=("seqdist", "blank_score", "qscale",
+                                   "qbias", "interpret"))
+def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
+                       qbias=0.0, interpret=False):
+    """moves_tcn: [T, nb*nb*R, N] move scores in (b, j, r) row order
+    (Model.forward_tcn's output); stay scores are the constant
+    ``blank_score``. Bit-identical math to viterbi_decode_pallas."""
+    nb = seqdist.n_base
+    S = seqdist.n_states
+    R = S // nb
+    T, Cm, N = moves_tcn.shape
+    blank = float(blank_score)
+
+    K = _block_k(S, N, nb)
+    pad = (-T) % K
+    if pad:
+        moves_tcn = jnp.concatenate(
+            [moves_tcn, jnp.full((pad, Cm, N), NEG, moves_tcn.dtype)],
+            axis=0)
+    Tp = T + pad
+    G = Tp // K
+    moves = moves_tcn.reshape(Tp, nb * nb, R, N)
+
+    min_stack, choices, c_stack, A_T, amax_T = pl.pallas_call(
+        partial(_fwd_kernel_tcn, nb, R, K, T, blank),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((K, nb * nb, R, N), lambda g: (g, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((K, 8, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((S, N), lambda g: (0, 0)),
+            pl.BlockSpec((S, N), lambda g: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, S, N), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, S, N), jnp.bfloat16),
+            jax.ShapeDtypeStruct((Tp, 8, N), jnp.float32),
+            jax.ShapeDtypeStruct((S, N), jnp.float32),
+            jax.ShapeDtypeStruct((S, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
+            pltpu.VMEM((S, N), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(moves)
+
+    c_T = c_stack[Tp - 1, 0]
+    logZ = jnp.log(jnp.sum(A_T, axis=0)) + c_T
+    end_state = jnp.argmax(amax_T, axis=0)
+    end_onehot = jax.nn.one_hot(end_state, S, axis=0, dtype=jnp.float32)
+    lz_rows = jnp.broadcast_to(logZ[None], (8, N))
+
+    emit = pl.pallas_call(
+        partial(_bwd_kernel_tcn, nb, R, K, T, blank),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((K, nb * nb, R, N), lambda g: (G - 1 - g, 0, 0, 0)),
+            pl.BlockSpec((K, S, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((K, S, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((K, 8, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((S, N), lambda g: (0, 0)),
+            pl.BlockSpec((8, N), lambda g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, 8, N), lambda g: (G - 1 - g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, 8, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
+            pltpu.VMEM((S, N), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(moves, min_stack, choices, c_stack, end_onehot, lz_rows)
+
+    code = emit[:T, 0, :].T
+    prob = emit[:T, 1, :].T
+
+    is_move = code > 0.5
+    err = jnp.clip(1.0 - prob, 1e-4, 1.0)
+    q = -10.0 * jnp.log10(err) * qscale + qbias
+    qchar = (jnp.round(q) + 33.0).astype(jnp.uint8)
+
+    sequence = jnp.where(is_move, code, 0.0).astype(jnp.uint8)
+    qstring = jnp.where(is_move, qchar, 0).astype(jnp.uint8)
+    return {
+        "sequence": sequence,
+        "qstring": qstring,
+        "moves": is_move.astype(jnp.uint8),
+    }
+
+
 def on_tpu():
     return jax.default_backend() == "tpu"
 

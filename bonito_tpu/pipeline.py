@@ -28,6 +28,13 @@ class _End:
     """Sentinel marking the end of a stream."""
 
 
+class _Error:
+    """Sentinel carrying a producer exception to the consuming thread."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 END = _End()
 
 
@@ -52,6 +59,11 @@ class BackgroundIterator:
             item = self.queue.get()
             if isinstance(item, _End) or (isinstance(item, str) and item == "__END__"):
                 break
+            if isinstance(item, _Error):
+                # producer died: re-raise in the consumer so the failure
+                # propagates up the pipeline instead of truncating output
+                self.runner.join()
+                raise item.exc
             yield item
         self.runner.join()
 
@@ -59,6 +71,8 @@ class BackgroundIterator:
         try:
             for item in self.iterator:
                 self.queue.put(item)
+        except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
+            self.queue.put(_Error(e))
         finally:
             self.queue.put(self.sentinel)
 

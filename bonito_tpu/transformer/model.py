@@ -104,14 +104,16 @@ class MultiHeadAttention(nn.Layer):
         cos, sin = rotary_freqs(T, self.rotary_dim)
 
         train = bool(ctx and ctx.get("train"))
-        if (self.attn_window is not None and not train
+        if (self.attn_window is not None
                 and not os.environ.get("BONITO_TPU_NO_PALLAS")):
             # fused rotary + banded attention: qkv stays in its natural
-            # layout, rotary and the head transposes happen on VMEM tiles
+            # layout, rotary and the head transposes happen on VMEM tiles;
+            # training uses the custom-VJP twin (flash-style backward)
             from bonito_tpu.ops import attention_pallas as ap
             if ap.fused_supported(qkv, self.attn_window, self.rotary_dim):
-                o = ap.fused_rotary_window_attention(
-                    qkv, cos, sin, self.attn_window)
+                fused = (ap.fused_rotary_window_attention_train if train
+                         else ap.fused_rotary_window_attention)
+                o = fused(qkv, cos, sin, self.attn_window)
                 o = o.reshape(N, T, self.d_model)
                 o = o @ params["out_w"].astype(x.dtype)
                 if self.out_bias:

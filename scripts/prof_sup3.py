@@ -61,7 +61,8 @@ def main():
     # conv stack alone
     enc = model.encoder
     p_enc = model.params["encoder"]
-    conv = enc.sublayers["conv"]
+    subs = dict(enc.sublayer_items())
+    conv = subs["conv"]
 
     @jax.jit
     def conv_only(x):
@@ -71,11 +72,11 @@ def main():
     # one transformer layer at post-conv shapes
     T = chunk // 12
     h = jnp.asarray(rng.normal(size=(N, T, 512)) * 0.5, jnp.bfloat16)
-    stack = enc.sublayers["transformer_encoder"]
-    layer0 = stack.layers[0] if hasattr(stack, "layers") else None
+    stack = subs["transformer_encoder"]
+    layer0 = stack.sublayers[0]
     p_stack = p_enc["transformer_encoder"]
     if layer0 is not None:
-        key0 = sorted(p_stack.keys())[0]
+        key0 = "0"
 
         @jax.jit
         def one_layer(h):
@@ -88,8 +89,8 @@ def main():
         timeit("S4b_18_layers", full_stack, h)
 
     # upsample + crf head
-    up = enc.sublayers["upsample"]
-    crf_head = enc.sublayers["crf"]
+    up = subs["upsample"]
+    crf_head = subs["crf"]
 
     @jax.jit
     def head(h):

@@ -49,6 +49,92 @@ class TestGolden:
         assert got["qstrings"] == want["qstrings"]
 
 
+GOLDEN_CTC = Path(__file__).parent / "golden" / "ctc_decode.json"
+GOLDEN_TRANS = Path(__file__).parent / "golden" / "transformer_decode.json"
+GOLDEN_Q = Path(__file__).parent / "golden" / "qstring_calib.json"
+
+
+def compute_ctc_case():
+    """Fixed-seed CTC posteriors -> greedy (with qstring) + prefix beam."""
+    from bonito_tpu.ops.ctc_decode import greedy_ctc, beam_search_ctc
+    rng = np.random.default_rng(7)
+    T, C = 60, 5
+    logits = rng.normal(size=(T, C)) * 2.0
+    logits[:, 0] += 1.0
+    probs = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+    g_seq, g_path = greedy_ctc(probs, "NACGT", qscores=True,
+                               qscale=1.05, qbias=0.2)
+    b_seq, b_path = beam_search_ctc(probs, "NACGT", beamsize=5)
+    return {
+        "greedy": g_seq, "greedy_path": [int(i) for i in g_path],
+        "beam": b_seq, "beam_path": [int(i) for i in b_path],
+    }
+
+
+def compute_transformer_case():
+    """Tiny fixed-seed transformer-CRF model -> decode outputs."""
+    from bonito_tpu.models import transformer_crf_config
+    from bonito_tpu.transformer.model import Model
+    from bonito_tpu.ops.decode import to_str, viterbi_decode
+
+    cfg = transformer_crf_config(
+        d_model=64, nhead=2, depth=2, dim_feedforward=128, state_len=2,
+        conv_stride=12, attn_window=(15, 16))
+    model = Model(cfg)
+    model.init(jax.random.PRNGKey(7))
+    model.params["encoder"]["crf"]["w"] = (
+        model.params["encoder"]["crf"]["w"] * 30)
+    rng = np.random.default_rng(7)
+    signal = rng.normal(size=(2, 1536)).astype(np.float32)
+    scores = model.forward(jnp.asarray(signal)[..., None])
+    out = viterbi_decode(model.seqdist, scores)
+    return {
+        "sequences": [to_str(s) for s in np.asarray(out["sequence"])],
+        "qstrings": [to_str(q, qstring=True)
+                     for q in np.asarray(out["qstring"])],
+    }
+
+
+def compute_qstring_case():
+    """qscale/qbias calibration arithmetic across the q range (the shipped
+    per-model values plus extremes), pinned on fixed-seed CRF scores."""
+    from bonito_tpu.crf.seqdist import CTC_CRF
+    from bonito_tpu.ops.decode import to_str, viterbi_decode_scan
+
+    seqdist = CTC_CRF(2, "NACGT")
+    rng = np.random.default_rng(11)
+    scores = jnp.asarray(
+        np.tanh(rng.normal(size=(2, 40, seqdist.n_score()))) * 5.0,
+        jnp.float32)
+    out = {}
+    for qscale, qbias in [(1.0, 0.0), (1.05, 0.2), (0.9, -0.2), (1.7, 1.2)]:
+        d = viterbi_decode_scan(seqdist, scores, qscale=qscale, qbias=qbias)
+        out[f"{qscale}_{qbias}"] = [
+            to_str(q, qstring=True) for q in np.asarray(d["qstring"])]
+    return out
+
+
+class TestGoldenCTC:
+    def test_ctc_decode_matches_golden(self):
+        got = compute_ctc_case()
+        want = json.loads(GOLDEN_CTC.read_text())
+        assert got == want
+
+
+class TestGoldenTransformer:
+    def test_transformer_decode_matches_golden(self):
+        got = compute_transformer_case()
+        want = json.loads(GOLDEN_TRANS.read_text())
+        assert got == want
+
+
+class TestGoldenQstring:
+    def test_qstring_calibration_matches_golden(self):
+        got = compute_qstring_case()
+        want = json.loads(GOLDEN_Q.read_text())
+        assert got == want
+
+
 if __name__ == "__main__":
     import os
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -57,3 +143,9 @@ if __name__ == "__main__":
     GOLDEN.parent.mkdir(exist_ok=True)
     GOLDEN.write_text(json.dumps(compute_outputs(model, signal), indent=1))
     print(f"wrote {GOLDEN}")
+    GOLDEN_CTC.write_text(json.dumps(compute_ctc_case(), indent=1))
+    print(f"wrote {GOLDEN_CTC}")
+    GOLDEN_TRANS.write_text(json.dumps(compute_transformer_case(), indent=1))
+    print(f"wrote {GOLDEN_TRANS}")
+    GOLDEN_Q.write_text(json.dumps(compute_qstring_case(), indent=1))
+    print(f"wrote {GOLDEN_Q}")

@@ -94,3 +94,20 @@ class TestItemMaps:
         out = list(process_itemmap(_swap, iter([("a", 1), ("b", 2)]),
                                    n_proc=2))
         assert out == [(1, "a"), (2, "b")]
+
+
+class TestErrorPropagation:
+    def test_thread_iter_reraises_producer_exception(self):
+        from bonito_tpu.pipeline import thread_iter
+
+        def gen():
+            yield 1
+            raise ValueError("producer blew up")
+
+        it = thread_iter(gen())
+        out = []
+        import pytest
+        with pytest.raises(ValueError, match="producer blew up"):
+            for x in it:
+                out.append(x)
+        assert out == [1]

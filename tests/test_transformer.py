@@ -222,3 +222,74 @@ class TestFusedRotaryAttention:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+class TestFusedAttentionVJP:
+    def _ref(self, qkv, cos, sin, W):
+        from bonito_tpu.transformer.model import apply_rotary
+        from bonito_tpu.ops.attention import local_attention
+        q = apply_rotary(qkv[:, :, 0], cos, sin)
+        k = apply_rotary(qkv[:, :, 1], cos, sin)
+        v = qkv[:, :, 2]
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+        return jnp.swapaxes(local_attention(q, k, v, W), 1, 2)
+
+    def test_forward_matches(self):
+        from bonito_tpu.ops.attention_pallas import (
+            fused_rotary_window_attention_train)
+        from bonito_tpu.transformer.model import rotary_freqs
+        N, T, H, D = 2, 256, 4, 32
+        W = (63, 64)
+        qkv = jax.random.normal(jax.random.PRNGKey(3), (N, T, 3, H, D))
+        cos, sin = rotary_freqs(T, D)
+        out = fused_rotary_window_attention_train(
+            qkv, cos, sin, W, 128, True)
+        ref = self._ref(qkv, cos, sin, W)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_grads_match_xla(self):
+        from bonito_tpu.ops.attention_pallas import (
+            fused_rotary_window_attention_train)
+        from bonito_tpu.transformer.model import rotary_freqs
+        N, T, H, D = 2, 256, 4, 32
+        W = (63, 64)
+        qkv = jax.random.normal(jax.random.PRNGKey(4), (N, T, 3, H, D))
+        cos, sin = rotary_freqs(T, D)
+        tgt = jax.random.normal(jax.random.PRNGKey(5), (N, T, H, D))
+
+        def loss_fused(qkv):
+            o = fused_rotary_window_attention_train(
+                qkv, cos, sin, W, 128, True)
+            return jnp.sum((o - tgt) ** 2)
+
+        def loss_ref(qkv):
+            return jnp.sum((self._ref(qkv, cos, sin, W) - tgt) ** 2)
+
+        g_fused = jax.grad(loss_fused)(qkv)
+        g_ref = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=5e-2, atol=5e-2)
+
+    def test_grads_partial_rotary(self):
+        from bonito_tpu.ops.attention_pallas import (
+            fused_rotary_window_attention_train)
+        from bonito_tpu.transformer.model import rotary_freqs
+        N, T, H, D, RD = 1, 128, 2, 32, 16
+        W = (31, 32)
+        qkv = jax.random.normal(jax.random.PRNGKey(6), (N, T, 3, H, D))
+        cos, sin = rotary_freqs(T, RD)
+
+        def loss_fused(qkv):
+            o = fused_rotary_window_attention_train(
+                qkv, cos, sin, W, 128, True)
+            return jnp.sum(jnp.tanh(o))
+
+        def loss_ref(qkv):
+            return jnp.sum(jnp.tanh(self._ref(qkv, cos, sin, W)))
+
+        g_fused = jax.grad(loss_fused)(qkv)
+        g_ref = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=5e-2, atol=5e-2)
