@@ -23,6 +23,17 @@ from bonito_tpu.util import column_to_set, load_symbol, load_model, init
 def main(args):
     init(args.seed)
 
+    if args.distributed:
+        # multi-host: ICI within a slice, DCN across; each host basecalls
+        # its crc32 shard of the reads and writes its own output
+        # (SURVEY.md §5 / DESIGN.md "Parallelism model")
+        from bonito_tpu import parallel
+        parallel.init_distributed(args.coordinator_address)
+        import jax
+        sys.stderr.write(
+            f"> distributed: host {jax.process_index()}"
+            f"/{jax.process_count()}\n")
+
     try:
         reader = Reader(args.reads_directory, args.recursive)
         sys.stderr.write(f"> reading {reader.fmt}\n")
@@ -95,6 +106,10 @@ def main(args):
         max_read_size=args.max_read_size,
         cancel=cancel,
     )
+
+    if args.distributed:
+        from bonito_tpu.parallel import host_shard_reads
+        reads = host_shard_reads(reads)
 
     if args.max_reads:
         from itertools import islice
@@ -200,5 +215,12 @@ def argparser():
                         help="accepted for reference CLI compatibility; "
                              "device selection is automatic (mesh over all "
                              "local chips)")
+    parser.add_argument("--distributed", action="store_true", default=False,
+                        help="multi-host mode: jax.distributed init + "
+                             "per-host read sharding (each host writes its "
+                             "own output shard)")
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 (auto-discovered on "
+                             "TPU pods when omitted)")
     parser.add_argument("-v", "--verbose", action="count", default=0)
     return parser

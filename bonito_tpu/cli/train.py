@@ -27,6 +27,18 @@ def main(args):
 
     init(args.seed)
 
+    if args.distributed:
+        # multi-host data parallelism: the Trainer's mesh then spans all
+        # hosts; each host draws a disjoint slice of the chunk files
+        # (data.py shards by process index), gradients sync via GSPMD
+        # collectives over ICI/DCN
+        from bonito_tpu import parallel
+        parallel.init_distributed(args.coordinator_address)
+        import jax
+        sys.stderr.write(
+            f"[distributed: host {jax.process_index()}"
+            f"/{jax.process_count()}]\n")
+
     if args.pretrained:
         dirname = model_directory(args.pretrained)
         pretrain_file = dirname / "config.toml"
@@ -132,4 +144,10 @@ def argparser():
     parser.add_argument("--grad-accum-split", default=1, type=int)
     parser.add_argument("--quantile-grad-clip", action="store_true",
                         default=False)
+    parser.add_argument("--distributed", action="store_true", default=False,
+                        help="multi-host data-parallel training "
+                             "(jax.distributed init + per-host data shard)")
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 (auto-discovered on "
+                             "TPU pods when omitted)")
     return parser

@@ -97,11 +97,19 @@ class NumpyBatchLoader:
 
 
 def load_numpy_datasets(limit=None, directory=None):
-    """Memory-mapped (chunks, targets, lengths) with optional indices.npy."""
+    """Memory-mapped (chunks, targets, lengths) with optional indices.npy.
+    Under multi-host training (jax.distributed initialised), each host
+    loads a disjoint strided slice so the global batch is sharded over
+    hosts without any chunk crossing DCN."""
     chunks = np.load(os.path.join(directory, "chunks.npy"), mmap_mode="r")
     targets = np.load(os.path.join(directory, "references.npy"), mmap_mode="r")
     lengths = np.load(os.path.join(directory, "reference_lengths.npy"),
                       mmap_mode="r")
+
+    def host_slice(x):
+        import jax
+        n = jax.process_count()
+        return x[jax.process_index()::n] if n > 1 else x
 
     indices = os.path.join(directory, "indices.npy")
     if os.path.exists(indices):
@@ -109,13 +117,15 @@ def load_numpy_datasets(limit=None, directory=None):
         idx = idx[idx < len(lengths)]
         if limit:
             idx = idx[:limit]
+        idx = host_slice(idx)
         return (np.array(chunks[idx]), np.array(targets[idx]),
                 np.array(lengths[idx]))
     if limit:
         chunks = chunks[:limit]
         targets = targets[:limit]
         lengths = lengths[:limit]
-    return np.array(chunks), np.array(targets), np.array(lengths)
+    return (np.array(host_slice(chunks)), np.array(host_slice(targets)),
+            np.array(host_slice(lengths)))
 
 
 def load_numpy(limit, directory, valid_limit=None):

@@ -132,6 +132,18 @@ def init_distributed(coordinator_address=None, num_processes=None,
     return jax.process_index(), jax.process_count()
 
 
+def host_shard_reads(reads, process_id=None, process_count=None):
+    """Filter a read stream down to this host's crc32 shard (the lazy
+    form of host_shard for generators whose ids aren't known upfront)."""
+    import zlib
+    import jax
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if process_count is None else process_count
+    for read in reads:
+        if zlib.crc32(read.read_id.encode()) % n == pid:
+            yield read
+
+
 def host_shard(read_ids, process_id=None, process_count=None):
     """
     Deterministic read->host assignment for per-host pod5/fast5 readers:

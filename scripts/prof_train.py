@@ -71,7 +71,10 @@ def main():
         run_params = nn.cast_tree(params, jnp.bfloat16)
         ctx = {"train": True, "updates": {}}
         scores = model2.apply(run_params, data.astype(jnp.bfloat16), ctx)
-        return model2.loss(scores, targets, lengths)["loss"]
+        losses = model2.loss(scores, targets, lengths)
+        if isinstance(losses, dict):
+            losses = losses["loss"]
+        return jnp.mean(losses)
 
     gfn = jax.jit(lambda p, d, t, l: optax.global_norm(
         jax.grad(forward_loss)(p, d, t, l)))
@@ -79,6 +82,36 @@ def main():
 
     ffn = jax.jit(lambda p, d, t, l: forward_loss(p, d, t, l))
     timeit("fwd_loss", ffn, model2.params, data, targets, lengths)
+
+    # encoder forward alone (train ctx) and loss alone
+    efn = jax.jit(lambda p, d: model2.apply(
+        nn.cast_tree(p, jnp.bfloat16), d.astype(jnp.bfloat16),
+        {"train": True, "updates": {}}).astype(jnp.float32).sum())
+    timeit("fwd_encoder_only", efn, model2.params, data)
+
+    scores = jax.jit(lambda p, d: model2.apply(
+        nn.cast_tree(p, jnp.bfloat16), d.astype(jnp.bfloat16),
+        {"train": True, "updates": {}}))(model2.params, data)
+    scores = jax.block_until_ready(scores)
+
+    def loss_only(scores, targets, lengths):
+        losses = model2.loss(scores, targets, lengths)
+        if isinstance(losses, dict):
+            losses = losses["loss"]
+        return jnp.mean(losses)
+    timeit("loss_only_fwd", jax.jit(loss_only), scores, targets, lengths)
+    timeit("loss_grad_wrt_scores", jax.jit(lambda s, t, l: jnp.sum(
+        jax.grad(loss_only)(s, t, l).astype(jnp.float32))),
+        scores, targets, lengths)
+
+    # encoder fwd+bwd alone (grad wrt params of sum(scores))
+    def enc_sum(params, data):
+        run_params = nn.cast_tree(params, jnp.bfloat16)
+        return model2.apply(
+            run_params, data.astype(jnp.bfloat16),
+            {"train": True, "updates": {}}).astype(jnp.float32).sum()
+    timeit("encoder_fwd_bwd", jax.jit(lambda p, d: optax.global_norm(
+        jax.grad(enc_sum)(p, d))), model2.params, data)
 
 
 if __name__ == "__main__":
