@@ -144,10 +144,14 @@ class SeqdistModel:
 
         h = x
         p_enc = params["encoder"]
+        enc_ctx = nn._push_path(ctx, "encoder")
         for name, layer in items:
             # .get: param-less layers (Permute etc.) have no entry after
-            # a checkpoint round-trip (np.savez drops empty subtrees)
-            h = layer.apply(p_enc.get(name, {}), h, ctx)
+            # a checkpoint round-trip (np.savez drops empty subtrees);
+            # ctx paths must match model.apply's so BatchNorm running-stat
+            # updates land on the same keys
+            h = layer.apply(p_enc.get(name, {}), h,
+                            nn._push_path(enc_ctx, name))
 
         b_, j_, r_ = np.unravel_index(
             np.arange(nb * nb * R), (nb, nb, R))
@@ -195,6 +199,14 @@ class SeqdistModel:
             targets = jnp.asarray(self.target_projection)[targets]
         return self.seqdist.ctc_loss(
             scores.astype(jnp.float32), targets, target_lengths, **kwargs)
+
+    def loss_tcn(self, moves_tcn, blank_score, targets, target_lengths,
+                 **kwargs):
+        """ctc_loss from forward_tcn's output (see seqdist.ctc_loss_tcn)."""
+        if self.target_projection is not None:
+            targets = jnp.asarray(self.target_projection)[targets]
+        return self.seqdist.ctc_loss_tcn(
+            moves_tcn, blank_score, targets, target_lengths, **kwargs)
 
     # -- serialization ---------------------------------------------------------------------
 

@@ -368,6 +368,67 @@ class CTC_CRF:
         _, path = jax.lax.scan(bwd, pos_T, moved, reverse=True)
         return jnp.swapaxes(path, 0, 1)                      # [N, T, n]
 
+    def logZ_tcn(self, moves_tcn, blank_score):
+        """Partition function from the decode-layout [T, S*nb, N] move
+        scores + constant stay (Model.forward_tcn's output). Pallas on
+        TPU; scan on reconstructed scores elsewhere."""
+        import os
+        if not os.environ.get("BONITO_TPU_NO_PALLAS"):
+            from bonito_tpu.ops import logz_pallas
+            if logz_pallas.supported_tcn(self, moves_tcn, blank_score):
+                return logz_pallas.logZ_tcn(self, moves_tcn,
+                                            float(blank_score))
+        from bonito_tpu.ops.decode import tcn_to_scores
+        return self.logZ_scan(
+            tcn_to_scores(self, moves_tcn, blank_score).astype(jnp.float32),
+            Log)
+
+    def prepare_ctc_moves_tcn(self, moves_tcn, targets):
+        """Move scores along the target lattice, from the TCN layout.
+        (The lattice's stay scores are all the constant blank_score, so
+        only the moves need selecting.) Returns move [N, T, n_pos-1]."""
+        targets = jnp.clip(targets - 1, 0, None)
+        nb, sl = self.n_base, self.state_len
+        S = self.n_states
+        R = S // nb
+        T, Cm, N = moves_tcn.shape
+        L = targets.shape[1]
+        n = L - (sl - 1)
+        state = sum(
+            targets[:, i:n + i] * nb ** (sl - i - 1)
+            for i in range(sl)
+        )                                                # [N, n] successor s
+        s_succ = state[:, 1:]
+        j = targets[:, :n - 1]
+        q = ((s_succ % nb) * nb + j) * R + s_succ // nb  # TCN row
+        onehot = jax.nn.one_hot(q, Cm, dtype=moves_tcn.dtype)  # [N,n-1,Cm]
+        return jnp.einsum("tcn,npc->ntp", moves_tcn, onehot,
+                          preferred_element_type=jnp.float32)
+
+    def ctc_loss_tcn(self, moves_tcn, blank_score, targets, target_lengths,
+                     loss_clip=None, reduction="mean", normalise_scores=True):
+        """ctc_loss from the TCN layout. Identical math to ctc_loss via
+        the identity lattice_logZ(scores - z/T) == lattice_logZ(scores) - z
+        (every lattice path takes exactly T transitions), so the
+        normalised scores tensor never materialises and the logZ VJP
+        emits its cotangent directly in the TCN layout."""
+        move = self.prepare_ctc_moves_tcn(moves_tcn, targets)
+        N, T, n_minus_1 = move.shape
+        stay = jnp.full((N, T, n_minus_1 + 1), jnp.float32(blank_score))
+        lattice_lengths = (
+            target_lengths + 1 - self.state_len).astype(jnp.int32)
+        logz = self._lattice_logZ(stay, move, lattice_lengths)
+        if normalise_scores:
+            logz = logz - self.logZ_tcn(moves_tcn, blank_score)
+        loss = -(logz / target_lengths)
+        if loss_clip:
+            loss = jnp.clip(loss, 0.0, loss_clip)
+        if reduction == "mean":
+            return jnp.mean(loss)
+        if reduction in ("none", None):
+            return loss
+        raise ValueError(f"unknown reduction {reduction}")
+
     def ctc_loss(self, scores, targets, target_lengths, loss_clip=None,
                  reduction="mean", normalise_scores=True):
         """

@@ -187,3 +187,143 @@ def _logZ_bwd(seqdist, interpret, res, g):
 
 
 logZ_pallas.defvjp(_logZ_fwd, _logZ_bwd)
+
+
+# ---------------------------------------------------------------------------
+# TCN ("prep-free") logZ: scores arrive as [T, moves(b,j,r), N] with the
+# stay plane a CONSTANT blank_score (see ops/decode_pallas.py TCN notes).
+# The fwd kernel drops the stay stream; the VJP emits the move cotangent
+# directly in the same [T, Cm, N] layout, so neither direction pays the
+# [N, T, C] <-> batch-minor transposes. blank_score is a config constant,
+# not a parameter: its cotangent is discarded.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_tcn(nb, R, blank, moves_ref, alpha_out, alog_out, alog_ref):
+    t = pl.program_id(0)
+    S, N = alog_ref.shape
+
+    @pl.when(t == 0)
+    def _():
+        alog_ref[...] = jnp.zeros_like(alog_ref)
+
+    a_log = alog_ref[...]
+    alpha_out[0] = a_log
+
+    moves = moves_ref[0].astype(jnp.float32).reshape(nb, nb, R, N)
+    a_view = a_log.reshape(nb, R, N)
+    cand = moves + a_view[None]
+    m = jnp.max(cand, axis=1)
+    move_in = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None]), axis=1))
+    move_in = jnp.swapaxes(move_in, 0, 1).reshape(S, N)
+    alog_ref[...] = _lse(blank + a_log, move_in)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        alog_out[...] = alog_ref[...]
+
+
+def _bwd_kernel_tcn(nb, R, blank, moves_ref, alpha_ref, gz_ref,
+                    gmoves_out, beta_ref):
+    t = pl.program_id(0)
+    S, N = beta_ref.shape
+
+    @pl.when(t == 0)
+    def _():
+        beta_ref[...] = jnp.zeros_like(beta_ref)
+
+    beta = beta_ref[...]
+    moves = moves_ref[0].astype(jnp.float32).reshape(nb, nb, R, N)
+    a_log = alpha_ref[0]
+    gz = gz_ref[...]
+    scale = gz[0]
+    logZ = gz[1]
+
+    a_view = a_log.reshape(nb, R, N)
+    b_view = jnp.swapaxes(beta.reshape(R, nb, N), 0, 1)
+    edge = moves + a_view[None] + b_view[:, None]
+    gmoves = jnp.exp(edge - logZ[None, None, None]) * scale[None, None, None]
+    gmoves_out[0] = gmoves.reshape(nb * nb, R, N).astype(gmoves_out.dtype)
+
+    move_out = moves + b_view[:, None]
+    mm = jnp.max(move_out, axis=0)
+    move_lse = mm + jnp.log(jnp.sum(jnp.exp(move_out - mm[None]), axis=0))
+    beta_ref[...] = _lse(blank + beta, move_lse.reshape(S, N))
+
+
+def supported_tcn(seqdist, moves_tcn, blank_score, require_tpu=True):
+    from bonito_tpu.ops.decode_pallas import supported_tcn as _sup
+    return _sup(seqdist, moves_tcn, blank_score, require_tpu=require_tpu)
+
+
+def _run_fwd_tcn(seqdist, moves, blank, interpret):
+    nb, S = seqdist.n_base, seqdist.n_states
+    R = S // nb
+    T, _, _, N = moves.shape
+    alpha, alog_T = pl.pallas_call(
+        partial(_fwd_kernel_tcn, nb, R, blank),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, nb * nb, R, N), lambda t: (t, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
+            pl.BlockSpec((S, N), lambda t: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, N), jnp.float32),
+            jax.ShapeDtypeStruct((S, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(moves)
+    return alpha, jax.nn.logsumexp(alog_T, axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))
+def logZ_tcn(seqdist, moves_tcn, blank_score, interpret=False):
+    """logZ [N] from [T, S*nb, N] move scores + constant stay."""
+    out, _ = _logZ_tcn_fwd(seqdist, moves_tcn, blank_score, interpret)
+    return out
+
+
+def _logZ_tcn_fwd(seqdist, moves_tcn, blank_score, interpret):
+    nb = seqdist.n_base
+    S = seqdist.n_states
+    R = S // nb
+    T, Cm, N = moves_tcn.shape
+    moves = moves_tcn.astype(jnp.bfloat16).reshape(T, nb * nb, R, N)
+    alpha, logZ = _run_fwd_tcn(seqdist, moves, float(blank_score), interpret)
+    return logZ, (moves, alpha, logZ)
+
+
+def _logZ_tcn_bwd(seqdist, blank_score, interpret, res, g):
+    moves, alpha, logZ = res
+    nb, S = seqdist.n_base, seqdist.n_states
+    R = S // nb
+    T, _, _, N = moves.shape
+
+    gz = jnp.stack([g.astype(jnp.float32), logZ], axis=0)
+    gz = jnp.concatenate([gz, jnp.zeros((6, N), jnp.float32)], axis=0)
+
+    gmoves = pl.pallas_call(
+        partial(_bwd_kernel_tcn, nb, R, float(blank_score)),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, nb * nb, R, N), lambda t: (T - 1 - t, 0, 0, 0)),
+            pl.BlockSpec((1, S, N), lambda t: (T - 1 - t, 0, 0)),
+            pl.BlockSpec((8, N), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nb * nb, R, N),
+                               lambda t: (T - 1 - t, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, nb * nb, R, N), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(moves, alpha, gz)
+    return (gmoves.reshape(T, S * nb, N).astype(jnp.float32),)
+
+
+logZ_tcn.defvjp(_logZ_tcn_fwd, _logZ_tcn_bwd)

@@ -74,14 +74,26 @@ def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None)
         (params, opt_state, batch, lr_scale, clip_max) ->
         (params, opt_state, losses, grad_norm)
     """
+    # TCN path: the default CRF loss runs from forward_tcn's prep-free
+    # [T, moves, N] layout (no [N, T, C] scores tensor, no batch-minor
+    # transposes in the logZ VJP). Custom criteria keep the scores path.
+    use_tcn = (
+        criterion is None
+        and hasattr(model, "forward_tcn")
+        and getattr(model, "decode_head", lambda: None)() is not None
+    )
     criterion = criterion or model.loss
 
     def forward_loss(params, data, targets, lengths):
         run_params = nn.cast_tree(params, jnp.bfloat16) if use_amp else params
         ctx = {"train": True, "updates": {}}
-        scores = model.apply(run_params, data.astype(
-            jnp.bfloat16 if use_amp else jnp.float32), ctx)
-        losses = criterion(scores, targets, lengths)
+        data = data.astype(jnp.bfloat16 if use_amp else jnp.float32)
+        if use_tcn:
+            moves_tcn, blank = model.forward_tcn(run_params, data, ctx)
+            losses = model.loss_tcn(moves_tcn, blank, targets, lengths)
+        else:
+            scores = model.apply(run_params, data, ctx)
+            losses = criterion(scores, targets, lengths)
         if not isinstance(losses, dict):
             losses = {"loss": losses}
         total = losses.get("total_loss", losses["loss"])

@@ -256,3 +256,80 @@ class TestTransitionProbsAndAlignments:
         # first frame either stays at the start or makes the first move
         assert (pos[:, 0] <= 1).all()
         assert (pos[:, -1] == L + 1 - sd.state_len - 1).all()
+
+
+class TestTCNLoss:
+    """ctc_loss_tcn == ctc_loss (values and grads), and the TCN logZ
+    kernels vs the scan oracle in interpret mode."""
+
+    def _model(self):
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        cfg = lstm_crf_config(features=64, num_layers=2, state_len=3,
+                              stride=5)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(11))
+        return m
+
+    def _batch(self, m, N=2, T=250, L=20):
+        x = jax.random.normal(jax.random.PRNGKey(12), (N, T, 1))
+        targets = jax.random.randint(
+            jax.random.PRNGKey(13), (N, L), 1, m.seqdist.n_base + 1)
+        lengths = jnp.full((N,), L, jnp.int32)
+        return x, targets, lengths
+
+    def test_loss_matches_scores_path(self):
+        m = self._model()
+        x, targets, lengths = self._batch(m)
+        scores = m.forward(x)
+        loss_a = float(m.loss(scores, targets, lengths))
+        mv, blank = m.forward_tcn(m.params, x)
+        loss_b = float(m.loss_tcn(mv, blank, targets, lengths))
+        assert abs(loss_a - loss_b) < 1e-4, (loss_a, loss_b)
+
+    def test_grads_match_scores_path(self):
+        m = self._model()
+        x, targets, lengths = self._batch(m)
+
+        def loss_scores(params):
+            scores = m.apply(params, x)
+            return m.loss(scores, targets, lengths)
+
+        def loss_tcn(params):
+            mv, blank = m.forward_tcn(params, x)
+            return m.loss_tcn(mv, blank, targets, lengths)
+
+        g_a = jax.grad(loss_scores)(m.params)
+        g_b = jax.grad(loss_tcn)(m.params)
+        flat_a, _ = jax.tree.flatten(g_a)
+        flat_b, _ = jax.tree.flatten(g_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-3, atol=1e-5)
+
+    def test_logz_tcn_kernels_interpret(self):
+        from bonito_tpu.ops import logz_pallas
+        from bonito_tpu.ops.decode import tcn_to_scores
+        seqdist = CTC_CRF(4, "NACGT")
+        T, N = 10, 8
+        Cm = seqdist.n_states * seqdist.n_base
+        mv = 2.0 * jax.random.normal(
+            jax.random.PRNGKey(14), (T, Cm, N), jnp.float32)
+        # the kernel streams moves in bf16; feed both paths the same
+        # quantised values so the comparison is apples-to-apples
+        mv = mv.astype(jnp.bfloat16).astype(jnp.float32)
+        blank = 2.0
+        z = logz_pallas.logZ_tcn(seqdist, mv, blank, True)
+        z_ref = seqdist.logZ_scan(
+            tcn_to_scores(seqdist, mv, blank).astype(jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(z), np.asarray(z_ref), rtol=1e-4, atol=1e-3)
+
+        g = jax.grad(lambda mv: jnp.sum(
+            logz_pallas.logZ_tcn(seqdist, mv, blank, True)))(mv)
+        g_ref = jax.grad(lambda mv: jnp.sum(seqdist.logZ_scan(
+            tcn_to_scores(seqdist, mv, blank).astype(jnp.float32))))(mv)
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(g_ref, np.float32),
+            rtol=5e-2, atol=5e-3)
