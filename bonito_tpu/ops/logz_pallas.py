@@ -142,11 +142,13 @@ def logZ_pallas(seqdist, scores, interpret=False):
 def _logZ_fwd(seqdist, scores, interpret):
     stay, moves = _split(seqdist, scores)
     alpha, logZ = _run_fwd(seqdist, stay, moves, interpret)
-    return logZ, (stay, moves, alpha, logZ)
+    # zero-size token carries the primal dtype through the residuals
+    # (a bare np.dtype is not a valid JAX type under jit)
+    return logZ, (stay, moves, alpha, logZ, jnp.zeros((0,), scores.dtype))
 
 
 def _logZ_bwd(seqdist, interpret, res, g):
-    stay, moves, alpha, logZ = res
+    stay, moves, alpha, logZ, dtype_tok = res
     nb, S = seqdist.n_base, seqdist.n_states
     R = S // nb
     T, _, N = stay.shape
@@ -183,7 +185,7 @@ def _logZ_bwd(seqdist, interpret, res, g):
     grad = jnp.concatenate([
         gstay.reshape(N, T, S, 1),
         gmoves.reshape(N, T, S, nb)], axis=-1)
-    return (grad.reshape(N, T, S * (nb + 1)),)
+    return (grad.reshape(N, T, S * (nb + 1)).astype(dtype_tok.dtype),)
 
 
 logZ_pallas.defvjp(_logZ_fwd, _logZ_bwd)
@@ -295,11 +297,11 @@ def _logZ_tcn_fwd(seqdist, moves_tcn, blank_score, interpret):
     T, Cm, N = moves_tcn.shape
     moves = moves_tcn.astype(jnp.bfloat16).reshape(T, nb * nb, R, N)
     alpha, logZ = _run_fwd_tcn(seqdist, moves, float(blank_score), interpret)
-    return logZ, (moves, alpha, logZ)
+    return logZ, (moves, alpha, logZ, jnp.zeros((0,), moves_tcn.dtype))
 
 
 def _logZ_tcn_bwd(seqdist, blank_score, interpret, res, g):
-    moves, alpha, logZ = res
+    moves, alpha, logZ, dtype_tok = res
     nb, S = seqdist.n_base, seqdist.n_states
     R = S // nb
     T, _, _, N = moves.shape
@@ -323,7 +325,7 @@ def _logZ_tcn_bwd(seqdist, blank_score, interpret, res, g):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(moves, alpha, gz)
-    return (gmoves.reshape(T, S * nb, N).astype(jnp.float32),)
+    return (gmoves.reshape(T, S * nb, N).astype(dtype_tok.dtype),)
 
 
 logZ_tcn.defvjp(_logZ_tcn_fwd, _logZ_tcn_bwd)

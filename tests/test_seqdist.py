@@ -333,3 +333,28 @@ class TestTCNLoss:
         np.testing.assert_allclose(
             np.asarray(g, np.float32), np.asarray(g_ref, np.float32),
             rtol=5e-2, atol=5e-3)
+
+    def test_logz_grads_keep_primal_dtype(self):
+        """Custom-VJP cotangents must match the primal dtype (bf16 models
+        feed bf16 moves straight into logZ_tcn — a f32 cotangent kills
+        jax.grad with a dtype AssertionError)."""
+        from bonito_tpu.ops import logz_pallas
+        seqdist = CTC_CRF(4, "NACGT")
+        T, N = 6, 8
+        Cm = seqdist.n_states * seqdist.n_base
+        mv = jax.random.normal(
+            jax.random.PRNGKey(15), (T, Cm, N), jnp.float32)
+
+        for dtype in (jnp.float32, jnp.bfloat16):
+            # jit matters: non-JAX residuals (e.g. a bare np.dtype) only
+            # blow up when the custom VJP is staged.
+            g = jax.jit(jax.grad(lambda m: jnp.sum(logz_pallas.logZ_tcn(
+                seqdist, m, 2.0, True))))(mv.astype(dtype))
+            assert g.dtype == dtype
+
+            C = seqdist.n_states * (seqdist.n_base + 1)
+            scores = jax.random.normal(
+                jax.random.PRNGKey(16), (N, T, C), jnp.float32)
+            g2 = jax.jit(jax.grad(lambda s: jnp.sum(logz_pallas.logZ_pallas(
+                seqdist, s, True))))(scores.astype(dtype))
+            assert g2.dtype == dtype
