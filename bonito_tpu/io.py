@@ -344,14 +344,10 @@ class Writer(Thread):
                  ref_fn=None, groups=None, group_key=None, min_qscore=0,
                  output_dir=None):
         super().__init__()
-        if mode == "wc":
-            sys.stderr.write("> warning: cram output not supported, "
-                             "writing bam\n")
-            mode = "wb"
         self.mode = mode
         self.fastq = mode == "wfq"
         self.fd = fd if fd is not None else (
-            sys.stdout.buffer if mode == "wb" else sys.stdout)
+            sys.stdout.buffer if mode in ("wb", "wc") else sys.stdout)
         self.log = []
         self.duplex = duplex
         self.aligner = aligner
@@ -368,6 +364,9 @@ class Writer(Thread):
         if mode == "wb":
             from bonito_tpu.bam import BAMWriter
             self._bam = BAMWriter(self.fd, header_text, sq)
+        elif mode == "wc":
+            from bonito_tpu.cram import CramWriter
+            self._bam = CramWriter(self.fd, header_text, sq)
         elif mode == "w":
             self.fd.write(header_text)
 
@@ -382,7 +381,7 @@ class Writer(Thread):
     def write(self, read, seq, qstring, mapping, tags):
         if self.fastq:
             write_fastq(read.read_id, seq, qstring, fd=self.fd, tags=tags)
-        elif self.mode == "wb":
+        elif self.mode in ("wb", "wc"):
             self._bam.write(read.read_id, seq, qstring, mapping=mapping,
                             tags=tags)
         else:

@@ -15,10 +15,10 @@ pA scale = calibration_scale * (adc + calibration_offset), then
 quantile/pa standardisation and trim.
 
 A writer (`write_pod5`) emits the same layout for fixtures and for
-`bonito_tpu export`-style dataset repacking. (The flatbuffer footer is
-written as an empty placeholder: files round-trip through this module;
-third-party pod5 readers that require the footer index are not supported
-yet.)
+`bonito_tpu export`-style dataset repacking, including a spec-conformant
+flatbuffer footer index (table offsets/lengths/content types) that this
+module's reader — and third-party pod5 tooling — resolves tables from;
+the framing-magic scan remains as a fallback for footerless files.
 """
 
 import ctypes

@@ -1,0 +1,190 @@
+"""CRAM 3.0 codec: framing against the spec's canonical bytes +
+writer/reader round-trips (reference emits CRAM via pysam,
+bonito/io.py:41-49,415)."""
+
+import io
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from bonito_tpu.cram import (
+    CramReader, CramRecord, CramWriter, EOF_CONTAINER, MAGIC,
+    build_block, build_container, itf8_decode, itf8_encode, ltf8_decode,
+    ltf8_encode, CT_COMPRESSION_HEADER, M_RAW,
+)
+
+
+class TestVarints:
+    @pytest.mark.parametrize("v", [
+        0, 1, 127, 128, 5000, 0x3FFF, 0x4000, 0x1FFFFF, 0x200000,
+        0xFFFFFFF, 0x10000000, 2**31 - 1, -1, -2, -2**31])
+    def test_itf8_roundtrip(self, v):
+        enc = itf8_encode(v)
+        dec, pos = itf8_decode(enc, 0)
+        assert dec == v and pos == len(enc)
+
+    @pytest.mark.parametrize("v", [
+        0, 1, 127, 128, 2**14, 2**21, 2**28, 2**35, 2**42, 2**49,
+        2**56 - 1, 2**62, -1])
+    def test_ltf8_roundtrip(self, v):
+        enc = ltf8_encode(v)
+        dec, pos = ltf8_decode(enc, 0)
+        assert dec == v and pos == len(enc)
+
+    def test_spec_examples(self):
+        # worked examples embedded in the canonical EOF container
+        assert itf8_encode(-1) == bytes.fromhex("ffffffff0f")
+        assert itf8_encode(4542278) == bytes.fromhex("e0454f46")
+
+
+class TestFraming:
+    def test_own_primitives_reproduce_spec_eof(self):
+        """The spec publishes exactly one byte string (the v3 EOF
+        container); our container/block builders must reproduce it."""
+        block = build_block(CT_COMPRESSION_HEADER, 0,
+                            b"\x01\x00\x01\x00\x01\x00", method=M_RAW)
+        container = build_container(
+            ref_id=-1, start=4542278, span=0, n_records=0, counter=0,
+            n_bases=0, blocks=[block], landmarks=[])
+        assert container == EOF_CONTAINER
+
+    def test_file_layout(self):
+        buf = io.BytesIO()
+        w = CramWriter(buf, "@HD\tVN:1.6\tSO:unknown\n", [])
+        w.close()
+        data = buf.getvalue()
+        assert data.startswith(MAGIC)
+        assert len(data[6:26]) == 20                    # file id
+        assert data.endswith(EOF_CONTAINER)
+
+    def test_header_text_roundtrip(self):
+        hdr = ("@HD\tVN:1.6\tSO:unknown\n"
+               "@RG\tID:run0_model\tSM:sample\n"
+               "@PG\tID:basecaller\tPN:bonito_tpu\n")
+        buf = io.BytesIO()
+        CramWriter(buf, hdr, []).close()
+        r = CramReader(buf.getvalue())
+        assert r.version == (3, 0)
+        assert r.header_text == hdr
+        assert r.rg_names == ["run0_model"]
+
+
+def _mk_mapping(**kw):
+    class M:
+        pass
+    m = M()
+    for k, v in kw.items():
+        setattr(m, k, v)
+    return m
+
+
+class TestRoundTrip:
+    HDR = ("@HD\tVN:1.6\tSO:unknown\n"
+           "@SQ\tSN:chr1\tLN:10000\n"
+           "@RG\tID:run0_model\tSM:s\n")
+
+    def test_unmapped_with_tags(self):
+        buf = io.BytesIO()
+        w = CramWriter(buf, self.HDR, [("chr1", 10000)])
+        w.write("read1", "ACGTACGT", "IIIIHHHH", tags=[
+            "RG:Z:run0_model", "qs:i:31", "ns:i:4000",
+            "mv:B:c,5,1,0,1", "f1:f:0.5"])
+        w.write("read2", "GGGG", "####", tags=["RG:Z:run0_model"])
+        w.close()
+
+        recs = list(CramReader(buf.getvalue()))
+        assert len(recs) == 2
+        r = recs[0]
+        assert (r.name, r.seq, r.qual) == ("read1", "ACGTACGT", "IIIIHHHH")
+        assert r.flag == 4 and r.ref_id == -1 and r.pos == -1
+        tags = dict(t.split(":", 1) for t in r.tags)
+        assert tags["qs"] == "i:31"
+        assert tags["ns"] == "i:4000"
+        assert tags["mv"] == "B:c,5,1,0,1"
+        assert float(tags["f1"].split(":")[1]) == pytest.approx(0.5)
+        assert tags["RG"] == "Z:run0_model"
+        assert recs[1].seq == "GGGG"
+
+    def test_mapped_cigar_and_strand(self):
+        buf = io.BytesIO()
+        w = CramWriter(buf, self.HDR, [("chr1", 10000)])
+        seq = "AACCGGTTAACC"
+        mapping = _mk_mapping(
+            ctg="chr1", r_st=100, r_en=110, q_st=2, q_en=11, mapq=60,
+            strand=1, cigar_str="4M1I3M1D1M", NM=2, MD="7^A1")
+        w.write("m1", seq, "I" * len(seq), mapping=mapping)
+        # reverse strand: writer revcomps seq like the BAM writer does
+        mapping_rc = _mk_mapping(
+            ctg="chr1", r_st=200, r_en=208, q_st=0, q_en=8, mapq=13,
+            strand=-1, cigar_str="8M", NM=0, MD="8")
+        w.write("m2", "AAAACCCC", "ABCDEFGH", mapping=mapping_rc)
+        w.close()
+
+        recs = list(CramReader(buf.getvalue()))
+        r = recs[0]
+        assert r.flag == 0 and r.pos == 100 and r.mapq == 60
+        assert r.seq == seq
+        cig = "".join(f"{n}{op}" for op, n in r.cigar)
+        assert cig == "2S4M1I3M1D1M1S"
+        tags = dict(t.split(":", 1) for t in r.tags)
+        assert tags["NM"] == "i:2" and tags["MD"] == "Z:7^A1"
+
+        r2 = recs[1]
+        assert r2.flag == 16 and r2.pos == 200 and r2.mapq == 13
+        assert r2.seq == "GGGGTTTT"              # revcomp applied
+        assert r2.qual == "HGFEDCBA"
+
+    def test_multiple_containers(self):
+        buf = io.BytesIO()
+        w = CramWriter(buf, self.HDR, [("chr1", 10000)],
+                       records_per_container=3)
+        names = [f"r{i}" for i in range(10)]
+        for n in names:
+            w.write(n, "ACGT", "IIII", tags=["qs:i:10"])
+        w.close()
+        recs = list(CramReader(buf.getvalue()))
+        assert [r.name for r in recs] == names
+
+    def test_blocks_are_gzip(self):
+        """Block payloads must be real gzip members (htslib requirement),
+        not raw deflate."""
+        buf = io.BytesIO()
+        w = CramWriter(buf, self.HDR, [])
+        w.write("read1", "ACGT" * 300, "I" * 1200, tags=[])
+        w.close()
+        data = buf.getvalue()
+        # find a gzip magic inside the container section and inflate it
+        pos = data.index(b"\x1f\x8b\x08", 26)
+        assert zlib.decompress(data[pos:pos + 4096], wbits=31)
+
+
+class TestWriterIntegration:
+    def test_io_writer_cram_mode(self, tmp_path):
+        """io.Writer mode 'wc' emits CRAM (reference: pysam 'wc',
+        bonito/io.py:415)."""
+        from bonito_tpu.io import Writer
+
+        class R:
+            read_id = "readA"
+            run_id = "run0"
+            signal = np.zeros(100)
+            num_samples = 100
+            trimmed_samples = 0
+
+        res = {"sequence": "ACGTACGTAC", "qstring": "IIIIIIIIII",
+               "mean_qscore": 40.0}
+        out = tmp_path / "out.cram"
+        with open(out, "wb") as fd:
+            w = Writer("wc", iter([(R(), res)]), fd=fd,
+                       output_dir=str(tmp_path))
+            w.start()
+            w.stop()
+        data = out.read_bytes()
+        assert data.startswith(MAGIC) and data.endswith(EOF_CONTAINER)
+        recs = list(CramReader(data))
+        assert recs[0].name == "readA"
+        assert recs[0].seq == "ACGTACGTAC"
+        tags = dict(t.split(":", 1) for t in recs[0].tags)
+        assert tags["qs"] == "i:40"
