@@ -1,10 +1,11 @@
 """
-BAM/SAM reading: the input side of the duplex pipeline (the reference uses
-pysam random access via an offset index, bonito/cli/duplex.py:45-106).
+BAM/SAM/CRAM reading: the input side of the duplex pipeline (the reference
+uses pysam random access via an offset index, bonito/cli/duplex.py:45-106).
 
 Self-contained like bonito_tpu.bam: BGZF is a chain of gzip members, so
 the whole stream decompresses with zlib; records are then parsed directly
-from the BAM byte layout. SAM text files are parsed line-wise.
+from the BAM byte layout. SAM text files are parsed line-wise; CRAM goes
+through bonito_tpu.cram.CramReader.
 """
 
 import gzip
@@ -62,6 +63,14 @@ def _parse_bam_records(data):
         yield SeqRecord(name, seq, qstring), flag
 
 
+def _parse_cram_records(data):
+    from bonito_tpu.cram import CramReader
+    for rec in CramReader(data):
+        if rec.flag & 0x900:
+            continue
+        yield SeqRecord(rec.name, rec.seq, rec.qual or "*"), rec.flag
+
+
 def _parse_sam_records(text):
     for line in text.splitlines():
         if not line or line.startswith("@"):
@@ -86,6 +95,8 @@ class ReadIndexedBam:
             records = _parse_bam_records(gzip.decompress(data))
         elif data[:4] == b"BAM\x01":
             records = _parse_bam_records(data)
+        elif data[:4] == b"CRAM":
+            records = _parse_cram_records(data)
         else:
             records = _parse_sam_records(data.decode())
         self._records = {}

@@ -160,6 +160,24 @@ class TestRoundTrip:
         assert zlib.decompress(data[pos:pos + 4096], wbits=31)
 
 
+class TestDuplexInput:
+    def test_read_indexed_bam_accepts_cram(self, tmp_path):
+        """duplex input path: ReadIndexedBam over a CRAM file (reference
+        reads CRAM via pysam, bonito/cli/duplex.py:45-106)."""
+        from bonito_tpu.bam_reader import ReadIndexedBam
+
+        path = tmp_path / "in.cram"
+        with open(path, "wb") as fd:
+            w = CramWriter(fd, "@HD\tVN:1.6\tSO:unknown\n", [])
+            w.write("t1", "ACGTAC", "IIIIII", tags=["qs:i:20"])
+            w.write("c1", "GGTTAA", "HHHHHH", tags=["qs:i:21"])
+            w.close()
+        idx = ReadIndexedBam(path)
+        assert len(idx) == 2
+        assert idx.get_record("t1").sequence == "ACGTAC"
+        assert idx.get_record("c1").qstring == "HHHHHH"
+
+
 class TestWriterIntegration:
     def test_io_writer_cram_mode(self, tmp_path):
         """io.Writer mode 'wc' emits CRAM (reference: pysam 'wc',
