@@ -136,7 +136,9 @@ def bench_train(batchsize, chunksize, iters):
 
     model = _build_model()
     chunksize = chunksize or 6000
-    batchsize = batchsize or 64
+    # batch 128 measured best on v5e (64: 2.50, 96: 2.70, 128: 2.75,
+    # 192: 2.63 Msamples/s) — the LSTM recurrence latency amortises
+    batchsize = batchsize or 128
     chunksize -= chunksize % model.stride
 
     tx = optax.adamw(2e-3)

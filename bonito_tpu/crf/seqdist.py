@@ -31,13 +31,17 @@ NEG = -1e30
 
 
 class Semiring:
-    def __init__(self, one, sum_fn):
+    def __init__(self, one, sum_fn, pair_fn):
         self.one = one
         self.sum = sum_fn
+        # two-operand sum: jnp.stack([a, b], -1) + sum(axis=-1) builds a
+        # tensor with a 2-wide minor (lane) dim — a pathological TPU
+        # layout in scan bodies; the direct pair op keeps [N, P]
+        self.pair = pair_fn
 
 
-Log = Semiring(0.0, jax.nn.logsumexp)
-Max = Semiring(0.0, lambda x, axis: jnp.max(x, axis=axis))
+Log = Semiring(0.0, jax.nn.logsumexp, jnp.logaddexp)
+Max = Semiring(0.0, lambda x, axis: jnp.max(x, axis=axis), jnp.maximum)
 
 
 class CTC_CRF:
@@ -80,8 +84,7 @@ class CTC_CRF:
         a_moves = jnp.swapaxes(a_moves, 1, 2)           # [N, r, j]
         move_in = S.sum(moves + a_moves[:, :, None, :], axis=-1)  # [N, r, b]
         stay_in = stay + alpha
-        both = jnp.stack([stay_in, move_in.reshape(-1, NS)], axis=-1)
-        return S.sum(both, axis=-1)
+        return S.pair(stay_in, move_in.reshape(-1, NS))
 
     def _bwd_step(self, beta, Ms_t, S: Semiring):
         """beta [N, S] (at t+1) -> beta' [N, S] (at t)."""
@@ -92,8 +95,7 @@ class CTC_CRF:
         move_out = S.sum(moves + b_next[..., None], axis=2)  # LSE over b -> [N, r, j]
         move_out = jnp.swapaxes(move_out, 1, 2).reshape(-1, NS)  # p = j*R + r
         stay_out = stay + beta
-        both = jnp.stack([stay_out, move_out], axis=-1)
-        return S.sum(both, axis=-1)
+        return S.pair(stay_out, move_out)
 
     # -- scans ----------------------------------------------------------------
 
@@ -320,7 +322,7 @@ class CTC_CRF:
             stay_path = alpha + s_t
             move_path = jnp.pad(alpha[:, :-1] + m_t, ((0, 0), (1, 0)),
                                 constant_values=NEG)
-            return S.sum(jnp.stack([stay_path, move_path], -1), axis=-1)
+            return S.pair(stay_path, move_path)
 
         def step(alpha, sm):
             s_blk, m_blk = sm

@@ -200,6 +200,16 @@ class Stack(Serial):
         return cls([from_dict(model_dict["layer"], layer_types)
                     for _ in range(model_dict["depth"])])
 
+    def apply(self, params, x, ctx=None):
+        # layer classes can opt in to a layout pin at the stack input
+        # (see ops/relayout.py: the conv output's layout otherwise taxes
+        # every repeated layer)
+        if self.sublayers and getattr(
+                self.sublayers[0], "pin_input_layout", False):
+            from bonito_tpu.ops.relayout import pin_layout
+            x = pin_layout(x)
+        return super().apply(params, x, ctx)
+
     def to_dict(self):
         return {"layer": to_dict(self.sublayers[0]), "depth": len(self.sublayers)}
 

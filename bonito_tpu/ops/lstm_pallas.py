@@ -149,7 +149,8 @@ def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False,
 # training: custom-VJP recurrence (BPTT as a second Pallas grid)
 # ---------------------------------------------------------------------------
 
-def _lstm_train_fwd_kernel(xw_ref, whh_ref, h_out, c_out, h_ref, c_ref):
+def _lstm_train_fwd_kernel(xw_ref, whh_ref, h_out, c_out, a_out,
+                           h_ref, c_ref):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -172,12 +173,16 @@ def _lstm_train_fwd_kernel(xw_ref, whh_ref, h_out, c_out, h_ref, c_ref):
     h_ref[...] = h
     h_out[0] = h.astype(h_out.dtype)
     c_out[0] = c.astype(c_out.dtype)
+    # save post-activation gates for the backward pass: recomputing them
+    # there puts a second serial matmul (hprev @ W_hh) plus 4
+    # transcendental passes on BPTT's critical path
+    a_out[0] = jnp.concatenate([i, f, g, o], axis=1).astype(a_out.dtype)
 
 
-def _lstm_train_bwd_kernel(xw_ref, hprev_ref, c_ref, cprev_ref, g_ref,
+def _lstm_train_bwd_kernel(a_ref, c_ref, cprev_ref, g_ref,
                            whh_ref, dgates_out, dh_ref, dc_ref):
-    """One reverse step of BPTT; gates are recomputed from the saved
-    h_{t-1} (cheaper than streaming a [T, N, 4H] gate stack)."""
+    """One reverse step of BPTT from the saved gate activations; the
+    serial work per step is the single dh-chain matmul."""
     k = pl.program_id(0)
     T = pl.num_programs(0)
     H = whh_ref.shape[0]
@@ -188,16 +193,13 @@ def _lstm_train_bwd_kernel(xw_ref, hprev_ref, c_ref, cprev_ref, g_ref,
         dc_ref[...] = jnp.zeros_like(dc_ref)
 
     first_step = k == T - 1  # processing t == 0
-    hprev = jnp.where(first_step, 0.0, hprev_ref[0].astype(jnp.float32))
     cprev = jnp.where(first_step, 0.0, cprev_ref[0].astype(jnp.float32))
 
-    gates = xw_ref[0].astype(jnp.float32) + jnp.dot(
-        hprev.astype(whh_ref.dtype), whh_ref[...],
-        preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    acts = a_ref[0].astype(jnp.float32)
+    i = acts[:, :H]
+    f = acts[:, H:2 * H]
+    g = acts[:, 2 * H:3 * H]
+    o = acts[:, 3 * H:]
     c = c_ref[0].astype(jnp.float32)
     tc = jnp.tanh(c)
 
@@ -231,7 +233,7 @@ from functools import partial as _partial
 def _lstm_rec(xw, w_hh, reverse=False, interpret=False):
     """Recurrence over precomputed gate inputs xw [T, N, 4H] (time-major).
     Returns hidden states [T, N, H]."""
-    h, _ = _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret)
+    h, _, _ = _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret)
     return h
 
 
@@ -242,7 +244,7 @@ def _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret):
         index = lambda t: (T - 1 - t, 0, 0)
     else:
         index = lambda t: (t, 0, 0)
-    h, c = pl.pallas_call(
+    h, c, acts = pl.pallas_call(
         _lstm_train_fwd_kernel,
         grid=(T,),
         in_specs=[
@@ -252,10 +254,12 @@ def _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret):
         out_specs=[
             pl.BlockSpec((1, N, H), index),
             pl.BlockSpec((1, N, H), index),
+            pl.BlockSpec((1, N, G), index),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, N, H), xw.dtype),
             jax.ShapeDtypeStruct((T, N, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, N, G), jnp.bfloat16),
         ],
         scratch_shapes=[
             pltpu.VMEM((N, H), jnp.float32),
@@ -263,18 +267,18 @@ def _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret):
         ],
         interpret=interpret,
     )(xw, w_hh)
-    return h, c
+    return h, c, acts
 
 
 def _lstm_rec_fwd(xw, w_hh, reverse, interpret):
-    h, c = _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret)
-    return h, (xw, w_hh, h, c)
+    h, c, acts = _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret)
+    return h, (w_hh, h, c, acts)
 
 
 def _lstm_rec_bwd(reverse, interpret, res, gout):
-    xw, w_hh, h, c = res
-    T, N, G = xw.shape
-    H = G // 4
+    w_hh, h, c, acts = res
+    T, N, H = h.shape
+    G = 4 * H
 
     # BPTT walks recurrence steps last-to-first. For the forward direction
     # that is array index t = T-1-k; with reverse=True the recurrence read
@@ -293,7 +297,6 @@ def _lstm_rec_bwd(reverse, interpret, res, gout):
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, N, G), tidx),
-            pl.BlockSpec((1, N, H), prev_idx),
             pl.BlockSpec((1, N, H), tidx),
             pl.BlockSpec((1, N, H), prev_idx),
             pl.BlockSpec((1, N, H), tidx),
@@ -306,7 +309,7 @@ def _lstm_rec_bwd(reverse, interpret, res, gout):
             pltpu.VMEM((N, H), jnp.float32),
         ],
         interpret=interpret,
-    )(xw, h, c, c, gout, w_hh)
+    )(acts, c, c, gout, w_hh)
 
     # dW_hh = sum_t h_{t-1}^T dgates_t as one big matmul. Operands stay
     # bf16 (f32 accumulation): an f32 x f32 MXU matmul runs at ~1/4 the
@@ -318,7 +321,7 @@ def _lstm_rec_bwd(reverse, interpret, res, gout):
     dW = jnp.einsum(
         "tnh,tng->hg", hprev, dgates,
         preferred_element_type=jnp.float32)
-    return dgates.astype(xw.dtype), dW.astype(w_hh.dtype)
+    return dgates.astype(h.dtype), dW.astype(w_hh.dtype)
 
 
 _lstm_rec.defvjp(_lstm_rec_fwd, _lstm_rec_bwd)

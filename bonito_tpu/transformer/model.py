@@ -158,6 +158,11 @@ class GatedMlp(nn.Layer):
 
 @nn.register
 class TransformerEncoderLayer(nn.Layer):
+    # ask Stack.apply for a layout pin at the stack input: the conv
+    # downsample's output layout otherwise propagates into (and taxes)
+    # all 18 layers — measured 196 -> 153 ms (scripts/prof_sup8.py)
+    pin_input_layout = True
+
     def __init__(self, d_model, nhead, dim_feedforward, deepnorm_alpha,
                  deepnorm_beta, attn_window=None):
         self.kwargs = {

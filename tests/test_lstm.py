@@ -131,11 +131,14 @@ class TestLSTMTrainVJP:
         out_val, out_grads = jax.value_and_grad(loss_pallas)((w_ih, w_hh, b))
         np.testing.assert_allclose(float(out_val), float(ref_val),
                                    rtol=2e-2, atol=1e-2)
+        # atol covers the bf16 rounding of the saved gate activations
+        # (the BPTT kernel stores i/f/g/o in bf16 — the train path is
+        # bf16 AMP and dgates are emitted bf16 anyway)
         for g_ref, g_out, name in zip(ref_grads, out_grads,
                                       ("w_ih", "w_hh", "b")):
             np.testing.assert_allclose(
                 np.asarray(g_out, np.float32), np.asarray(g_ref, np.float32),
-                rtol=0.1, atol=0.02, err_msg=name)
+                rtol=0.1, atol=0.06, err_msg=name)
 
     def test_x_grad_matches(self):
         from bonito_tpu.ops.lstm_pallas import lstm_pallas_train

@@ -293,3 +293,33 @@ class TestFusedAttentionVJP:
         g_ref = jax.grad(loss_ref)(qkv)
         np.testing.assert_allclose(
             np.asarray(g_fused), np.asarray(g_ref), rtol=5e-2, atol=5e-2)
+
+
+class TestLayoutPin:
+    """ops/relayout.pin_layout: identity value + identity gradient
+    (Stack inserts it before TransformerEncoderLayer stacks on TPU)."""
+
+    def test_identity_and_grad(self):
+        from bonito_tpu.ops.relayout import pin_layout, _copy
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 16))
+        np.testing.assert_array_equal(np.asarray(_copy(x, interpret=True)),
+                                      np.asarray(x))
+        # off-TPU pin_layout is a no-op; grads flow as identity
+        y, vjp = jax.vjp(pin_layout, x)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+        (gx,) = vjp(jnp.ones_like(x))
+        np.testing.assert_array_equal(np.asarray(gx), np.ones(x.shape, np.float32))
+
+    def test_stack_opt_in(self):
+        from bonito_tpu import nn as tnn
+        from bonito_tpu.transformer.model import TransformerEncoderLayer
+        layer = {"type": "transformerencoderlayer", "d_model": 16,
+                 "nhead": 2, "dim_feedforward": 32,
+                 "deepnorm_alpha": 1.0, "deepnorm_beta": 1.0,
+                 "attn_window": [3, 4]}
+        stack = tnn.from_dict({"type": "stack", "depth": 2, "layer": layer})
+        assert getattr(stack.sublayers[0], "pin_input_layout", False)
+        p = stack.init_params(jax.random.PRNGKey(1))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16))
+        out = stack.apply(p, x)
+        assert out.shape == x.shape
