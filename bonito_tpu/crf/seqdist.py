@@ -416,10 +416,19 @@ class CTC_CRF:
         emits its cotangent directly in the TCN layout."""
         move = self.prepare_ctc_moves_tcn(moves_tcn, targets)
         N, T, n_minus_1 = move.shape
-        stay = jnp.full((N, T, n_minus_1 + 1), jnp.float32(blank_score))
         lattice_lengths = (
             target_lengths + 1 - self.state_len).astype(jnp.int32)
-        logz = self._lattice_logZ(stay, move, lattice_lengths)
+        import os
+        use_kernel = False
+        if not os.environ.get("BONITO_TPU_NO_PALLAS"):
+            from bonito_tpu.ops import lattice_pallas
+            use_kernel = lattice_pallas.supported(N, T, n_minus_1 + 1)
+        if use_kernel:
+            logz = lattice_pallas.lattice_logZ(
+                move, lattice_lengths, float(blank_score))
+        else:
+            stay = jnp.full((N, T, n_minus_1 + 1), jnp.float32(blank_score))
+            logz = self._lattice_logZ(stay, move, lattice_lengths)
         if normalise_scores:
             logz = logz - self.logZ_tcn(moves_tcn, blank_score)
         loss = -(logz / target_lengths)
