@@ -252,9 +252,25 @@ class Trainer:
             model = self.model
             criterion = self.criterion or self.model.loss
             emits_codes = hasattr(model, "seqdist")
+            # prep-free TCN route (same path the train step uses): no
+            # [N, T, C] scores tensor, no batch-minor transposes
+            use_tcn = (
+                self.criterion is None
+                and hasattr(model, "forward_tcn")
+                and getattr(model, "decode_head", lambda: None)() is not None
+            )
 
             @jax.jit
             def step(params, data, targets, lengths):
+                if use_tcn:
+                    from bonito_tpu.ops.decode import viterbi_decode_tcn
+                    mv, blank = model.forward_tcn(params, data)
+                    losses = model.loss_tcn(mv, blank, targets, lengths)
+                    if not isinstance(losses, dict):
+                        losses = {"loss": losses}
+                    codes = viterbi_decode_tcn(
+                        model.seqdist, mv, blank)["sequence"]
+                    return losses, codes, None
                 scores = model.apply(params, data)
                 losses = criterion(scores, targets, lengths)
                 if not isinstance(losses, dict):
