@@ -50,6 +50,29 @@ class TestMesh:
         out = np.asarray(jax.jit(m.apply)(ps, xs))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
+    def test_sharded_transformer_forward_tcn_matches(self):
+        """sup-family forward_tcn under an 8-way data mesh equals the
+        single-device result (attention + upsample + CRF head + the
+        Stack layout pin all trace under GSPMD)."""
+        from bonito_tpu.transformer.model import Model
+        from bonito_tpu.models import transformer_crf_config
+        cfg = transformer_crf_config(
+            d_model=32, nhead=2, depth=2, dim_feedforward=64,
+            attn_window=(7, 8), state_len=2, conv_stride=4)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(2))
+        x = jax.random.normal(jax.random.PRNGKey(3), (8, 128, 1))
+        mv_ref, blank = jax.jit(m.forward_tcn)(m.params, x)
+        mv_ref = np.asarray(mv_ref)
+
+        mesh = parallel.make_mesh(n_data=8)
+        xs = jax.device_put(x, parallel.batch_sharding(mesh))
+        ps = jax.device_put(m.params, parallel.replicated(mesh))
+        mv, blank2 = jax.jit(m.forward_tcn)(ps, xs)
+        assert blank == blank2
+        np.testing.assert_allclose(np.asarray(mv), mv_ref,
+                                   rtol=2e-5, atol=2e-5)
+
 
 class TestHostShard:
     def test_partition_complete_and_disjoint(self):
