@@ -57,7 +57,20 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
             # prep-free decode layout: the head emits move scores directly
             # in [T, moves, N] with stay = const blank_score, skipping the
             # [N, T, C] scores tensor and its decode-side transposes
-            from bonito_tpu.ops.decode import viterbi_decode_tcn
+            from bonito_tpu.ops.decode import (viterbi_decode_head,
+                                               viterbi_decode_tcn)
+            import os
+            head = (model.forward_tcn_head(params, xc)
+                    if hasattr(model, "forward_tcn_head")
+                    and not os.environ.get("BONITO_TPU_NO_FUSED_HEAD")
+                    else None)
+            if head is not None:
+                # fused-head kernels: the move tensor never touches HBM
+                out = viterbi_decode_head(
+                    model.seqdist, head, qscale=qscale, qbias=qbias)
+                return jnp.stack(
+                    [out["sequence"], out["qstring"], out["moves"]]
+                ).astype(jnp.uint8)
             tcn = (model.forward_tcn(params, xc)
                    if hasattr(model, "forward_tcn") else None)
             if tcn is not None:

@@ -12,8 +12,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from collections import namedtuple
+
 from bonito_tpu import nn
 from bonito_tpu.crf.seqdist import CTC_CRF, Log
+
+# forward_tcn_head's return: encoder output + the CRF head as fused-decode
+# kernel operands (ops.decode_pallas.viterbi_decode_tcn_fused)
+HeadSplit = namedtuple(
+    "HeadSplit",
+    ["h_tcn", "wT", "bias", "act_tanh", "scale", "cmin", "cmax", "blank"])
 
 
 def rnn_encoder(n_base, state_len, insize=1, first_conv_size=4, stride=5,
@@ -168,6 +176,77 @@ class SeqdistModel:
         if clamp is not None:
             moves = clamp[1].apply({}, moves, ctx)
         return jnp.transpose(moves, (1, 2, 0)), float(crf.blank_score)
+
+    def forward_tcn_head(self, params, x, ctx=None):
+        """Fused-head forward split: run the encoder up to (and excluding)
+        the final LinearUpsample (if any) + CRF head, and return the head
+        as combined per-upsample-phase weights for the fused decode
+        kernels (ops.decode_pallas.viterbi_decode_tcn_fused), which
+        compute the move scores in-VMEM instead of streaming the
+        [T, S*nb, N] tensor through HBM:
+
+            HeadSplit(h_tcn [T/U, H, N], wT [U, S*nb, H],
+                      bias [U, S*nb] or None, act_tanh, scale,
+                      cmin, cmax, blank_score)
+
+        or None when the head shape doesn't allow it (no fixed blank, or
+        an unbounded output — the kernels' prob-space exp() relies on the
+        head's tanh (sup v5) or Clamp (hac v4) bounding the scores). The
+        upsample folds exactly into the CRF projection:
+        wcomb[p] = W_up[:, p] @ w_crf."""
+        split = self.decode_head()
+        if split is None:
+            return None
+        items, (crf_name, crf), clamp = split
+        act_tanh = isinstance(crf.activation, nn.Tanh)
+        if crf.activation is not None and not act_tanh:
+            return None
+        if not act_tanh and clamp is None:
+            return None  # unbounded scores
+        cmin = cmax = None
+        if clamp is not None:
+            cmin, cmax = float(clamp[1].min), float(clamp[1].max)
+        upsample = None
+        if items and isinstance(items[-1][1], nn.LinearUpsample):
+            upsample = items.pop()
+        nb = self.seqdist.n_base
+        S = self.seqdist.n_states
+        R = S // nb
+
+        h = x
+        p_enc = params["encoder"]
+        enc_ctx = nn._push_path(ctx, "encoder")
+        for name, layer in items:
+            h = layer.apply(p_enc.get(name, {}), h,
+                            nn._push_path(enc_ctx, name))
+
+        b_, j_, r_ = np.unravel_index(
+            np.arange(nb * nb * R), (nb, nb, R))
+        perm = jnp.asarray((r_ * nb + b_) * nb + j_)
+        p_crf = params["encoder"][crf_name]
+        w = p_crf["w"].astype(jnp.float32)[:, perm]          # [H', Cm]
+        b = p_crf["b"].astype(jnp.float32)[perm] if crf.bias else None
+
+        if upsample is None:
+            wT = w.T[None]                                   # [1, Cm, H]
+            bias = None if b is None else b[None]
+        else:
+            up_name, up = upsample
+            U, H = up.scale_factor, up.d_model
+            p_up = params["encoder"][up_name]
+            w_up = p_up["w"].astype(jnp.float32).reshape(H, U, H)
+            b_up = p_up["b"].astype(jnp.float32).reshape(U, H)
+            # wcomb[p] = W_up[:, p] @ w; transpose to the kernels' [Cm, H]
+            wT = jnp.einsum("hpg,gc->pch", w_up, w)
+            bias = b_up @ w
+            if b is not None:
+                bias = bias + b[None]
+
+        scale = float(crf.scale) if crf.scale is not None else 1.0
+        h_tcn = jnp.transpose(h.astype(self.compute_dtype), (1, 2, 0))
+        return HeadSplit(h_tcn, wT.astype(self.compute_dtype), bias,
+                         act_tanh, scale, cmin, cmax,
+                         float(crf.blank_score))
 
     # -- decoding -------------------------------------------------------------------
 

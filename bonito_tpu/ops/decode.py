@@ -87,6 +87,60 @@ def tcn_to_scores(seqdist, moves_tcn, blank_score):
     return jnp.concatenate([blanks, mv], axis=3).reshape(N, T, S * (nb + 1))
 
 
+def tcn_from_head(h_tcn, wT, bias, act_tanh=True, scale=1.0, cmin=None,
+                  cmax=None):
+    """Materialise the [T, Cm, N] move tensor from the fused-head split
+    (the CPU/test fallback and the fused kernels' parity oracle)."""
+    z = jnp.einsum("pch,thn->tpcn", wT.astype(h_tcn.dtype), h_tcn,
+                   preferred_element_type=jnp.float32)
+    if bias is not None:
+        z = z + bias.astype(jnp.float32)[None, :, :, None]
+    if act_tanh:
+        z = jnp.tanh(z)
+    if scale != 1.0:
+        z = z * scale
+    if cmin is not None:
+        z = jnp.clip(z, cmin, cmax)
+    Th, U, Cm, N = z.shape
+    return z.reshape(Th * U, Cm, N)
+
+
+def viterbi_decode_head(seqdist, head, qscale=1.0, qbias=0.0):
+    """Decode from Model.forward_tcn_head's HeadSplit: the Pallas kernels
+    compute the CRF head matmul in-VMEM, so the [T, S*nb, N] move tensor
+    (the basecall step's largest HBM stream) is never materialised.
+    Falls back to materialising it for the TCN path."""
+    import os
+    Th, H, N = head.h_tcn.shape
+    if not os.environ.get("BONITO_TPU_NO_PALLAS"):
+        from bonito_tpu.ops import decode_pallas
+        if decode_pallas.supported_tcn_fused(
+                seqdist, head.h_tcn, head.wT, head.blank):
+            sub = int(os.environ.get("BONITO_TPU_DECODE_SUB_BATCH", 128))
+
+            def run(h):
+                return decode_pallas.viterbi_decode_tcn_fused(
+                    seqdist, h, head.wT, head.bias, head.blank,
+                    scale=head.scale, act_tanh=head.act_tanh,
+                    cmin=head.cmin, cmax=head.cmax,
+                    qscale=qscale, qbias=qbias)
+
+            if N > sub:
+                parts = [
+                    run(jax.lax.slice_in_dim(
+                        head.h_tcn, i, min(i + sub, N), axis=2))
+                    for i in range(0, N, sub)
+                ]
+                return {k: jnp.concatenate([p[k] for p in parts])
+                        for k in parts[0]}
+            return run(head.h_tcn)
+    return viterbi_decode_tcn(
+        seqdist,
+        tcn_from_head(head.h_tcn, head.wT, head.bias, head.act_tanh,
+                      head.scale, head.cmin, head.cmax),
+        head.blank, qscale=qscale, qbias=qbias)
+
+
 def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
                        qbias=0.0):
     """Decode from the prep-free [T, moves, N] layout (Model.forward_tcn).

@@ -299,6 +299,318 @@ def _bwd_kernel_tcn(nb, R, K, Tlim, blank, moves_ref, min_ref, choice_ref,
     state_ref[...] = onehot
 
 
+# ---------------------------------------------------------------------------
+# Fused-head TCN decode: the CRF head matmul runs INSIDE the kernels.
+#
+# The [T, S*nb, N] move tensor is the largest stream in the basecall step
+# (sup: ~2.1 GB bf16, written by the XLA head then read by BOTH decode
+# passes). Here the kernels read the encoder output h [T/U, H, N] instead
+# (~256 MB) and compute each step's move scores on the MXU from a
+# VMEM-pinned combined weight:  mv_p = tanh(w_p^T @ h_t + b_p) * scale,
+# where p indexes the LinearUpsample phase (the upsample folds exactly
+# into the CRF projection: wcomb[p] = W_up[p] @ w_crf). The matmul is
+# MXU work overlapped with the VPU decode math, so the ~3x stream
+# reduction is nearly free; the grid also shrinks to T/U programs.
+# The tanh bound keeps exp() safe on padded h rows, whose choices are
+# zeroed explicitly (padding is garbage here, not -inf moves).
+# ---------------------------------------------------------------------------
+
+def _head_mv(wT_ref, bias_ref, h, p, head_ops):
+    """[Cm, N] f32 move scores for upsample phase p from h [H, N].
+    head_ops = (act_tanh, scale, cmin, cmax) applied in the
+    LinearCRFEncoder order (activation, scale, then Clamp): sup v5 heads
+    are tanh*5, hac v4 heads are a bare linear clamped to +-5 — either
+    way the result is bounded, which keeps the prob-space exp() safe."""
+    act_tanh, scale, cmin, cmax = head_ops
+    z = jax.lax.dot_general(
+        wT_ref[p].astype(h.dtype), h,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    z = z + bias_ref[p]
+    if act_tanh:
+        z = jnp.tanh(z)
+    if scale != 1.0:
+        z = z * scale
+    if cmin is not None:
+        z = jnp.clip(z, cmin, cmax)
+    return z
+
+
+def _fwd_kernel_tcn_fused(nb, R, K, U, T, blank, head_ops, h_ref, wT_ref,
+                          bias_ref, min_out, choice_out, c_out, a_out,
+                          amax_out, a_ref, c_ref, amax_ref):
+    t = pl.program_id(0)
+    S, N = a_ref.shape
+    P_stay = float(np.exp(blank))
+
+    @pl.when(t == 0)
+    def _():
+        a_ref[...] = jnp.ones_like(a_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+        amax_ref[...] = jnp.zeros_like(amax_ref)
+
+    A = a_ref[...]
+    c = c_ref[...]
+    a_max = amax_ref[...]
+
+    for k in range(K):
+        h = h_ref[k]
+        for p in range(U):
+            row = k * U + p
+            mv = _head_mv(wT_ref, bias_ref, h, p, head_ops)
+            moves = mv.reshape(nb, nb, R, N)
+
+            P_move = jnp.exp(moves)
+            Av = A.reshape(nb, R, N)
+            move_in = jnp.sum(P_move * Av[None], axis=1)
+            move_in = jnp.swapaxes(move_in, 0, 1).reshape(S, N)
+            A_raw = P_stay * A + move_in
+            m = jnp.max(A_raw, axis=0, keepdims=True)
+            valid = (t * K + k) * U + p < T
+            inv = 1.0 / m
+            A = jnp.where(valid, A_raw * inv, A)
+            c = jnp.where(valid, c + jnp.log(m), c)
+            min_out[row] = move_in * inv
+            c_out[row] = jnp.broadcast_to(c[:1], c_out.shape[1:])
+
+            ax_view = a_max.reshape(nb, R, N)
+            cand = moves + ax_view[None]
+            jbest = jnp.argmax(cand, axis=1)
+            mbest = jnp.max(cand, axis=1)
+            jbest = jnp.swapaxes(jbest, 0, 1).reshape(S, N)
+            mbest = jnp.swapaxes(mbest, 0, 1).reshape(S, N)
+            stay_m = blank + a_max
+            is_move = mbest > stay_m
+            a_max = jnp.where(valid, jnp.where(is_move, mbest, stay_m),
+                              a_max)
+            # padded rows carry real-looking scores, so zero their
+            # choices: the traceback must read them as stays
+            choice_out[row] = jnp.where(
+                valid & is_move, (jbest + 1).astype(jnp.float32), 0.0
+            ).astype(choice_out.dtype)
+
+    a_ref[...] = A
+    c_ref[...] = c
+    amax_ref[...] = a_max
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        a_out[...] = A
+        amax_out[...] = a_max
+
+
+def _bwd_kernel_tcn_fused(nb, R, K, U, Tlim, blank, head_ops, h_ref, wT_ref,
+                          bias_ref, min_ref, choice_ref, c_ref, end_ref,
+                          lz_ref, emit_out, b_ref, d_ref, state_ref):
+    t = pl.program_id(0)
+    S, N = b_ref.shape
+    P_stay = float(np.exp(blank))
+
+    @pl.when(t == 0)
+    def _():
+        b_ref[...] = jnp.ones_like(b_ref)
+        d_ref[...] = jnp.zeros_like(d_ref)
+        state_ref[...] = end_ref[...]
+
+    B = b_ref[...]
+    d = d_ref[...]
+    onehot = state_ref[...]
+    srow = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
+    brow = jax.lax.broadcasted_iota(
+        jnp.int32, (nb, N), 0).astype(jnp.float32)
+
+    G = pl.num_programs(0)
+    for k in range(K - 1, -1, -1):
+        h = h_ref[k]
+        for p in range(U - 1, -1, -1):
+            row = k * U + p
+            moves = _head_mv(wT_ref, bias_ref, h, p, head_ops).reshape(
+                nb, nb, R, N)
+            P_move = jnp.exp(moves)
+
+            choice = jnp.sum(
+                choice_ref[row].astype(jnp.float32) * onehot, axis=0)
+            state_idx = jnp.sum(srow * onehot, axis=0)
+            is_move = choice > 0.5
+            base = jnp.mod(state_idx, nb) + 1.0
+            j = jnp.maximum(choice - 1.0, 0.0)
+            prev_idx = jnp.where(
+                is_move, jnp.floor(state_idx / nb) + j * R, state_idx)
+            onehot = (srow == prev_idx[None]).astype(jnp.float32)
+
+            v = min_ref[row] * B
+            bmass = jnp.sum(v.reshape(R, nb, N), axis=0)
+            corr = jnp.exp(c_ref[row][:1] + d[:1] - lz_ref[:1])
+            chosen = jnp.sum(
+                bmass * (brow == (base - 1.0)[None]).astype(jnp.float32),
+                axis=0)
+            prob = chosen * corr[0]
+
+            code = jnp.where(is_move, base, 0.0)
+            emit_out[row] = jnp.concatenate([
+                code[None], prob[None],
+                jnp.zeros((emit_out.shape[1] - 2, N), jnp.float32)], axis=0)
+
+            valid = ((G - 1 - t) * K + k) * U + p < Tlim
+            Bv = jnp.swapaxes(B.reshape(R, nb, N), 0, 1)
+            move_out = jnp.sum(P_move * Bv[:, None], axis=0)
+            B_raw = P_stay * B + move_out.reshape(S, N)
+            n = jnp.max(B_raw, axis=0, keepdims=True)
+            B = jnp.where(valid, B_raw * (1.0 / n), B)
+            d = jnp.where(valid, d + jnp.log(n), d)
+
+    b_ref[...] = B
+    d_ref[...] = d
+    state_ref[...] = onehot
+
+
+def _block_k_fused(S, N, nb, U, H):
+    """h-frames per grid step. Streams per h-frame: h bf16 [H, N] in plus
+    U output rows (move-in f32 + choices bf16 + c f32), double-buffered;
+    pinned weights (wT bf16, bias f32) and ~14 [S, N] f32 body planes
+    (incl. the mv/P_move tiles) come off the top of the 100 MB budget."""
+    import os
+    env = os.environ.get("BONITO_TPU_DECODE_BLOCK_K")
+    if env:
+        return int(env)
+    eff_n = -(-N // 128) * 128
+    plane = S * eff_n
+    pinned = U * (nb * S) * H * 2 + U * (nb * S) * eff_n * 4
+    avail = (80 << 20) - 14 * plane * 4 - pinned
+    per_k = 2 * (H * eff_n * 2 + U * (plane * 4 + plane * 2 + 8 * eff_n * 4))
+    return max(1, min(2, avail // max(per_k, 1)))
+
+
+def supported_tcn_fused(seqdist, h_tcn, wT, blank_score, require_tpu=True):
+    Th, H, N = h_tcn.shape
+    U, Cm, Hw = wT.shape
+    S = seqdist.n_states
+    R = S // max(seqdist.n_base, 1)
+    return (
+        blank_score is not None
+        and seqdist.n_base == 4 and S % 8 == 0 and R % 8 == 0 and N % 8 == 0
+        and Cm == S * seqdist.n_base and Hw == H and H % 8 == 0
+        and (on_tpu() or not require_tpu)
+    )
+
+
+@partial(jax.jit, static_argnames=("seqdist", "blank_score", "scale",
+                                   "act_tanh", "cmin", "cmax",
+                                   "qscale", "qbias", "interpret"))
+def viterbi_decode_tcn_fused(seqdist, h_tcn, wT, bias, blank_score,
+                             scale=1.0, act_tanh=True, cmin=None, cmax=None,
+                             qscale=1.0, qbias=0.0, interpret=False):
+    """Fused-head decode. h_tcn: [T/U, H, N] encoder output (time-major,
+    batch on lanes); wT: [U, Cm, H] combined head weight per upsample
+    phase, rows in the TCN (b, j, r) order; bias: [U, Cm] or None.
+    Emits the same contract as viterbi_decode_tcn for
+    T = U * T_h output frames."""
+    nb = seqdist.n_base
+    S = seqdist.n_states
+    R = S // nb
+    Th, H, N = h_tcn.shape
+    U, Cm, _ = wT.shape
+    T = U * Th
+    blank = float(blank_score)
+    scale = float(scale) if scale is not None else 1.0
+    head_ops = (bool(act_tanh), scale,
+                None if cmin is None else float(cmin),
+                None if cmax is None else float(cmax))
+
+    if bias is None:
+        bias = jnp.zeros((U, Cm), jnp.float32)
+    bias_bc = jnp.broadcast_to(
+        bias.astype(jnp.float32)[:, :, None], (U, Cm, N))
+
+    K = _block_k_fused(S, N, nb, U, H)
+    pad = (-Th) % K
+    if pad:
+        h_tcn = jnp.concatenate(
+            [h_tcn, jnp.zeros((pad, H, N), h_tcn.dtype)], axis=0)
+    Thp = Th + pad
+    G = Thp // K
+    Tp = U * Thp
+    wT = wT.astype(h_tcn.dtype)
+
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    min_stack, choices, c_stack, A_T, amax_T = pl.pallas_call(
+        partial(_fwd_kernel_tcn_fused, nb, R, K, U, T, blank, head_ops),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((K, H, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((U, Cm, H), lambda g: (0, 0, 0)),
+            pl.BlockSpec((U, Cm, N), lambda g: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((U * K, S, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((U * K, S, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((U * K, 8, N), lambda g: (g, 0, 0)),
+            pl.BlockSpec((S, N), lambda g: (0, 0)),
+            pl.BlockSpec((S, N), lambda g: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, S, N), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, S, N), jnp.bfloat16),
+            jax.ShapeDtypeStruct((Tp, 8, N), jnp.float32),
+            jax.ShapeDtypeStruct((S, N), jnp.float32),
+            jax.ShapeDtypeStruct((S, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
+            pltpu.VMEM((S, N), jnp.float32),
+        ],
+        compiler_params=vmem,
+        interpret=interpret,
+    )(h_tcn, wT, bias_bc)
+
+    c_T = c_stack[Tp - 1, 0]
+    logZ = jnp.log(jnp.sum(A_T, axis=0)) + c_T
+    end_state = jnp.argmax(amax_T, axis=0)
+    end_onehot = jax.nn.one_hot(end_state, S, axis=0, dtype=jnp.float32)
+    lz_rows = jnp.broadcast_to(logZ[None], (8, N))
+
+    emit = pl.pallas_call(
+        partial(_bwd_kernel_tcn_fused, nb, R, K, U, T, blank, head_ops),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((K, H, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((U, Cm, H), lambda g: (0, 0, 0)),
+            pl.BlockSpec((U, Cm, N), lambda g: (0, 0, 0)),
+            pl.BlockSpec((U * K, S, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((U * K, S, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((U * K, 8, N), lambda g: (G - 1 - g, 0, 0)),
+            pl.BlockSpec((S, N), lambda g: (0, 0)),
+            pl.BlockSpec((8, N), lambda g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((U * K, 8, N), lambda g: (G - 1 - g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, 8, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
+            pltpu.VMEM((S, N), jnp.float32),
+        ],
+        compiler_params=vmem,
+        interpret=interpret,
+    )(h_tcn, wT, bias_bc, min_stack, choices, c_stack, end_onehot, lz_rows)
+
+    code = emit[:T, 0, :].T
+    prob = emit[:T, 1, :].T
+
+    is_move = code > 0.5
+    err = jnp.clip(1.0 - prob, 1e-4, 1.0)
+    q = -10.0 * jnp.log10(err) * qscale + qbias
+    qchar = (jnp.round(q) + 33.0).astype(jnp.uint8)
+
+    sequence = jnp.where(is_move, code, 0.0).astype(jnp.uint8)
+    qstring = jnp.where(is_move, qchar, 0).astype(jnp.uint8)
+    return {
+        "sequence": sequence,
+        "qstring": qstring,
+        "moves": is_move.astype(jnp.uint8),
+    }
+
+
 def supported_tcn(seqdist, moves_tcn, blank_score, require_tpu=True):
     T, Cm, N = moves_tcn.shape
     S = seqdist.n_states

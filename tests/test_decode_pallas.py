@@ -157,3 +157,108 @@ class TestTCNDecode:
         x = jax.random.normal(jax.random.PRNGKey(7), (2, 250, 1))
         mv, blank = m.forward_tcn(m.params, x)
         assert mv.shape[0] == 50
+
+
+class TestFusedHeadDecode:
+    """Fused-head kernels: the CRF head matmul runs inside the decode
+    grid (the [T, S*nb, N] move tensor never materialises)."""
+
+    @pytest.mark.parametrize("U,Th", [(1, 24), (1, 25), (2, 12), (2, 13)])
+    def test_kernels_match_scan(self, seqdist, U, Th):
+        from bonito_tpu.ops.decode_pallas import (
+            viterbi_decode_tcn_fused, supported_tcn_fused)
+        from bonito_tpu.ops.decode import (
+            tcn_from_head, tcn_to_scores, viterbi_decode_scan)
+        nb, S = seqdist.n_base, seqdist.n_states
+        Cm = S * nb
+        H, N = 32, 8
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+        h = jax.random.normal(k1, (Th, H, N), jnp.float32)
+        wT = jax.random.normal(k2, (U, Cm, H), jnp.float32) / np.sqrt(H)
+        bias = 0.3 * jax.random.normal(k3, (U, Cm), jnp.float32)
+        blank, scale = 2.0, 5.0
+        assert supported_tcn_fused(seqdist, h, wT, blank, require_tpu=False)
+        out = viterbi_decode_tcn_fused(
+            seqdist, h, wT, bias, blank, scale=scale,
+            qscale=1.05, qbias=0.2, interpret=True)
+        mv = tcn_from_head(h, wT, bias, True, scale)
+        ref = viterbi_decode_scan(
+            seqdist, tcn_to_scores(seqdist, mv, blank),
+            qscale=1.05, qbias=0.2)
+        np.testing.assert_array_equal(
+            np.asarray(out["moves"]), np.asarray(ref["moves"]))
+        np.testing.assert_array_equal(
+            np.asarray(out["sequence"]), np.asarray(ref["sequence"]))
+        dq = (np.asarray(out["qstring"], np.int32)
+              - np.asarray(ref["qstring"], np.int32))
+        assert np.abs(dq).max() <= 1
+
+    def test_clamped_linear_head(self, seqdist):
+        """hac v4-style head: bare linear (no activation) + Clamp(+-5)."""
+        from bonito_tpu.ops.decode_pallas import viterbi_decode_tcn_fused
+        from bonito_tpu.ops.decode import (
+            tcn_from_head, tcn_to_scores, viterbi_decode_scan)
+        nb, S = seqdist.n_base, seqdist.n_states
+        h = jax.random.normal(jax.random.PRNGKey(12), (10, 16, 8))
+        wT = 2.0 * jax.random.normal(
+            jax.random.PRNGKey(13), (1, S * nb, 16))
+        out = viterbi_decode_tcn_fused(
+            seqdist, h, wT, None, 2.0, scale=1.0, act_tanh=False,
+            cmin=-5.0, cmax=5.0, interpret=True)
+        mv = tcn_from_head(h, wT, None, False, 1.0, -5.0, 5.0)
+        ref = viterbi_decode_scan(
+            seqdist, tcn_to_scores(seqdist, mv, 2.0))
+        np.testing.assert_array_equal(
+            np.asarray(out["sequence"]), np.asarray(ref["sequence"]))
+
+    def test_lstm_model_head_split_matches_forward_tcn(self):
+        """forward_tcn_head's split (hac-style: linear head + clamp)
+        must rebuild forward_tcn's move tensor exactly."""
+        from bonito_tpu.ops.decode import tcn_from_head
+        m = TestTCNDecode._model(TestTCNDecode())
+        x = jax.random.normal(jax.random.PRNGKey(14), (2, 250, 1))
+        head = m.forward_tcn_head(m.params, x)
+        assert head is not None
+        assert not head.act_tanh and head.cmin == -5.0
+        mv_ref, blank_ref = m.forward_tcn(m.params, x)
+        assert head.blank == blank_ref
+        np.testing.assert_allclose(
+            np.asarray(tcn_from_head(
+                head.h_tcn, head.wT, head.bias, head.act_tanh,
+                head.scale, head.cmin, head.cmax), np.float32),
+            np.asarray(mv_ref, np.float32), rtol=1e-5, atol=1e-5)
+
+    def test_transformer_upsample_folding(self):
+        """U=2 folding: wcomb[p] = W_up[:, p] @ w_crf must reproduce the
+        upsample->head path of forward_tcn."""
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+        from bonito_tpu.ops.decode import tcn_from_head
+        cfg = transformer_crf_config(
+            d_model=32, nhead=2, depth=1, dim_feedforward=64,
+            attn_window=(7, 8), state_len=3, conv_stride=12, upsample=2)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(15))
+        x = jax.random.normal(jax.random.PRNGKey(16), (2, 240, 1))
+        head = m.forward_tcn_head(m.params, x)
+        assert head is not None
+        assert head.wT.shape[0] == 2 and head.act_tanh
+        mv_ref, blank_ref = m.forward_tcn(m.params, x)
+        assert mv_ref.shape[0] == 2 * head.h_tcn.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(tcn_from_head(
+                head.h_tcn, head.wT, head.bias, head.act_tanh,
+                head.scale, head.cmin, head.cmax), np.float32),
+            np.asarray(mv_ref, np.float32), rtol=2e-5, atol=2e-5)
+
+    def test_decode_head_dispatch_matches_full_path(self):
+        from bonito_tpu.ops import decode
+        m = TestTCNDecode._model(TestTCNDecode())
+        x = jax.random.normal(jax.random.PRNGKey(17), (2, 250, 1))
+        full = decode.viterbi_decode(m.seqdist, m.forward(x))
+        head = m.forward_tcn_head(m.params, x)
+        out = decode.viterbi_decode_head(m.seqdist, head)
+        np.testing.assert_array_equal(
+            np.asarray(out["sequence"]), np.asarray(full["sequence"]))
+        np.testing.assert_array_equal(
+            np.asarray(out["qstring"]), np.asarray(full["qstring"]))
