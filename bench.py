@@ -102,11 +102,16 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         model.quantize()
     chunksize -= chunksize % model.stride
 
-    from bonito_tpu.ops.decode import viterbi_decode_tcn
+    from bonito_tpu.ops.decode import viterbi_decode_tcn, viterbi_decode_head
 
     @jax.jit
     def step(params, x):
         xc = x.astype(jnp.bfloat16)
+        if (hasattr(model, "forward_tcn_head")
+                and os.environ.get("BENCH_FUSED_HEAD", "1") not in ("", "0")):
+            head = model.forward_tcn_head(params, xc)
+            if head is not None:
+                return viterbi_decode_head(model.seqdist, head)["sequence"]
         tcn = (model.forward_tcn(params, xc)
                if hasattr(model, "forward_tcn") else None)
         if tcn is not None:

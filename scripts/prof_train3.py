@@ -55,14 +55,15 @@ def conv_fwd(p, x):
         h = l.apply(p.get(n, {}), h, None)
     return h
 
-def rest_fwd(p, h):
+def rest_fwd(p, h, train=False):
+    ctx = {"train": True, "updates": {}} if train else None
     seen = False
     for n, l in items:
         is_lstm = "lstm" in type(l).__name__.lower()
         if is_lstm:
             seen = True
         if seen:
-            h = l.apply(p.get(n, {}), h, None)
+            h = l.apply(p.get(n, {}), h, ctx)
     return h
 
 timeit("conv_fwd", jax.jit(lambda p, x: conv_fwd(p, x)
@@ -75,8 +76,10 @@ print("h0", h0.shape, h0.dtype, flush=True)
 
 timeit("rest_fwd", jax.jit(lambda p, h: rest_fwd(p, h)
                            .astype(jnp.float32).sum()), bp, h0)
+timeit("rest_fwd_train", jax.jit(lambda p, h: rest_fwd(p, h, True)
+                           .astype(jnp.float32).sum()), bp, h0)
 timeit("rest_fwd_bwd", jax.jit(lambda p, h: optax.global_norm(jax.grad(
-    lambda q: rest_fwd(q, h).astype(jnp.float32).sum())(p))), bp, h0)
+    lambda q: rest_fwd(q, h, True).astype(jnp.float32).sum())(p))), bp, h0)
 
 # loss pieces from moves
 mv = jax.block_until_ready(jax.jit(
