@@ -315,18 +315,21 @@ def _bwd_kernel_tcn(nb, R, K, Tlim, blank, moves_ref, min_ref, choice_ref,
 # zeroed explicitly (padding is garbage here, not -inf moves).
 # ---------------------------------------------------------------------------
 
-def _head_mv(wT_ref, bias_ref, h, p, head_ops):
-    """[Cm, N] f32 move scores for upsample phase p from h [H, N].
-    head_ops = (act_tanh, scale, cmin, cmax) applied in the
-    LinearCRFEncoder order (activation, scale, then Clamp): sup v5 heads
-    are tanh*5, hac v4 heads are a bare linear clamped to +-5 — either
-    way the result is bounded, which keeps the prob-space exp() safe."""
+def _head_mv(w_p, b_p, h, head_ops):
+    """[Cm, N] f32 move scores for one upsample phase from h [H, N].
+    w_p/b_p are VALUES loaded once per program (reading refs inside the
+    unrolled K*U loop materialises a fresh VMEM copy per iteration —
+    see DESIGN.md negative results). head_ops = (act_tanh, scale, cmin,
+    cmax) applied in the LinearCRFEncoder order (activation, scale, then
+    Clamp): sup v5 heads are tanh*5, hac v4 heads are a bare linear
+    clamped to +-5 — either way the result is bounded, which keeps the
+    prob-space exp() safe."""
     act_tanh, scale, cmin, cmax = head_ops
     z = jax.lax.dot_general(
-        wT_ref[p].astype(h.dtype), h,
+        w_p.astype(h.dtype), h,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    z = z + bias_ref[p]
+    z = z + b_p
     if act_tanh:
         z = jnp.tanh(z)
     if scale != 1.0:
@@ -352,12 +355,14 @@ def _fwd_kernel_tcn_fused(nb, R, K, U, T, blank, head_ops, h_ref, wT_ref,
     A = a_ref[...]
     c = c_ref[...]
     a_max = amax_ref[...]
+    w_phases = [wT_ref[p] for p in range(U)]
+    b_phases = [bias_ref[p] for p in range(U)]
 
     for k in range(K):
         h = h_ref[k]
         for p in range(U):
             row = k * U + p
-            mv = _head_mv(wT_ref, bias_ref, h, p, head_ops)
+            mv = _head_mv(w_phases[p], b_phases[p], h, head_ops)
             moves = mv.reshape(nb, nb, R, N)
 
             P_move = jnp.exp(moves)
@@ -418,13 +423,15 @@ def _bwd_kernel_tcn_fused(nb, R, K, U, Tlim, blank, head_ops, h_ref, wT_ref,
     srow = jax.lax.broadcasted_iota(jnp.int32, (S, N), 0).astype(jnp.float32)
     brow = jax.lax.broadcasted_iota(
         jnp.int32, (nb, N), 0).astype(jnp.float32)
+    w_phases = [wT_ref[p] for p in range(U)]
+    b_phases = [bias_ref[p] for p in range(U)]
 
     G = pl.num_programs(0)
     for k in range(K - 1, -1, -1):
         h = h_ref[k]
         for p in range(U - 1, -1, -1):
             row = k * U + p
-            moves = _head_mv(wT_ref, bias_ref, h, p, head_ops).reshape(
+            moves = _head_mv(w_phases[p], b_phases[p], h, head_ops).reshape(
                 nb, nb, R, N)
             P_move = jnp.exp(moves)
 
