@@ -375,7 +375,7 @@ def _fwd_kernel_tcn_fused(nb, R, K, U, T, blank, head_ops, h_ref, wT_ref,
             inv = 1.0 / m
             A = jnp.where(valid, A_raw * inv, A)
             c = jnp.where(valid, c + jnp.log(m), c)
-            min_out[row] = move_in * inv
+            min_out[row] = (move_in * inv).astype(min_out.dtype)
             c_out[row] = jnp.broadcast_to(c[:1], c_out.shape[1:])
 
             ax_view = a_max.reshape(nb, R, N)
@@ -445,7 +445,7 @@ def _bwd_kernel_tcn_fused(nb, R, K, U, Tlim, blank, head_ops, h_ref, wT_ref,
                 is_move, jnp.floor(state_idx / nb) + j * R, state_idx)
             onehot = (srow == prev_idx[None]).astype(jnp.float32)
 
-            v = min_ref[row] * B
+            v = min_ref[row].astype(jnp.float32) * B
             bmass = jnp.sum(v.reshape(R, nb, N), axis=0)
             corr = jnp.exp(c_ref[row][:1] + d[:1] - lz_ref[:1])
             chosen = jnp.sum(
@@ -539,6 +539,13 @@ def viterbi_decode_tcn_fused(seqdist, h_tcn, wT, bias, blank_score,
     Tp = U * Thp
     wT = wT.astype(h_tcn.dtype)
 
+    # the move-in mass stream is the largest decode output; bf16 halves
+    # it at a <=1q posterior cost (A/B knob — f32 default, see DESIGN.md)
+    import os
+    min_dtype = (jnp.bfloat16
+                 if os.environ.get("BONITO_TPU_DECODE_MIN_BF16") == "1"
+                 else jnp.float32)
+
     vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     min_stack, choices, c_stack, A_T, amax_T = pl.pallas_call(
         partial(_fwd_kernel_tcn_fused, nb, R, K, U, T, blank, head_ops),
@@ -556,7 +563,7 @@ def viterbi_decode_tcn_fused(seqdist, h_tcn, wT, bias, blank_score,
             pl.BlockSpec((S, N), lambda g: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, S, N), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, S, N), min_dtype),
             jax.ShapeDtypeStruct((Tp, S, N), jnp.bfloat16),
             jax.ShapeDtypeStruct((Tp, 8, N), jnp.float32),
             jax.ShapeDtypeStruct((S, N), jnp.float32),
