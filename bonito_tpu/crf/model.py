@@ -90,11 +90,14 @@ class SeqdistModel:
         return self
 
     def quantize(self):
-        """int8-quantise the recurrent weights of every LSTM layer
-        (koi update_graph(quantize=True) equivalent,
-        reference: bonito/crf/model.py:240-246)."""
+        """int8-quantise every layer that exposes quantize_params: LSTM
+        cells (koi update_graph(quantize=True) equivalent, reference:
+        bonito/crf/model.py:240-246) and, for the transformer family,
+        the attention/MLP projections. Opt-in via --quantize; the CRF
+        head and upsample stay in the compute dtype (they feed the
+        decode kernels and the fused-head weight folding)."""
         def walk_params(layer, params):
-            if isinstance(layer, nn.LSTM):
+            if hasattr(layer, "quantize_params"):
                 return layer.quantize_params(params)
             out = dict(params)
             for name, sub in layer.sublayer_items():

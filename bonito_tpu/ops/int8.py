@@ -1,0 +1,31 @@
+"""
+int8 matmul helpers for opt-in quantised inference.
+
+Weights are per-output-channel symmetric int8 (quantize_cols, shared
+with the LSTM cell); activations get a dynamic per-token scale so the
+matmul runs on the MXU's int8 path (~2x the bf16 rate on v5e). Mirrors
+the role of koi's quantized graphs behind the reference's --quantize
+flag (bonito/util.py:292-296) — the default path stays bf16.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from bonito_tpu.ops.lstm_pallas import quantize_cols  # noqa: F401 (re-export)
+
+
+def matmul_int8(x, w_q, w_scales, out_dtype=None):
+    """x [..., C] @ dequant(w_q [C, F]) with per-token activation scales.
+
+    Returns x @ (w_q * w_scales) computed as an int8 MXU matmul with an
+    f32 rescale; out_dtype defaults to x.dtype."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-8) / 127.0
+    x_q = jnp.round(xf / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * w_scales
+    return y.astype(out_dtype or x.dtype)

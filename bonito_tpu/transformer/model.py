@@ -94,10 +94,26 @@ class MultiHeadAttention(nn.Layer):
             p["out_b"] = jnp.zeros((self.d_model,))
         return p
 
+    def quantize_params(self, params):
+        """Per-output-channel int8 qkv/out projections (opt-in via the
+        --quantize flag; attention itself stays bf16)."""
+        from bonito_tpu.ops.int8 import quantize_cols
+        out = dict(params)
+        for name in ("wqkv", "out_w"):
+            w_q, w_s = quantize_cols(out.pop(name))
+            out[name + "_q"], out[name + "_s"] = w_q, w_s
+        return out
+
+    def _project(self, params, name, x):
+        if name + "_q" in params:
+            from bonito_tpu.ops.int8 import matmul_int8
+            return matmul_int8(x, params[name + "_q"], params[name + "_s"])
+        return x @ params[name].astype(x.dtype)
+
     def apply(self, params, x, ctx=None):
         import os
         N, T, _ = x.shape
-        qkv = x @ params["wqkv"].astype(x.dtype)
+        qkv = self._project(params, "wqkv", x)
         if self.qkv_bias:
             qkv = qkv + params["qkv_b"].astype(x.dtype)
         qkv = qkv.reshape(N, T, 3, self.nhead, self.head_dim)
@@ -115,7 +131,7 @@ class MultiHeadAttention(nn.Layer):
                          else ap.fused_rotary_window_attention)
                 o = fused(qkv, cos, sin, self.attn_window)
                 o = o.reshape(N, T, self.d_model)
-                o = o @ params["out_w"].astype(x.dtype)
+                o = self._project(params, "out_w", o)
                 if self.out_bias:
                     o = o + params["out_b"].astype(x.dtype)
                 return o
@@ -128,7 +144,7 @@ class MultiHeadAttention(nn.Layer):
         o = attend(q, k, v, window=self.attn_window,
                    differentiable=train)
         o = jnp.swapaxes(o, 1, 2).reshape(N, T, self.d_model)
-        o = o @ params["out_w"].astype(x.dtype)
+        o = self._project(params, "out_w", o)
         if self.out_bias:
             o = o + params["out_b"].astype(x.dtype)
         return o
@@ -149,7 +165,21 @@ class GatedMlp(nn.Layer):
             "fc2": nn.lecun_normal(k2, (self.hidden, self.d_model)),
         }
 
+    def quantize_params(self, params):
+        from bonito_tpu.ops.int8 import quantize_cols
+        out = dict(params)
+        for name in ("fc1", "fc2"):
+            w_q, w_s = quantize_cols(out.pop(name))
+            out[name + "_q"], out[name + "_s"] = w_q, w_s
+        return out
+
     def apply(self, params, x, ctx=None):
+        if "fc1_q" in params:
+            from bonito_tpu.ops.int8 import matmul_int8
+            y = matmul_int8(x, params["fc1_q"], params["fc1_s"])
+            y, gate = jnp.split(y, 2, axis=-1)
+            y = y * jax.nn.silu(gate)
+            return matmul_int8(y, params["fc2_q"], params["fc2_s"])
         y = x @ params["fc1"].astype(x.dtype)
         y, gate = jnp.split(y, 2, axis=-1)
         y = y * jax.nn.silu(gate)

@@ -323,3 +323,51 @@ class TestLayoutPin:
         x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16))
         out = stack.apply(p, x)
         assert out.shape == x.shape
+
+
+class TestQuantizedProjections:
+    """Opt-in int8 qkv/out/MLP projections (--quantize for the sup
+    family; default stays bf16 so decode outputs are unchanged)."""
+
+    def _model(self):
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+        cfg = transformer_crf_config(
+            d_model=64, nhead=4, depth=2, dim_feedforward=128,
+            attn_window=(7, 8), state_len=3, conv_stride=4, upsample=2)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(31))
+        return m
+
+    def test_quantize_close_to_float(self):
+        m = self._model()
+        x = jax.random.normal(jax.random.PRNGKey(32), (2, 96, 1))
+        ref = np.asarray(m.forward(x), np.float32)
+        m.quantize()
+        got = np.asarray(m.forward(x), np.float32)
+        # per-output-channel int8 weights + per-token activation scales:
+        # a few % relative error on the (tanh-bounded) scores
+        err = np.abs(got - ref).mean()
+        scale = np.abs(ref).mean() + 1e-6
+        assert err / scale < 0.05, err / scale
+
+    def test_quantized_params_shapes(self):
+        m = self._model()
+        m.quantize()
+        p = m.params["encoder"]
+        stack = next(v for k, v in p.items() if "0" in v and isinstance(v, dict)
+                     and "self_attn" in v.get("0", {}))
+        attn = stack["0"]["self_attn"]
+        assert attn["wqkv_q"].dtype == jnp.int8
+        assert "wqkv" not in attn
+        ff = stack["0"]["ff"]
+        assert ff["fc1_q"].dtype == jnp.int8 and ff["fc2_q"].dtype == jnp.int8
+
+    def test_quantized_decode_runs(self):
+        from bonito_tpu.ops import decode
+        m = self._model()
+        m.quantize()
+        x = jax.random.normal(jax.random.PRNGKey(33), (2, 96, 1))
+        head = m.forward_tcn_head(m.params, x)
+        out = decode.viterbi_decode_head(m.seqdist, head)
+        assert out["sequence"].shape[0] == 2
