@@ -123,7 +123,18 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batchsize, chunksize, 1)), jnp.bfloat16)
 
-    _sync(step(model.params, x))  # compile + warmup
+    try:
+        _sync(step(model.params, x))  # compile + warmup
+    except Exception as e:
+        if os.environ.get("BENCH_FUSED_HEAD", "1") in ("", "0"):
+            raise
+        # fused-head route failed to compile/run on this backend —
+        # fall back to the materialised TCN route rather than dying
+        print(f"# fused-head step failed ({type(e).__name__}); "
+              f"falling back to the TCN route", flush=True)
+        os.environ["BENCH_FUSED_HEAD"] = "0"
+        step = jax.jit(step.__wrapped__)
+        _sync(step(model.params, x))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(model.params, x)
