@@ -10,8 +10,9 @@ Viterbi decode). Prints ONE JSON line:
 
 vs_baseline is against the 1 Gsamples/s/chip north-star from BASELINE.md.
 
-Env knobs: BENCH_MODEL=hac|sup|train, BENCH_BATCH, BENCH_CHUNK,
-BENCH_ITERS.
+Env knobs: BENCH_MODEL=hac|fast|sup|train, BENCH_BATCH, BENCH_CHUNK,
+BENCH_ITERS, BENCH_QUANT=1 (int8 projections — hac default; opt-in for
+sup), BENCH_FUSED_HEAD=0 (disable the fused-head decode route).
 
 NOTE: on the axon remote backend, block_until_ready returns before
 execution finishes and the host tunnel is ~75 MB/s — the only honest
