@@ -192,7 +192,12 @@ def argparser():
     parser.add_argument("--ctc-min-accuracy", default=0.99, type=float)
     parser.add_argument("--revcomp", action="store_true", default=False)
     parser.add_argument("--recursive", action="store_true", default=False)
-    parser.add_argument("--quantize", action="store_true", default=False)
+    # tri-state like the reference (cli/basecaller.py:186-189): default None
+    # lets the model config's [basecaller] section decide
+    quant = parser.add_mutually_exclusive_group()
+    quant.add_argument("--quantize", dest="quantize", action="store_true")
+    quant.add_argument("--no-quantize", dest="quantize", action="store_false")
+    parser.set_defaults(quantize=None)
     parser.add_argument("--rna", action="store_true", default=False)
     parser.add_argument("--no-output", action="store_true", default=False)
     parser.add_argument("--weights", default=None, type=str)

@@ -134,13 +134,15 @@ class Downloader:
 
 
 def main(args):
+    models_dir = Path(args.out_dir) if args.out_dir else __models_dir__
+    data_dir = Path(args.out_dir) if args.out_dir else __data_dir__
     if args.models or args.all:
         if args.list:
             print("[available models]", file=sys.stderr)
             for model in models:
                 print(f" - {model}")
         else:
-            downloader = Downloader(__models_dir__, args.force)
+            downloader = Downloader(models_dir, args.force)
             items = models if args.all else (args.select or models)
             for model in items:
                 downloader.download(model)
@@ -151,7 +153,7 @@ def main(args):
             for dataset in training:
                 print(f" - {dataset}")
         else:
-            downloader = Downloader(__data_dir__, args.force)
+            downloader = Downloader(data_dir, args.force)
             for dataset in training:
                 downloader.download(dataset)
 
@@ -163,7 +165,9 @@ def argparser():
     group.add_argument("--all", action="store_true")
     group.add_argument("--models", action="store_true")
     group.add_argument("--training", action="store_true")
-    parser.add_argument("--list", "-l", action="store_true")
+    parser.add_argument("--list", "-l", "--show", dest="list",
+                        action="store_true")
+    parser.add_argument("--out_dir", default=None, type=Path)
     parser.add_argument("--select", nargs="*", default=None)
     parser.add_argument("-f", "--force", action="store_true")
     return parser

@@ -30,6 +30,10 @@ def main(args):
 
     pairs = []
     with open(args.duplex_pairs_file) as f:
+        if not args.no_header:
+            # pairs files carry a "template complement" header line unless
+            # told otherwise (reference: cli/duplex.py:339-341)
+            f.readline()
         for line in f:
             parts = line.strip().split()
             if len(parts) >= 2:
@@ -65,12 +69,12 @@ def main(args):
     aligner = None
     if args.reference:
         from bonito_tpu.aligner import Aligner, align_map
-        aligner = Aligner(args.reference)
+        aligner = Aligner(args.reference, preset=args.mm2_preset)
 
     stream = results()
     if aligner:
         from bonito_tpu.aligner import align_map
-        stream = align_map(aligner, stream, n_thread=8)
+        stream = align_map(aligner, stream, n_thread=args.alignment_threads)
 
     writer = DuplexWriter(fmt.mode, stream, aligner=aligner, duplex=True,
                           min_qscore=args.min_qscore)
@@ -90,7 +94,11 @@ def argparser():
     parser.add_argument("in_bam")
     parser.add_argument("duplex_pairs_file")
     parser.add_argument("--reference", default=None)
+    parser.add_argument("--mm2-preset", default="lr:hq", type=str)
+    parser.add_argument("--no-header", action="store_true", default=False,
+                        help="the pairs file has no header line")
     parser.add_argument("--seed", default=25, type=int)
     parser.add_argument("--threads", default=8, type=int)
+    parser.add_argument("--alignment-threads", default=8, type=int)
     parser.add_argument("--min-qscore", default=0, type=int)
     return parser

@@ -12,7 +12,9 @@ from pathlib import Path
 import numpy as np
 
 from bonito_tpu.alignment import smith_waterman
-from bonito_tpu.data import load_numpy_datasets
+from bonito_tpu.data import (
+    ComputeSettings, DataSettings, ModelSetup, load_data,
+)
 from bonito_tpu.util import (
     decode_ref, init, load_model, parasail_style_cigar_counts,
 )
@@ -52,26 +54,54 @@ def align_stats(ref, seq):
 def main(args):
     init(args.seed)
 
-    print("* loading data")
-    chunks, targets, lengths = load_numpy_datasets(
-        limit=args.chunks, directory=str(args.directory))
-
     print("* loading model", args.model_directory)
     model = load_model(args.model_directory, weights=args.weights, half=False)
+
+    # --standardise scales chunks with the model's [standardisation] params
+    # (reference: cli/evaluate.py:75-83); plugin datasets receive it via
+    # ModelSetup, plain npy dirs apply it here.
+    standardisation = (
+        model.config.get("standardisation", {}) if args.standardise else {})
+    setup = ModelSetup(
+        n_pre_context_bases=getattr(model, "n_pre_context_bases", 0),
+        n_post_context_bases=getattr(model, "n_post_context_bases", 0),
+        standardisation=standardisation,
+    )
+    mean = standardisation.get("mean", 0.0)
+    stdev = standardisation.get("stdev", 1.0)
+    print(f"* * applying standardisation params: mean={mean}, stdev={stdev}")
+
+    print("* loading data")
+    compute = ComputeSettings(batch_size=args.batchsize, seed=args.seed)
+    if args.dataset == "valid":
+        # valid may be split out of the train chunks; offer enough of them
+        # to subset from (reference: cli/evaluate.py:87-92)
+        data = DataSettings(str(args.directory), args.chunks * 100,
+                            args.chunks, None)
+        _, loader = load_data(data, setup, compute)
+    else:
+        data = DataSettings(str(args.directory), args.chunks,
+                            args.chunks, None)
+        loader, _ = load_data(data, setup, compute)
+    # evaluation wants every requested chunk, including a final partial batch
+    if hasattr(loader, "drop_last"):
+        loader.drop_last = False
 
     print("* calling")
     t0 = time.perf_counter()
 
+    n_chunks = n_samples = 0
     seqs, refs = [], []
-    for i in range(0, len(chunks), args.batchsize):
-        data = np.asarray(chunks[i:i + args.batchsize], np.float32)
-        if data.ndim == 2:
-            data = data[..., None]
+    for data, targets, lengths in loader:
+        data = np.asarray(data, np.float32)
+        if standardisation:
+            data = (data - mean) / stdev
+        n_chunks += len(data)
+        n_samples += data.shape[0] * data.shape[1]
         scores = model.forward(data)
         seqs.extend(model.decode_batch(scores))
         refs.extend(decode_ref(t[:n], model.alphabet)
-                    for t, n in zip(targets[i:i + args.batchsize],
-                                    lengths[i:i + args.batchsize]))
+                    for t, n in zip(targets, lengths))
     duration = time.perf_counter() - t0
 
     print("* aligning")
@@ -97,7 +127,7 @@ def main(args):
 * ref_lclip       {mean('align_ref_start'):.1f}
 * ref_rclip       {float(np.mean([r['ref_len'] - r['align_ref_end'] - 1 for r in rows])):.1f}
 * time            {duration:.2f}
-* samples/s       {len(chunks) * chunks.shape[1] / duration:.2E}
+* samples/s       {n_samples / duration:.2E}
 """)
 
     if args.output_dir:
@@ -119,7 +149,14 @@ def argparser():
         formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
     parser.add_argument("model_directory")
     parser.add_argument("--directory", required=True)
-    parser.add_argument("--output-dir", default=None)
+    parser.add_argument("--output-dir", "--output_dir", dest="output_dir",
+                        default=None)
+    parser.add_argument("--dataset", choices=["train", "valid"],
+                        default="valid")
+    parser.add_argument("--device", default=None,
+                        help="accepted for reference compatibility; "
+                             "compute always runs on the JAX default device")
+    parser.add_argument("--standardise", action="store_true", default=False)
     parser.add_argument("--seed", default=9, type=int)
     parser.add_argument("--weights", default=None, type=str)
     parser.add_argument("--chunks", default=1000, type=int)

@@ -119,9 +119,12 @@ def export_to_dorado(model, config, output):
 
 def main(args):
     model = load_model(args.model_directory, half=False)
-    config = load_config(Path(args.model_directory) / "config.toml") \
-        if (Path(args.model_directory) / "config.toml").exists() \
-        else model.config
+    if args.config:
+        config = load_config(args.config)
+    elif (Path(args.model_directory) / "config.toml").exists():
+        config = load_config(Path(args.model_directory) / "config.toml")
+    else:
+        config = model.config
     output = Path(args.output or args.model_directory)
 
     if args.format == "dorado":
@@ -142,6 +145,9 @@ def argparser():
         formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
     parser.add_argument("model_directory")
     parser.add_argument("--output", default=None)
+    parser.add_argument("--config", default=None,
+                        help="config file to read settings from "
+                             "(default: the model dir's config.toml)")
     parser.add_argument("--format", default="dorado",
                         choices=("dorado", "torch"))
     return parser

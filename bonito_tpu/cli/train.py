@@ -139,11 +139,23 @@ def argparser():
     parser.add_argument("--no-amp", action="store_true", default=False)
     parser.add_argument("-f", "--force", action="store_true", default=False)
     parser.add_argument("--restore-optim", action="store_true", default=False)
+    parser.add_argument("--nondeterministic", action="store_true",
+                        default=False,
+                        help="accepted for reference compatibility (relaxes "
+                             "cudnn determinism there; XLA is deterministic)")
+    parser.add_argument("--device", default=None,
+                        help="accepted for reference compatibility; "
+                             "compute always runs on the JAX default device")
     parser.add_argument("--num-workers", default=4, type=int)
     parser.add_argument("--save-optim-every", default=10, type=int)
     parser.add_argument("--grad-accum-split", default=1, type=int)
-    parser.add_argument("--quantile-grad-clip", action="store_true",
-                        default=False)
+    # on by default, as in the reference (cli/train.py:130-133)
+    clip_group = parser.add_mutually_exclusive_group()
+    clip_group.add_argument("--quantile-grad-clip", dest="quantile_grad_clip",
+                            action="store_true")
+    clip_group.add_argument("--no-quantile-grad-clip",
+                            dest="quantile_grad_clip", action="store_false")
+    clip_group.set_defaults(quantile_grad_clip=True)
     parser.add_argument("--distributed", action="store_true", default=False,
                         help="multi-host data-parallel training "
                              "(jax.distributed init + per-host data shard)")

@@ -64,8 +64,12 @@ def lstm_crf_config(
         "run_info": {"sample_rate": sample_rate},
         "qscore": {"scale": qscale, "bias": qbias},
         "encoder": {"type": "serial", "sublayers": sublayers},
+        # LSTM families default to the int8 recurrence (the reference's koi
+        # kernels quantize these models when --quantize is unset; measured
+        # identity impact <0.1%, DESIGN.md "Quantisation"). --no-quantize
+        # overrides.
         "basecaller": {"batchsize": batchsize, "chunksize": chunksize,
-                       "overlap": overlap},
+                       "overlap": overlap, "quantize": True},
     }
 
 

@@ -91,3 +91,48 @@ class TestDownloadTableParity:
         ref_models, ref_training = self._ref_lists()
         assert download.models == ref_models
         assert download.training == ref_training
+
+
+class TestEvaluate:
+    def test_evaluate_valid_split_runs(self, tmp_path, capsys):
+        """evaluate: tiny model dir + npy dataset, valid split selection,
+        standardisation, and the --output_dir dumps (reference:
+        bonito/cli/evaluate.py:70-137)."""
+        import jax
+        import numpy as np
+        from bonito_tpu.checkpoint import save_params
+        from bonito_tpu.config import save_config
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        from bonito_tpu.cli import evaluate as evaluate_cli
+
+        cfg = lstm_crf_config(features=32, num_layers=2, state_len=2,
+                              stride=5)
+        mdir = tmp_path / "model"
+        mdir.mkdir()
+        save_config(cfg, mdir / "config.toml")
+        m = Model(cfg)
+        save_params(mdir / "weights_1.npz", m.init(jax.random.PRNGKey(0)))
+
+        rng = np.random.default_rng(0)
+        ddir = tmp_path / "data"
+        ddir.mkdir()
+        N, T, L = 40, 100, 12
+        np.save(ddir / "chunks.npy",
+                rng.normal(size=(N, T)).astype(np.float32))
+        np.save(ddir / "references.npy",
+                rng.integers(1, 5, (N, L)).astype(np.uint8))
+        np.save(ddir / "reference_lengths.npy", np.full(N, L, np.uint16))
+
+        out = tmp_path / "out"
+        args = evaluate_cli.argparser().parse_args([
+            str(mdir), "--directory", str(ddir), "--dataset", "valid",
+            "--standardise", "--chunks", "1", "--batchsize", "4",
+            "--output_dir", str(out),
+        ])
+        evaluate_cli.main(args)
+        text = capsys.readouterr().out
+        assert "accuracy" in text and "standardisation" in text
+        assert (out / "seqs.fasta").exists()
+        assert (out / "refs.fasta").exists()
+        assert (out / "summ.txt").exists()
