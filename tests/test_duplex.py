@@ -101,3 +101,41 @@ class TestBamReader:
         # reverse-strand record restored to read orientation
         assert bam.get_record("r2").sequence == revcomp("ACGT")
         assert bam.get_record("r2").qstring == "FIII"
+
+
+class TestDuplexCLI:
+    def test_cli_end_to_end(self, tmp_path):
+        """duplex CLI: indexed BAM + pairs file (with header line) ->
+        consensus SAM records on stdout."""
+        import os
+        import subprocess
+        import sys
+
+        from bonito_tpu.bam import BAMWriter
+
+        seq = "ACGTACGTGGCCTTAAACGTACGT" * 4
+        q_hi = "I" * len(seq)
+        q_lo = "5" * len(seq)
+        bam_path = tmp_path / "reads.bam"
+        with open(bam_path, "wb") as fd:
+            w = BAMWriter(fd, "@HD\tVN:1.5\n", [])
+            w.write("tmpl-1", seq, q_hi)
+            w.write("comp-1", revcomp(seq), q_lo)
+            w.close()
+        pairs = tmp_path / "pairs.txt"
+        pairs.write_text("template complement\ntmpl-1 comp-1\n")
+
+        out = tmp_path / "out.sam"
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        with open(out, "w") as fh:
+            subprocess.run(
+                [sys.executable, "-m", "bonito_tpu", "duplex",
+                 str(bam_path), str(pairs), "--threads", "1"],
+                stdout=fh, stderr=subprocess.PIPE, env=env, check=True,
+                timeout=300)
+        records = [l for l in out.read_text().splitlines()
+                   if l and not l.startswith("@")]
+        assert len(records) == 1
+        fields = records[0].split("\t")
+        assert fields[0] == "tmpl-1;comp-1"
+        assert fields[9] == seq  # perfect agreement -> template sequence

@@ -111,3 +111,70 @@ class TestQscoreMath:
     def test_mean_qscore(self):
         assert abs(mean_qscore_from_qstring("++") - 10.0) < 1e-3
         assert mean_qscore_from_qstring("") == 0.0
+
+
+class TestCTCWriter:
+    """--save-ctc training-data writer (reference: bonito/io.py:513-619)."""
+
+    def _read(self, rid, n=400):
+        class R:
+            pass
+        r = R()
+        r.read_id = rid
+        r.signal = np.zeros(n, np.float32)
+        return r
+
+    def _mapping(self, ref_seq, nm=0, q_en=None):
+        from bonito_tpu.aligner import Mapping
+        L = len(ref_seq)
+        return Mapping(ctg="ctg", r_st=0, r_en=L, q_st=0,
+                       q_en=L if q_en is None else q_en, strand=1, mapq=60,
+                       cigar_str=f"{L}=" if nm == 0 else f"{L - nm}={nm}X",
+                       NM=nm, MD="", ref_seq=ref_seq)
+
+    def test_filters_and_npy_output(self, tmp_path):
+        seq = "ACGT" * 30
+        seq2 = "ACGT" * 31  # second accepted chunk; sd>0 keeps both
+        items = [
+            # accepted
+            (self._read("good"), {"sequence": seq, "qstring": "I" * 120,
+                                  "mapping": self._mapping(seq)}),
+            (self._read("good2"), {"sequence": seq2, "qstring": "I" * 124,
+                                   "mapping": self._mapping(seq2)}),
+            # rejected: unmapped / low accuracy / low coverage / N in ref
+            (self._read("unmapped"), {"sequence": seq, "qstring": "I" * 120}),
+            (self._read("inacc"), {"sequence": seq, "qstring": "I" * 120,
+                                   "mapping": self._mapping(seq, nm=30)}),
+            (self._read("lowcov"), {"sequence": seq, "qstring": "I" * 120,
+                                    "mapping": self._mapping(seq, q_en=12)}),
+            (self._read("nref"), {"sequence": seq, "qstring": "I" * 120,
+                                  "mapping": self._mapping("N" + seq[1:])}),
+        ]
+        w = bio.CTCWriter("w", iter(items), aligner=object(),
+                          output_dir=str(tmp_path))
+        w.start()
+        rejected = w.stop()
+        assert sum(rejected.values()) == 4
+
+        chunks = np.load(tmp_path / "chunks.npy")
+        refs = np.load(tmp_path / "references.npy")
+        lens = np.load(tmp_path / "reference_lengths.npy")
+        assert chunks.shape == (2, 400) and chunks.dtype == np.float16
+        assert refs.shape == (2, 124) and refs.dtype == np.uint8
+        # NACGT encoding: A=1 C=2 G=3 T=4
+        np.testing.assert_array_equal(refs[0][:4], [1, 2, 3, 4])
+        assert sorted(lens.tolist()) == [120, 124]
+
+    def test_rna_reverses_targets(self, tmp_path):
+        seq = "AACC" * 30
+        seq2 = "AACC" * 31
+        items = [(self._read("r"), {"sequence": seq, "qstring": "I" * 120,
+                                    "mapping": self._mapping(seq)}),
+                 (self._read("r2"), {"sequence": seq2, "qstring": "I" * 124,
+                                     "mapping": self._mapping(seq2)})]
+        w = bio.CTCWriter("w", iter(items), aligner=object(),
+                          output_dir=str(tmp_path), rna=True)
+        w.start()
+        w.stop()
+        refs = np.load(tmp_path / "references.npy")
+        np.testing.assert_array_equal(refs[0][:4], [2, 2, 1, 1])
