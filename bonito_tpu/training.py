@@ -222,25 +222,43 @@ class Trainer:
         chunks = 0
         smoothed_loss = None
         step0 = (epoch - 1) * (self.steps_per_epoch or 0)
-        for i, batch in enumerate(self.train_loader):
-            lr_scale = self.get_lr_scale(step0 + i, epochs, last_epoch)
-            losses, grad_norm = self.train_one_step(batch, lr_scale)
+        pending = None
+
+        def materialize(record):
+            # blocking device->host fetch: runs only after the NEXT step
+            # has been dispatched, so the round trip (~25 ms through a
+            # remote-device tunnel) overlaps device compute instead of
+            # serialising against it
+            nonlocal smoothed_loss
+            losses, grad_norm, n_chunks, lr_scale = record
             losses = {k: float(v) for k, v in losses.items()}
             grad_norm = float(grad_norm)
             if self.quantile_clip:
+                # clip_max for step i+1 is thus derived from steps <= i-1;
+                # one step of lag is immaterial for a quantile over the
+                # last 100 norms
                 self.quantile_clip.update(grad_norm)
-            chunks += batch[0].shape[0]
             smoothed_loss = (
                 losses["loss"] if smoothed_loss is None
                 else 0.01 * losses["loss"] + 0.99 * smoothed_loss)
             if loss_log is not None:
                 loss_log.append({
-                    "chunks": chunks,
+                    "chunks": n_chunks,
                     "time": time.perf_counter() - t0,
                     "grad_norm": grad_norm,
                     "lr": lr_scale,
                     **losses,
                 })
+
+        for i, batch in enumerate(self.train_loader):
+            lr_scale = self.get_lr_scale(step0 + i, epochs, last_epoch)
+            losses, grad_norm = self.train_one_step(batch, lr_scale)
+            chunks += batch[0].shape[0]
+            if pending is not None:
+                materialize(pending)
+            pending = (losses, grad_norm, chunks, lr_scale)
+        if pending is not None:
+            materialize(pending)
         return smoothed_loss, time.perf_counter() - t0
 
     def _get_valid_fn(self):
