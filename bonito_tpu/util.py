@@ -17,6 +17,7 @@ from importlib import import_module
 from itertools import groupby
 from operator import itemgetter
 from pathlib import Path
+from types import ModuleType
 
 import numpy as np
 
@@ -235,7 +236,13 @@ def load_symbol(config, symbol):
     package = config["model"]["package"]
     if package.startswith("bonito."):
         package = "bonito_tpu." + package[len("bonito."):]
-    return getattr(import_module(package), symbol)
+    obj = getattr(import_module(package), symbol)
+    if isinstance(obj, ModuleType):
+        # an `import package.basecall` elsewhere rebinds the package
+        # attribute from the re-exported function to the submodule;
+        # unwrap to the same-named symbol inside it
+        obj = getattr(obj, symbol)
+    return obj
 
 
 def model_directory(dirname):

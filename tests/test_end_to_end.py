@@ -6,6 +6,8 @@ real pipeline (chunk/batch/device-step/stitch) accurately enough that the
 native aligner maps the call back to the true sequence.
 """
 
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -99,3 +101,87 @@ class TestEndToEnd:
         total = sum(counts.values())
         identity = counts.get("=", 0) / max(total, 1)
         assert identity > 0.8, (identity, m.cigar_str[:100])
+
+
+class TestSaveCTCCLI:
+    def test_save_ctc_via_cli(self, trained_model, tmp_path, monkeypatch):
+        """`basecaller --reference ... --save-ctc` through the real CLI:
+        fast5 reader procs -> pa standardisation -> chunked basecall ->
+        native aligner -> CTCWriter npy emission (reference flow:
+        bonito/cli/basecaller.py:118-126 + io.py:513-619)."""
+        import copy
+        import io as _io
+        import h5py
+
+        from bonito_tpu.checkpoint import save_params
+        from bonito_tpu.cli import basecaller as basecaller_cli
+        from bonito_tpu.config import save_config
+
+        # model dir: trained weights + a pa/no-standardise scaling config
+        # so the CLI reader hands the model the raw synthetic levels
+        cfg = copy.deepcopy(trained_model.config)
+        cfg["scaling"] = {"strategy": "pa"}
+        cfg["standardisation"] = {"standardise": 0}
+        mdir = tmp_path / "model"
+        mdir.mkdir()
+        save_config(cfg, mdir / "config.toml")
+        save_params(mdir / "weights_1.npz", trained_model.params)
+
+        # two synthetic reads as fast5; calibration scale 0.01 undoes the
+        # x100 int16 encoding
+        rng = np.random.default_rng(11)
+        rdir = tmp_path / "reads"
+        rdir.mkdir()
+        truths = []
+        with h5py.File(rdir / "batch0.fast5", "w") as f:
+            for i in range(2):
+                true_bases = rng.integers(1, 5, size=900 + 100 * i)
+                truths.append(decode_ref(true_bases, trained_model.alphabet))
+                sig = signal_for(true_bases[None], rng)[0]
+                g = f.create_group(f"read_e2e{i}")
+                raw = g.create_group("Raw")
+                raw.create_dataset(
+                    "Signal", data=np.round(sig * 100).astype(np.int16))
+                raw.attrs["read_id"] = f"e2e-ctc-{i}"
+                raw.attrs["read_number"] = i
+                raw.attrs["start_mux"] = 1
+                raw.attrs["start_time"] = 0
+                ch = g.create_group("channel_id")
+                ch.attrs["channel_number"] = "1"
+                ch.attrs["digitisation"] = 8192.0
+                ch.attrs["offset"] = 0.0
+                ch.attrs["range"] = 81.92
+                ch.attrs["sampling_rate"] = 5000.0
+                tr = g.create_group("tracking_id")
+                tr.attrs["run_id"] = "e2e-run"
+                tr.attrs["exp_start_time"] = "2026-01-01T00:00:00Z"
+                tr.attrs["flow_cell_id"] = "FC"
+                tr.attrs["device_id"] = "D"
+                tr.attrs["sample_id"] = "S"
+
+        ref_path = tmp_path / "truth.fasta"
+        ref_path.write_text("".join(
+            f">truth{i}\n{s}\n" for i, s in enumerate(truths)))
+
+        out = tmp_path / "ctc_out"
+        out.mkdir()
+        argv = [
+            str(mdir), str(rdir),
+            "--reference", str(ref_path),
+            "--save-ctc", "--no-trim",
+            "--chunksize", "1000", "--overlap", "200", "--batchsize", "4",
+            "--min-accuracy-save-ctc", "0.8",
+            "--output-dir", str(out),
+            "--n-proc", "1",
+        ]
+        args = basecaller_cli.argparser().parse_args(argv)
+        monkeypatch.setattr(sys, "stdout", _io.StringIO())
+        basecaller_cli.main(args)
+
+        chunks = np.load(out / "chunks.npy")
+        refs = np.load(out / "references.npy")
+        lens = np.load(out / "reference_lengths.npy")
+        assert len(chunks) >= 4, "too few accepted ctc chunks"
+        assert chunks.shape[1] == 1000 and chunks.dtype == np.float16
+        assert refs.dtype == np.uint8 and refs.min() >= 0 and refs.max() <= 4
+        assert (lens > 100).all() and (lens <= refs.shape[1]).all()
