@@ -302,14 +302,22 @@ class Trainer:
             self._valid_fn = step
         return self._valid_fn
 
-    def validate_one_step(self, batch):
+    def _dispatch_valid(self, batch):
+        """Launch the jitted validation step; returns device arrays
+        without synchronising."""
         data, targets, lengths = batch
         data = (jnp.asarray(data, jnp.float32)[..., None]
                 if np.asarray(data).ndim == 2
                 else jnp.asarray(data, jnp.float32))
-        losses, codes, scores = self._get_valid_fn()(
+        return self._get_valid_fn()(
             self.model.params, data,
             jnp.asarray(targets), jnp.asarray(lengths))
+
+    def _finish_valid(self, outputs, batch):
+        """Host side of one validation batch: fetch device outputs, decode
+        to strings, score accuracies."""
+        _, targets, lengths = batch
+        losses, codes, scores = outputs
         losses = {k: float(v) for k, v in losses.items()}
         if codes is not None:
             seqs = [self.model.seqdist.path_to_str(p)
@@ -326,14 +334,28 @@ class Trainer:
                 for ref, seq in zip(refs, seqs)]
         return seqs, refs, accs, losses
 
+    def validate_one_step(self, batch):
+        return self._finish_valid(self._dispatch_valid(batch), batch)
+
     def validate_one_epoch(self):
-        seqs, refs, accs, losses = [], [], [], []
-        for batch in self.valid_loader:
-            s, r, a, l = self.validate_one_step(batch)
-            seqs += s
-            refs += r
-            accs += a
+        """One-batch pipelining: batch i+1's device step is dispatched
+        before batch i's host work (decode-to-string + accuracy scoring),
+        so alignment scoring overlaps device compute."""
+        accs, losses = [], []
+        pending = None
+
+        def finish(outputs, batch):
+            _, _, a, l = self._finish_valid(outputs, batch)
+            accs.extend(a)
             losses.append(l.get("total_loss", l["loss"]))
+
+        for batch in self.valid_loader:
+            outputs = self._dispatch_valid(batch)
+            if pending is not None:
+                finish(*pending)
+            pending = (outputs, batch)
+        if pending is not None:
+            finish(*pending)
         return float(np.mean(losses)), float(np.mean(accs)), float(np.median(accs))
 
     def fit(self, workdir, epochs=1, lr=2e-3, **optim_kwargs):
