@@ -110,9 +110,17 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
         batch_sharding = None
         params = model.params
 
+    # the device step casts to compute_dtype anyway, so converting on the
+    # host is bit-identical and halves host->device signal bytes (the
+    # remote-tunnel input stream is the end-to-end cap at hac rates)
+    send_dtype = (np.dtype(jnp.bfloat16)
+                  if getattr(model, "compute_dtype", None) == jnp.bfloat16
+                  else np.float32)
+
     def dispatch(batch):
         """Enqueue one batch on the device; returns the unfetched result."""
         n = batch.shape[0]
+        batch = np.asarray(batch).astype(send_dtype, copy=False)
         if n < batchsize:
             batch = np.concatenate(
                 [batch, np.zeros((batchsize - n, *batch.shape[1:]), batch.dtype)])
