@@ -207,6 +207,13 @@ class Trainer:
             return tuple(jnp.asarray(b) for b in batch)
         from bonito_tpu import parallel
         sharding = parallel.batch_sharding(self.mesh)
+        if jax.process_count() > 1:
+            # multi-host: every host contributes its local rows to the
+            # global batch (hosts load disjoint data via host_slice)
+            return tuple(
+                jax.make_array_from_process_local_data(
+                    sharding, np.asarray(b))
+                for b in batch)
         return tuple(jax.device_put(np.asarray(b), sharding) for b in batch)
 
     def train_one_step(self, batch, lr_scale):
@@ -306,19 +313,42 @@ class Trainer:
         """Launch the jitted validation step; returns device arrays
         without synchronising."""
         data, targets, lengths = batch
-        data = (jnp.asarray(data, jnp.float32)[..., None]
-                if np.asarray(data).ndim == 2
-                else jnp.asarray(data, jnp.float32))
+        data = np.asarray(data, np.float32)
+        if data.ndim == 2:
+            data = data[..., None]
+        if self.mesh is not None and jax.process_count() > 1:
+            # params are global arrays; batches must be too — each host
+            # scores its own rows in _finish_valid
+            from bonito_tpu import parallel
+            sharding = parallel.batch_sharding(self.mesh)
+            data, targets, lengths = (
+                jax.make_array_from_process_local_data(sharding,
+                                                       np.asarray(b))
+                for b in (data, targets, lengths))
         return self._get_valid_fn()(
-            self.model.params, data,
+            self.model.params, jnp.asarray(data),
             jnp.asarray(targets), jnp.asarray(lengths))
+
+    @staticmethod
+    def _local_rows(arr):
+        """This host's rows of a batch-sharded global array (the whole
+        array when it is addressable)."""
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            shards = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards])
+        return np.asarray(arr)
 
     def _finish_valid(self, outputs, batch):
         """Host side of one validation batch: fetch device outputs, decode
-        to strings, score accuracies."""
+        to strings, score accuracies (this host's rows only)."""
         _, targets, lengths = batch
         losses, codes, scores = outputs
         losses = {k: float(v) for k, v in losses.items()}
+        if codes is not None:
+            codes = self._local_rows(codes)
+        elif scores is not None:
+            scores = self._local_rows(scores)
         if codes is not None:
             seqs = [self.model.seqdist.path_to_str(p)
                     for p in np.asarray(codes)]
@@ -349,13 +379,39 @@ class Trainer:
             accs.extend(a)
             losses.append(l.get("total_loss", l["loss"]))
 
-        for batch in self.valid_loader:
+        if jax.process_count() > 1:
+            # every host must issue the same jitted calls (they contain
+            # collectives): keep only full-size batches and truncate to
+            # the cross-host minimum count
+            from jax.experimental import multihost_utils
+            full = [b for b in self.valid_loader
+                    if not self.batch_size or b[0].shape[0] == self.batch_size]
+            n = int(multihost_utils.process_allgather(
+                np.asarray(len(full))).min())
+            loader = full[:n]
+        else:
+            loader = self.valid_loader
+
+        for batch in loader:
             outputs = self._dispatch_valid(batch)
             if pending is not None:
                 finish(*pending)
             pending = (outputs, batch)
         if pending is not None:
             finish(*pending)
+
+        if jax.process_count() > 1:
+            # gather every host's accuracies (loss is already a global
+            # mean); hosts may hold different chunk counts, so pad to the
+            # gathered max and mask
+            from jax.experimental import multihost_utils
+            n = int(multihost_utils.process_allgather(
+                np.asarray(len(accs))).max())
+            padded = np.full(n, np.nan)
+            padded[:len(accs)] = accs
+            gathered = np.asarray(
+                multihost_utils.process_allgather(padded)).ravel()
+            accs = gathered[~np.isnan(gathered)]
         return float(np.mean(losses)), float(np.mean(accs)), float(np.median(accs))
 
     def fit(self, workdir, epochs=1, lr=2e-3, **optim_kwargs):
@@ -380,37 +436,63 @@ class Trainer:
         if self.mesh is None and jax.device_count() > 1:
             from bonito_tpu import parallel
             n = jax.device_count()
-            if self.batch_size and self.batch_size % n == 0:
+            # multi-host: the per-host batch must split over the *local*
+            # devices (the global batch is per-host-batch x process_count)
+            n_div = (jax.local_device_count()
+                     if jax.process_count() > 1 else n)
+            if self.batch_size and self.batch_size % n_div == 0:
                 self.mesh = parallel.make_mesh(n_data=n)
         if self.mesh is not None:
             from bonito_tpu import parallel
-            rep = parallel.replicated(self.mesh)
-            self.model.params = jax.device_put(self.model.params, rep)
-            self.opt_state = jax.device_put(self.opt_state, rep)
+            if jax.process_count() > 1:
+                from jax.sharding import PartitionSpec
+                from jax.experimental import multihost_utils
+                to_global = lambda tree: (
+                    multihost_utils.host_local_array_to_global_array(
+                        jax.tree.map(np.asarray, tree), self.mesh,
+                        PartitionSpec()))
+                self.model.params = to_global(self.model.params)
+                self.opt_state = to_global(self.opt_state)
+            else:
+                rep = parallel.replicated(self.mesh)
+                self.model.params = jax.device_put(self.model.params, rep)
+                self.opt_state = jax.device_put(self.opt_state, rep)
+
+        # under multi-host every process trains the same SPMD step;
+        # checkpoints/logs are written once, by process 0 (the workdir may
+        # be on a shared filesystem)
+        is_writer = jax.process_index() == 0
 
         for epoch in range(last_epoch + 1, last_epoch + epochs + 1):
-            with CSVLogger(workdir / f"losses_{epoch}.csv") as loss_log:
+            if is_writer:
+                with CSVLogger(workdir / f"losses_{epoch}.csv") as loss_log:
+                    train_loss, duration = self.train_one_epoch(
+                        loss_log, epoch, last_epoch + epochs, last_epoch)
+            else:
                 train_loss, duration = self.train_one_epoch(
-                    loss_log, epoch, last_epoch + epochs, last_epoch)
+                    None, epoch, last_epoch + epochs, last_epoch)
 
-            save_checkpoint(
-                workdir, epoch, self.model.params,
-                self.opt_state if epoch % self.save_optim_every == 0 else None)
+            if is_writer:
+                save_checkpoint(
+                    workdir, epoch, self.model.params,
+                    self.opt_state if epoch % self.save_optim_every == 0
+                    else None)
 
             val_loss, val_mean, val_median = (
                 self.validate_one_epoch() if self.valid_loader is not None
                 else (float("nan"),) * 3)
 
-            with CSVLogger(workdir / "training.csv") as log:
-                log.append({
-                    "time": time.strftime("%Y-%m-%d %H:%M:%S"),
-                    "duration": int(duration),
-                    "epoch": epoch,
-                    "train_loss": train_loss,
-                    "validation_loss": val_loss,
-                    "validation_mean": val_mean,
-                    "validation_median": val_median,
-                })
-            print(f"[epoch {epoch}] train loss {train_loss:.4f} "
-                  f"val loss {val_loss:.4f} val acc mean {val_mean:.2f}% "
-                  f"median {val_median:.2f}% ({duration:.0f}s)")
+            if is_writer:
+                with CSVLogger(workdir / "training.csv") as log:
+                    log.append({
+                        "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+                        "duration": int(duration),
+                        "epoch": epoch,
+                        "train_loss": train_loss,
+                        "validation_loss": val_loss,
+                        "validation_mean": val_mean,
+                        "validation_median": val_median,
+                    })
+                print(f"[epoch {epoch}] train loss {train_loss:.4f} "
+                      f"val loss {val_loss:.4f} val acc mean {val_mean:.2f}% "
+                      f"median {val_median:.2f}% ({duration:.0f}s)")
