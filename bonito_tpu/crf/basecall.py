@@ -104,8 +104,17 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
     if mesh is not None:
         from bonito_tpu import parallel
         batch_sharding = parallel.batch_sharding(mesh)
-        params = jax.device_put(
-            model.params, parallel.replicated(mesh))
+        params = model.params
+        if jax.process_count() > 1:
+            # params may be global (multi-host) arrays, e.g. straight out
+            # of a distributed Trainer.fit; they are replicated, so read
+            # the local replica rather than asking for a cross-host copy
+            params = jax.tree.map(
+                lambda x: (np.asarray(x)
+                           if isinstance(x, jax.Array)
+                           and not x.is_fully_addressable else x),
+                params)
+        params = jax.device_put(params, parallel.replicated(mesh))
     else:
         batch_sharding = None
         params = model.params
@@ -146,9 +155,15 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
 def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
              reverse=False, rna=False, mesh=None, decoder="viterbi"):
     """Basecall a stream of reads; yields (read, result-dict) pairs."""
-    if mesh is None and jax.device_count() > 1:
-        from bonito_tpu import parallel
-        mesh = parallel.make_mesh()
+    if mesh is None:
+        # multi-host: reads are sharded per host (host_shard_reads), so
+        # each host drives only its LOCAL devices — no cross-host
+        # collectives, no signal over DCN (SURVEY.md §5)
+        devices = (jax.local_devices() if jax.process_count() > 1
+                   else jax.devices())
+        if len(devices) > 1:
+            from bonito_tpu import parallel
+            mesh = parallel.make_mesh(devices=devices)
     if mesh is not None:
         n_data = mesh.shape["data"]
         batchsize = max(batchsize - batchsize % n_data, n_data)

@@ -65,6 +65,20 @@ def main():
                          for x in jax.tree.leaves(model.params)))
     print(f"FIT {pid} checksum={checksum:.6f}", flush=True)
 
+    # per-host basecalling: each host calls its crc32 shard of the reads
+    # on a LOCAL device mesh (no signal across hosts, no collectives)
+    from bonito_tpu.crf.basecall import basecall
+
+    class _Read:
+        def __init__(self, i):
+            self.read_id = f"read-{i}"
+            self.signal = rng.normal(size=400).astype(np.float32)
+
+    reads = parallel.host_shard_reads(_Read(i) for i in range(12))
+    called = sorted(read.read_id for read, res in basecall(
+        model, reads, chunksize=200, overlap=50, batchsize=4))
+    print(f"BASECALL {pid} {','.join(called)}", flush=True)
+
 
 if __name__ == "__main__":
     main()

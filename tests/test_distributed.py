@@ -58,6 +58,7 @@ def test_two_process_fit_and_host_shard(tmp_path):
     text = "\n".join(outs)
     shards = {}
     checksums = {}
+    called = {}
     for line in text.splitlines():
         if line.startswith("SHARD "):
             _, pid, csv = line.split(" ", 2)
@@ -65,6 +66,9 @@ def test_two_process_fit_and_host_shard(tmp_path):
         elif line.startswith("FIT "):
             _, pid, kv = line.split(" ", 2)
             checksums[int(pid)] = float(kv.split("=")[1])
+        elif line.startswith("BASECALL "):
+            _, pid, csv = line.split(" ", 2)
+            called[int(pid)] = set(csv.split(","))
 
     # crc32 sharding: disjoint and complete
     assert set(shards) == {0, 1}
@@ -79,3 +83,8 @@ def test_two_process_fit_and_host_shard(tmp_path):
     assert (workdir / "weights_1.npz").exists()
     assert (workdir / "losses_1.csv").exists()
     assert (workdir / "training.csv").exists()
+
+    # host-sharded basecalling on local meshes: disjoint, complete
+    assert set(called) == {0, 1}
+    assert not (called[0] & called[1])
+    assert called[0] | called[1] == {f"read-{i}" for i in range(12)}
