@@ -90,6 +90,9 @@ def main(args):
     print("* calling")
     t0 = time.perf_counter()
 
+    import jax
+    fwd = jax.jit(model.apply)  # one compiled forward, not op-by-op
+
     n_chunks = n_samples = 0
     seqs, refs = [], []
     for data, targets, lengths in loader:
@@ -98,7 +101,7 @@ def main(args):
             data = (data - mean) / stdev
         n_chunks += len(data)
         n_samples += data.shape[0] * data.shape[1]
-        scores = model.forward(data)
+        scores = fwd(model.params, data)
         seqs.extend(model.decode_batch(scores))
         refs.extend(decode_ref(t[:n], model.alphabet)
                     for t, n in zip(targets, lengths))
