@@ -101,8 +101,18 @@ def _bind_mapper(lib):
     ]
 
 
+def _bind_ctcbeam(lib):
+    i32, i64 = ctypes.c_int32, ctypes.c_int64
+    lib.ctc_beam_search.restype = ctypes.c_int
+    lib.ctc_beam_search.argtypes = [
+        ctypes.POINTER(ctypes.c_float), i32, i32, i32, ctypes.c_float,
+        ctypes.POINTER(i32), ctypes.POINTER(i64), i32,
+    ]
+
+
 _SPECS = {
     "align": {"sources": ["align/align.cpp"], "bind": _bind_align},
     "vbz": {"sources": ["vbz/vbz.cpp"], "bind": _bind_vbz},
     "mapper": {"sources": ["mapper/mapper.cpp"], "bind": _bind_mapper},
+    "ctcbeam": {"sources": ["ctc/ctcbeam.cpp"], "bind": _bind_ctcbeam},
 }

@@ -46,7 +46,49 @@ def greedy_ctc(probs, alphabet, qscores=False, qscale=1.0, qbias=0.0):
 
 def beam_search_ctc(probs, alphabet, beamsize=5, threshold=1e-3):
     """
-    Standard CTC prefix beam search over posteriors [T, C].
+    CTC prefix beam search over posteriors [T, C] (the reference's Rust
+    fast-ctc-decode beam_search). Returns (seq, path) with path = frame
+    of first emission per base.
+
+    Dispatches to the native C++ implementation (native/ctc/ctcbeam.cpp,
+    ~300x the pure-Python path below, which remains the test oracle).
+    """
+    native_result = _beam_search_native(probs, alphabet, beamsize, threshold)
+    if native_result is not None:
+        return native_result
+    return beam_search_ctc_py(probs, alphabet, beamsize, threshold)
+
+
+def _beam_search_native(probs, alphabet, beamsize, threshold):
+    import ctypes
+
+    from bonito_tpu import native
+    lib = native.load("ctcbeam")
+    if lib is None:
+        return None
+    probs = np.ascontiguousarray(probs, np.float32)
+    T, C = probs.shape
+    if C > 8:
+        return None
+    max_out = T + 1
+    labels = np.empty(max_out, np.int32)
+    frames = np.empty(max_out, np.int64)
+    n = lib.ctc_beam_search(
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        np.int32(T), np.int32(C), np.int32(beamsize), np.float32(threshold),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.int32(max_out))
+    if n < 0:
+        return None
+    seq = "".join(alphabet[i] for i in labels[:n])
+    return seq, frames[:n].copy()
+
+
+def beam_search_ctc_py(probs, alphabet, beamsize=5, threshold=1e-3):
+    """
+    Standard CTC prefix beam search over posteriors [T, C] — pure-Python
+    reference implementation and oracle for the native kernel.
     Returns (seq, path) with path = frame of first emission per base.
     """
     T, C = probs.shape

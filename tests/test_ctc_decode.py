@@ -106,3 +106,41 @@ class TestConvCTCModel:
             np.random.default_rng(0).integers(1, 5, (2, 30)), jnp.int32)
         losses = model.loss(logp, targets, jnp.array([30, 30]))
         assert np.isfinite(float(losses["total_loss"]))
+
+
+class TestNativeBeamParity:
+    """native/ctc/ctcbeam.cpp vs the pure-Python oracle: exact sequence
+    and emission-frame equality (the native kernel mirrors the Python
+    implementation decision-for-decision, incl. first-writer-wins frame
+    merges and stable top-W selection)."""
+
+    def test_native_lib_builds(self):
+        from bonito_tpu import native
+        assert native.load("ctcbeam") is not None
+
+    @pytest.mark.parametrize("beamsize", [1, 3, 5, 8])
+    def test_exact_parity_random(self, beamsize):
+        from bonito_tpu.ops.ctc_decode import beam_search_ctc_py
+        for seed in range(8):
+            r = np.random.default_rng(seed)
+            T = int(r.integers(40, 300))
+            logits = r.normal(size=(T, 5)) * 2
+            probs = (np.exp(logits)
+                     / np.exp(logits).sum(1, keepdims=True)).astype(np.float32)
+            s1, p1 = beam_search_ctc(probs, ALPHABET, beamsize)
+            s2, p2 = beam_search_ctc_py(probs, ALPHABET, beamsize)
+            assert s1 == s2, (seed, beamsize)
+            np.testing.assert_array_equal(p1, p2)
+
+    def test_exact_parity_peaked(self):
+        from bonito_tpu.ops.ctc_decode import beam_search_ctc_py
+        r = np.random.default_rng(42)
+        T = 300
+        lab = r.integers(0, 5, T)
+        probs = np.full((T, 5), 0.02, np.float32)
+        probs[np.arange(T), lab] = 0.92
+        probs /= probs.sum(1, keepdims=True)
+        s1, p1 = beam_search_ctc(probs, ALPHABET, 5)
+        s2, p2 = beam_search_ctc_py(probs, ALPHABET, 5)
+        assert s1 == s2
+        np.testing.assert_array_equal(p1, p2)
