@@ -97,3 +97,60 @@ class TestVBZCodec:
             sig.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(sig), buf
         )
         assert n == 100 + 800  # all one-byte payloads + control bytes
+
+
+class TestEditAlignLandauVishkin:
+    """The Landau-Vishkin O(n + dist^2) fast path must agree exactly with
+    the full-DP numpy oracle on distance, and emit self-consistent
+    =/X/I/D cigars (edlib's role for duplex, bonito/cli/duplex.py:245)."""
+
+    def _mutated_pair(self, seed, n, rate):
+        import numpy as np
+        r = np.random.default_rng(seed)
+        bases = "ACGT"
+        s = "".join(r.choice(list(bases), n))
+        out = []
+        for ch in s:
+            x = r.random()
+            if x < rate * 0.5:
+                out.append(bases[r.integers(4)])
+            elif x < rate * 0.75:
+                pass
+            else:
+                out.append(ch)
+                if x > 1 - rate * 0.25:
+                    out.append(bases[r.integers(4)])
+        return s, "".join(out)
+
+    def test_distance_matches_numpy_across_divergences(self):
+        import re
+        for seed in range(18):
+            rate = [0.0, 0.05, 0.2, 0.5, 0.9, 1.0][seed % 6]
+            s, t = self._mutated_pair(seed, 40 + seed * 9, rate)
+            d1, c1 = edit_align(s, t)
+            d2, _ = _nw_numpy(s, t)
+            assert d1 == d2, (seed, rate)
+            pairs = re.findall(r"(\d+)([=XID])", c1)
+            ql = sum(int(n) for n, op in pairs if op in "=XI")
+            rl = sum(int(n) for n, op in pairs if op in "=XD")
+            dd = sum(int(n) for n, op in pairs if op in "XID")
+            assert (ql, rl, dd) == (len(s), len(t), d1), (seed, c1[:60])
+
+    def test_ops_consume_matching_bases(self):
+        import re
+        s, t = self._mutated_pair(5, 200, 0.3)
+        _, cigar = edit_align(s, t)
+        i = j = 0
+        for n, op in re.findall(r"(\d+)([=XID])", cigar):
+            for _ in range(int(n)):
+                if op == "=":
+                    assert s[i] == t[j]
+                    i += 1; j += 1
+                elif op == "X":
+                    assert s[i] != t[j]
+                    i += 1; j += 1
+                elif op == "I":
+                    i += 1
+                else:
+                    j += 1
+        assert i == len(s) and j == len(t)
