@@ -76,15 +76,17 @@ def adj_qscores(qscores, seq, qshift, pool_window=5, avg_hps_gt=2):
     out = np.minimum.reduce(
         [shifted[np.clip(pos + d, 0, n - 1)] for d in range(lo, hi)])
 
-    # homopolymer runs from run-length boundaries (no regex)
+    # homopolymer runs from run-length boundaries (no regex); flatten each
+    # long run to its mean in one reduceat/scatter round
     bases = np.frombuffer(seq.encode("ascii"), np.uint8)
     if len(bases) > 1:
         edges = np.flatnonzero(bases[1:] != bases[:-1]) + 1
         starts = np.concatenate([[0], edges])
-        ends = np.concatenate([edges, [len(bases)]])
-        for st, en in zip(starts, ends):
-            if en - st >= avg_hps_gt:
-                out[st:en] = out[st:en].mean()
+        lens = np.diff(np.concatenate([starts, [len(bases)]]))
+        means = np.add.reduceat(out, starts) / lens
+        run_of = np.repeat(np.arange(len(starts)), lens)
+        flatten = (lens >= avg_hps_gt)[run_of]
+        out[flatten] = means[run_of][flatten]
     return out
 
 
