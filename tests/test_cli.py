@@ -136,3 +136,69 @@ class TestEvaluate:
         assert (out / "seqs.fasta").exists()
         assert (out / "refs.fasta").exists()
         assert (out / "summ.txt").exists()
+
+
+class TestTransformerBasecallCLI:
+    def test_sup_family_end_to_end(self, tmp_path, monkeypatch):
+        """A tiny transformer-CRF model through the real basecaller CLI
+        (reader procs -> fused-head TCN decode route -> SAM writer)."""
+        import io as _io
+        import sys
+
+        import h5py
+        import jax
+        import numpy as np
+        from bonito_tpu.checkpoint import save_params
+        from bonito_tpu.cli import basecaller as basecaller_cli
+        from bonito_tpu.config import save_config
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+
+        cfg = transformer_crf_config(
+            d_model=64, nhead=2, depth=2, dim_feedforward=128,
+            attn_window=(15, 16), state_len=2, conv_stride=6, upsample=2,
+            batchsize=4, chunksize=996, overlap=96,
+            standardisation={"standardise": 0})
+        mdir = tmp_path / "model"
+        mdir.mkdir()
+        save_config(cfg, mdir / "config.toml")
+        m = Model(cfg)
+        save_params(mdir / "weights_1.npz", m.init(jax.random.PRNGKey(0)))
+
+        rng = np.random.default_rng(0)
+        rdir = tmp_path / "reads"
+        rdir.mkdir()
+        with h5py.File(rdir / "b.fast5", "w") as f:
+            g = f.create_group("read_x")
+            raw = g.create_group("Raw")
+            raw.create_dataset(
+                "Signal", data=rng.normal(0, 50, 4000).astype(np.int16))
+            raw.attrs["read_id"] = "sup-read-0"
+            raw.attrs["read_number"] = 0
+            raw.attrs["start_mux"] = 1
+            raw.attrs["start_time"] = 0
+            ch = g.create_group("channel_id")
+            ch.attrs["channel_number"] = "1"
+            ch.attrs["digitisation"] = 8192.0
+            ch.attrs["offset"] = 0.0
+            ch.attrs["range"] = 81.92
+            ch.attrs["sampling_rate"] = 5000.0
+            tr = g.create_group("tracking_id")
+            tr.attrs["run_id"] = "r"
+            tr.attrs["exp_start_time"] = "2026-01-01T00:00:00Z"
+            tr.attrs["flow_cell_id"] = "FC"
+            tr.attrs["device_id"] = "D"
+            tr.attrs["sample_id"] = "S"
+
+        args = basecaller_cli.argparser().parse_args(
+            [str(mdir), str(rdir), "--no-trim", "--n-proc", "1",
+             "--output-dir", str(tmp_path)])
+        fake_out = _io.StringIO()
+        monkeypatch.setattr(sys, "stdout", fake_out)
+        basecaller_cli.main(args)
+        lines = fake_out.getvalue().splitlines()
+        # unaligned + piped stdout -> fastq, one 4-line record
+        assert lines[0].startswith("@sup-read-0")
+        seq, qual = lines[1], lines[3]
+        assert len(seq) == len(qual) > 0
+        assert set(seq) <= set("ACGT")
