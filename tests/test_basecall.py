@@ -73,3 +73,4 @@ class TestBasecallPipeline:
             n_frames = len(res["moves"])
             expected = len(read.signal) // model.stride
             assert abs(n_frames - expected) <= 1
+

@@ -185,3 +185,36 @@ class TestSaveCTCCLI:
         assert chunks.shape[1] == 1000 and chunks.dtype == np.float16
         assert refs.dtype == np.uint8 and refs.min() >= 0 and refs.max() <= 4
         assert (lens > 100).all() and (lens <= refs.shape[1]).all()
+
+
+class TestReverseBasecall:
+    def test_reverse_matches_revcomp_of_forward(self, trained_model):
+        """reverse=True (duplex complement strands): score-space
+        reverse-complement on device + reversed stitching. On a sharp
+        (trained) model the called sequence must be the reverse
+        complement of the forward call up to the state_len k-mer shift
+        and chunk-junction frames (reference semantics:
+        bonito/crf/model.py:84-96, crf/basecall.py:34-35)."""
+        from bonito_tpu.alignment import edit_align
+        from bonito_tpu.crf.basecall import basecall
+
+        rng = np.random.default_rng(21)
+        true_bases = rng.integers(1, 5, size=800).astype(np.int32)
+        signal = signal_for(true_bases[None], rng)[0]
+
+        class R:
+            read_id = "rev-read"
+        read = R()
+        read.signal = signal
+
+        def call(reverse):
+            [(_, res)] = list(basecall(
+                trained_model, iter([read]), chunksize=1000, overlap=200,
+                batchsize=4, reverse=reverse))
+            return res["sequence"]
+
+        fwd, rev = call(False), call(True)
+        assert len(rev) > 700
+        comp = str.maketrans("ACGT", "TGCA")
+        d, _ = edit_align(fwd, rev[::-1].translate(comp))
+        assert d <= 20, (d, len(fwd), len(rev))
