@@ -218,3 +218,55 @@ class TestReverseBasecall:
         comp = str.maketrans("ACGT", "TGCA")
         d, _ = edit_align(fwd, rev[::-1].translate(comp))
         assert d <= 20, (d, len(fwd), len(rev))
+
+
+class TestPod5BasecallCLI:
+    def test_pod5_reads_through_cli(self, trained_model, tmp_path,
+                                    monkeypatch):
+        """pod5 input through the real basecaller CLI: container parse ->
+        VBZ decode -> calibration -> chunked basecall -> fastq."""
+        import copy
+        import io as _io
+        import uuid
+
+        from bonito_tpu.checkpoint import save_params
+        from bonito_tpu.cli import basecaller as basecaller_cli
+        from bonito_tpu.config import save_config
+        from bonito_tpu.pod5 import write_pod5
+
+        cfg = copy.deepcopy(trained_model.config)
+        cfg["scaling"] = {"strategy": "pa"}
+        cfg["standardisation"] = {"standardise": 0}
+        mdir = tmp_path / "model"
+        mdir.mkdir()
+        save_config(cfg, mdir / "config.toml")
+        save_params(mdir / "weights_1.npz", trained_model.params)
+
+        rng = np.random.default_rng(31)
+        true_bases = rng.integers(1, 5, size=900).astype(np.int32)
+        sig = signal_for(true_bases[None], rng)[0]
+        rdir = tmp_path / "reads"
+        rdir.mkdir()
+        write_pod5(rdir / "r.pod5", [{
+            "read_id": str(uuid.UUID(int=7)),
+            "signal": np.round(sig * 100).astype(np.int16),
+            "channel": 1,
+            "read_number": 0,
+            "calibration_offset": 0.0,
+            "calibration_scale": 0.01,
+        }])
+
+        args = basecaller_cli.argparser().parse_args(
+            [str(mdir), str(rdir), "--no-trim", "--n-proc", "1",
+             "--output-dir", str(tmp_path)])
+        fake_out = _io.StringIO()
+        monkeypatch.setattr(sys, "stdout", fake_out)
+        basecaller_cli.main(args)
+        lines = fake_out.getvalue().splitlines()
+        assert lines and lines[0].startswith("@" + str(uuid.UUID(int=7)))
+        called = lines[1]
+        # the trained model should call this synthetic read accurately
+        from bonito_tpu.alignment import edit_align
+        truth = decode_ref(true_bases, trained_model.alphabet)
+        d, _ = edit_align(called, truth)
+        assert d <= 0.2 * len(truth), (d, len(called), len(truth))
