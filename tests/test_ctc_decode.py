@@ -144,3 +144,36 @@ class TestNativeBeamParity:
         s2, p2 = beam_search_ctc_py(probs, ALPHABET, 5)
         assert s1 == s2
         np.testing.assert_array_equal(p1, p2)
+
+
+class TestConvCTCBasecallPipeline:
+    def test_pipeline_end_to_end(self):
+        """The conv-CTC basecall generator chain: chunk -> device scores
+        -> stitch -> host worker-process decode (greedy qstring + native
+        beam sequence), mirroring bonito/ctc/basecall.py:14-61."""
+        from bonito_tpu.ctc.basecall import basecall
+        from bonito_tpu.ctc.model import Model
+        from bonito_tpu.models import conv_ctc_config
+
+        cfg = conv_ctc_config()
+        for b in cfg["block"]:
+            b["filters"] = max(16, b["filters"] // 16)
+            b["repeat"] = min(b["repeat"], 2)
+        model = Model(cfg)
+        model.init(jax.random.PRNGKey(0))
+
+        class R:
+            def __init__(self, rid, n, seed):
+                self.read_id = rid
+                self.signal = np.random.default_rng(seed).normal(
+                    size=n).astype(np.float32)
+
+        reads = [R("c0", 2200, 0), R("c1", 2900, 1)]
+        out = dict(basecall(model, iter(reads), beamsize=3,
+                            chunksize=1000, overlap=200, batchsize=4,
+                            qscores=True))
+        assert set(r.read_id for r in out) == {"c0", "c1"}
+        for read, res in out.items():
+            assert set(res["sequence"]) <= set("ACGT")
+            assert len(res["qstring"]) == len(res["sequence"]) > 0
+            assert np.isfinite(res["mean_qscore"])
