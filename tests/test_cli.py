@@ -202,3 +202,41 @@ class TestTransformerBasecallCLI:
         seq, qual = lines[1], lines[3]
         assert len(seq) == len(qual) > 0
         assert set(seq) <= set("ACGT")
+
+
+class TestTorchExportRoundTrip:
+    def test_export_then_load_model_is_bit_identical(self, tmp_path):
+        """export --format torch writes a reference-style model dir
+        (config.toml + weights_1.tar); load_model must rebuild it with
+        bit-identical forward outputs."""
+        import jax
+        import numpy as np
+        from bonito_tpu.checkpoint import save_params
+        from bonito_tpu.config import save_config
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        from bonito_tpu.cli import export as export_cli
+        from bonito_tpu.util import load_model
+
+        cfg = lstm_crf_config(features=32, num_layers=2, state_len=2,
+                              stride=5)
+        mdir = tmp_path / "model"
+        mdir.mkdir()
+        save_config(cfg, mdir / "config.toml")
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(3))
+        save_params(mdir / "weights_1.npz", m.params)
+
+        out = tmp_path / "torch_dir"
+        args = export_cli.argparser().parse_args(
+            [str(mdir), "--output", str(out), "--format", "torch"])
+        export_cli.main(args)
+        assert (out / "weights_1.tar").exists()
+        assert (out / "config.toml").exists()
+
+        m2 = load_model(out, half=False)
+        x = np.random.default_rng(0).normal(size=(2, 200, 1)).astype(
+            np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(m.apply(m.params, x)),
+            np.asarray(m2.apply(m2.params, x)))
