@@ -214,22 +214,39 @@ def summary_row(read, seqlen, qscore, alignment=False):
     return row
 
 
+def duplex_summary_field_names(aligned=False):
+    fields = [
+        "filename_template", "read_id_template",
+        "filename_complement", "read_id_complement",
+        "run_id", "channel_template", "mux_template",
+        "channel_complement", "mux_complement",
+        "sequence_length_duplex", "mean_qscore_duplex",
+    ]
+    if aligned:
+        fields += summary_field_names(aligned=True)[11:]
+    return fields
+
+
 def duplex_summary_row(read_temp, read_comp, seqlen, qscore, alignment=False):
-    """summary.tsv row for a duplex pair (reference: bonito/io.py:261-340)."""
-    temp = summary_row(read_temp, seqlen, qscore, alignment=alignment)
+    """summary.tsv row for a duplex pair — the reference's exact column
+    set (bonito/io.py:261-340) so downstream tooling parses it."""
     row = {
-        ("template_" + k if not k.startswith("alignment") else k): v
-        for k, v in temp.items()
+        "filename_template": getattr(read_temp, "filename", ""),
+        "read_id_template": read_temp.read_id,
+        "filename_complement": getattr(read_comp, "filename", ""),
+        "read_id_complement": read_comp.read_id,
+        "run_id": getattr(read_temp, "run_id", ""),
+        "channel_template": getattr(read_temp, "channel", 0),
+        "mux_template": getattr(read_temp, "mux", 0),
+        "channel_complement": getattr(read_comp, "channel", 0),
+        "mux_complement": getattr(read_comp, "mux", 0),
+        "sequence_length_duplex": seqlen,
+        "mean_qscore_duplex": qscore,
     }
-    comp_rate = getattr(read_comp, "sample_rate", 0) or 1
-    row.update({
-        "complement_read_id": read_comp.read_id,
-        "complement_channel": getattr(read_comp, "channel", 0),
-        "complement_mux": getattr(read_comp, "mux", 0),
-        "complement_start_time": getattr(read_comp, "start", 0) or 0,
-        "complement_duration": (
-            (getattr(read_comp, "num_samples", 0) or 0) / comp_rate),
-    })
+    aligned_part = summary_row(read_temp, seqlen, qscore, alignment=alignment)
+    for key in summary_field_names(aligned=True)[11:]:
+        if key in aligned_part:
+            row[key] = aligned_part[key]
     return row
 
 

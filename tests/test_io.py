@@ -178,3 +178,36 @@ class TestCTCWriter:
         w.stop()
         refs = np.load(tmp_path / "references.npy")
         np.testing.assert_array_equal(refs[0][:4], [2, 2, 1, 1])
+
+
+class TestSummaryFieldParity:
+    """summary.tsv / duplex summary column names must match the
+    reference's exactly (bonito/io.py:179-290) — downstream tooling
+    parses them by name."""
+
+    def _ref_list(self, name):
+        import re
+        src = open("/root/reference/bonito/io.py").read()
+        m = re.search(rf"^{name} = \[(.*?)^\]", src, re.S | re.M)
+        return re.findall(r"'([\w_]+)'", m.group(1))
+
+    def test_simplex_names(self):
+        assert (bio.summary_field_names(aligned=True)
+                == self._ref_list("summary_field_names"))
+
+    def test_duplex_names_and_row(self):
+        want = self._ref_list("duplex_summary_field_names")
+        assert bio.duplex_summary_field_names(aligned=True) == want
+
+        class R:
+            filename = "f"; read_id = "r"; run_id = "x"
+            channel = 1; mux = 1; start = 0.0
+            num_samples = 10; sample_rate = 100
+
+        from bonito_tpu.aligner import Mapping
+        m = Mapping(ctg="c", r_st=0, r_en=5, q_st=0, q_en=5, strand=1,
+                    mapq=60, cigar_str="5=", NM=0, MD="5")
+        assert list(bio.duplex_summary_row(R(), R(), 5, 10.0,
+                                           alignment=m)) == want
+        assert list(bio.duplex_summary_row(R(), R(), 5, 10.0,
+                                           alignment=None)) == want
