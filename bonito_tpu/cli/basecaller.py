@@ -6,6 +6,7 @@ reader processes -> basecall generator chain (device step inside) ->
 optional alignment stage -> writer thread; prints samples/sec at the end.
 """
 
+import inspect
 import sys
 import time
 from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
@@ -122,7 +123,6 @@ def main(args):
                 read, chunksize=chunksize, overlap=overlap)
         )
 
-    import inspect
     basecall_kwargs = {}
     if args.beam and "decoder" in inspect.signature(basecall).parameters:
         # koi beam-search output parity (default decode is exact Viterbi)
