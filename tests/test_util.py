@@ -161,3 +161,50 @@ class TestAccuracy:
 
     def test_min_coverage(self):
         assert accuracy("ACGT" * 100, "ACGT", min_coverage=0.5) == 0.0
+
+
+class TestStitchProperties:
+    """hypothesis sweep of the chunk/stitch junction arithmetic — the
+    classic source of off-by-one non-equivalence (SURVEY.md §7)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        st.integers(2, 40),      # chunksize in strides
+        st.integers(1, 10),      # overlap in (2*stride) units
+        st.integers(2, 9),       # stride
+        st.integers(0, 300),     # extra signal beyond one chunk
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_monotone_no_dup_no_gap(self, cs_strides, ov_units, stride,
+                                    extra):
+        from hypothesis import assume
+        chunksize = cs_strides * stride
+        overlap = ov_units * 2 * stride
+        assume(overlap < chunksize)
+        T = chunksize + extra
+        sig = np.arange(T, dtype=np.float32)
+        chunks = chunk(sig, chunksize, overlap)
+        outs = chunks[:, ::stride].copy()
+        stitched = stitch(outs, chunksize, overlap, T, stride)
+        assert len(stitched) >= T // stride - 1
+        diffs = np.diff(stitched)
+        assert np.all(diffs > 0)
+        assert np.all(diffs < 2 * stride)
+        assert stitched[0] == 0
+        # reverse mode must be the exact mirror
+        rev = stitch(outs[:, ::-1], chunksize, overlap, T, stride,
+                     reverse=True)
+        np.testing.assert_array_equal(rev, stitched[::-1])
+
+    @given(st.lists(st.integers(0, 23), min_size=1, max_size=12),
+           st.integers(1, 9))
+    @settings(max_examples=100, deadline=None)
+    def test_batchify_roundtrip(self, sizes, batchsize):
+        from bonito_tpu.util import batchify, unbatchify
+        items = [(f"k{i}", np.full((n, 3), i, np.float32))
+                 for i, n in enumerate(sizes)]
+        out = list(unbatchify(batchify(iter(items), batchsize)))
+        assert [k for k, _ in out] == [k for k, _ in items]
+        for (k, orig), (k2, back) in zip(items, out):
+            np.testing.assert_array_equal(np.asarray(back), orig)
