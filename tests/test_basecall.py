@@ -74,3 +74,17 @@ class TestBasecallPipeline:
             expected = len(read.signal) // model.stride
             assert abs(n_frames - expected) <= 1
 
+
+
+class TestRNABasecall:
+    def test_rna_reverses_sequence_and_qstring(self, model, reads):
+        """--rna: called 3'->5' sequence/qstring are emitted reversed
+        (reference: bonito/crf/basecall.py:48-55)."""
+        dna = dict((r.read_id, res) for r, res in basecall(
+            model, iter(reads), chunksize=1000, overlap=200, batchsize=8))
+        rna = dict((r.read_id, res) for r, res in basecall(
+            model, iter(reads), chunksize=1000, overlap=200, batchsize=8,
+            rna=True))
+        for rid in dna:
+            assert rna[rid]["sequence"] == dna[rid]["sequence"][::-1]
+            assert rna[rid]["qstring"] == dna[rid]["qstring"][::-1]
