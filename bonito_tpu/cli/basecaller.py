@@ -53,6 +53,15 @@ def main(args):
     else:
         sys.stderr.write(f"> outputting {fmt.aligned} {fmt.name}\n")
 
+    # fetch a published model by name on first use
+    # (reference: bonito/cli/basecaller.py:45-47)
+    from bonito_tpu.cli.download import Downloader, models
+    from bonito_tpu.util import __models_dir__
+    if (args.model_directory in models
+            and not (__models_dir__ / args.model_directory).exists()):
+        sys.stderr.write("> downloading model\n")
+        Downloader(__models_dir__).download(args.model_directory)
+
     sys.stderr.write(f"> loading model {args.model_directory}\n")
     try:
         model = load_model(
