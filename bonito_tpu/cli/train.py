@@ -92,7 +92,11 @@ def main(args):
         "valid_chunks": args.valid_chunks or len(valid_loader.dataset),
         "batch": args.batch, "epochs": args.epochs, "lr": args.lr,
     }
-    save_config(config, workdir / "config.toml")
+    # dataset.py plugins may contribute metadata fields
+    # (reference: cli/train.py:74-78)
+    dataset_cfg = getattr(
+        getattr(train_loader, "dataset", None), "dataset_config", None)
+    save_config({**config, **(dataset_cfg or {})}, workdir / "config.toml")
 
     lr_scheduler_fn = None
     if "lr_scheduler" in config:
