@@ -114,6 +114,68 @@ def compute_qstring_case():
     return out
 
 
+GOLDEN_INT8 = Path(__file__).parent / "golden" / "int8_decode.json"
+GOLDEN_FUSED = Path(__file__).parent / "golden" / "fused_head_decode.json"
+
+
+def compute_int8_case():
+    """The hac default path: int8-quantized LSTM recurrence -> decode.
+    Pins the quantization arithmetic (per-channel scales, static h
+    scaling) against drift."""
+    from bonito_tpu.ops.decode import to_str, viterbi_decode
+
+    model, signal = build_case()
+    model.quantize()
+    scores = model.forward(jnp.asarray(signal)[..., None])
+    out = viterbi_decode(model.seqdist, scores, qscale=1.05, qbias=0.2)
+    return {
+        "sequences": [to_str(s) for s in np.asarray(out["sequence"])],
+        "qstrings": [to_str(q, qstring=True)
+                     for q in np.asarray(out["qstring"])],
+    }
+
+
+def compute_fused_head_case():
+    """The production decode route: prep-free TCN head emission
+    (forward_tcn_head) + fused Viterbi decode. Needs a bounded head
+    (hac-style Clamp) — the unbounded bare-linear build_case head is
+    deliberately unsupported by the fused kernels."""
+    from bonito_tpu.crf.model import Model
+    from bonito_tpu.models import lstm_crf_config
+    from bonito_tpu.ops.decode import to_str, viterbi_decode_head
+
+    cfg = lstm_crf_config(features=64, num_layers=2, state_len=2, stride=5,
+                          scaling_strategy="quantile")
+    model = Model(cfg)
+    model.init(jax.random.PRNGKey(42))
+    model.params["encoder"]["6"]["w"] = model.params["encoder"]["6"]["w"] * 30
+    rng = np.random.default_rng(42)
+    signal = rng.normal(size=(3, 1000)).astype(np.float32)
+    head = model.forward_tcn_head(model.params,
+                                  jnp.asarray(signal)[..., None])
+    assert head is not None
+    out = viterbi_decode_head(model.seqdist, head, qscale=1.05, qbias=0.2)
+    return {
+        "sequences": [to_str(s) for s in np.asarray(out["sequence"])],
+        "qstrings": [to_str(q, qstring=True)
+                     for q in np.asarray(out["qstring"])],
+    }
+
+
+class TestGoldenInt8:
+    def test_int8_decode_matches_golden(self):
+        got = compute_int8_case()
+        want = json.loads(GOLDEN_INT8.read_text())
+        assert got == want
+
+
+class TestGoldenFusedHead:
+    def test_fused_head_decode_matches_golden(self):
+        got = compute_fused_head_case()
+        want = json.loads(GOLDEN_FUSED.read_text())
+        assert got == want
+
+
 class TestGoldenCTC:
     def test_ctc_decode_matches_golden(self):
         got = compute_ctc_case()
@@ -149,3 +211,7 @@ if __name__ == "__main__":
     print(f"wrote {GOLDEN_TRANS}")
     GOLDEN_Q.write_text(json.dumps(compute_qstring_case(), indent=1))
     print(f"wrote {GOLDEN_Q}")
+    GOLDEN_INT8.write_text(json.dumps(compute_int8_case(), indent=1))
+    print(f"wrote {GOLDEN_INT8}")
+    GOLDEN_FUSED.write_text(json.dumps(compute_fused_head_case(), indent=1))
+    print(f"wrote {GOLDEN_FUSED}")
