@@ -12,7 +12,8 @@ vs_baseline is against the 1 Gsamples/s/chip north-star from BASELINE.md.
 
 Env knobs: BENCH_MODEL=hac|fast|sup|train, BENCH_BATCH, BENCH_CHUNK,
 BENCH_ITERS, BENCH_QUANT=1 (int8 projections — hac default; opt-in for
-sup), BENCH_FUSED_HEAD=0 (disable the fused-head decode route).
+sup), BENCH_FUSED_HEAD=1 (opt into the fused-head decode route — on-chip
+it is a wash for hac and slower for sup; see DESIGN.md negative results).
 
 NOTE: on the axon remote backend, block_until_ready returns before
 execution finishes and the host tunnel is ~75 MB/s — the only honest
@@ -109,7 +110,7 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
     def step(params, x):
         xc = x.astype(jnp.bfloat16)
         if (hasattr(model, "forward_tcn_head")
-                and os.environ.get("BENCH_FUSED_HEAD", "1") not in ("", "0")):
+                and os.environ.get("BENCH_FUSED_HEAD", "0") not in ("", "0")):
             head = model.forward_tcn_head(params, xc)
             if head is not None:
                 return viterbi_decode_head(model.seqdist, head)["sequence"]
@@ -127,7 +128,7 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
     try:
         _sync(step(model.params, x))  # compile + warmup
     except Exception as e:
-        if os.environ.get("BENCH_FUSED_HEAD", "1") in ("", "0"):
+        if os.environ.get("BENCH_FUSED_HEAD", "0") in ("", "0"):
             raise
         # fused-head route failed to compile/run on this backend —
         # fall back to the materialised TCN route rather than dying

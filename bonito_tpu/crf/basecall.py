@@ -60,9 +60,14 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
             from bonito_tpu.ops.decode import (viterbi_decode_head,
                                                viterbi_decode_tcn)
             import os
+            # fused-head decode (head matmul inside the Viterbi kernels)
+            # is opt-in: on-chip it is a wash for hac and 24% SLOWER for
+            # sup, and its in-kernel bf16 matmul diverges from the XLA
+            # head numerics (DESIGN.md negative results, round 2)
             head = (model.forward_tcn_head(params, xc)
                     if hasattr(model, "forward_tcn_head")
-                    and not os.environ.get("BONITO_TPU_NO_FUSED_HEAD")
+                    and os.environ.get("BONITO_TPU_FUSED_HEAD", "0")
+                    not in ("", "0")
                     else None)
             if head is not None:
                 # fused-head kernels: the move tensor never touches HBM

@@ -46,8 +46,11 @@ def _fwd_kernel(K, blank, m_ref, astack_out, afinal_out, alpha_ref):
 
     @pl.when(t == 0)
     def _():
-        a0 = jnp.full(alpha_ref.shape, NEG, jnp.float32)
-        alpha_ref[...] = a0.at[0].set(0.0)
+        # alpha_0 = 0 at lattice position 0, NEG elsewhere. Built with an
+        # iota+where (a one-row .at[0].set lowers to scatter, which Mosaic
+        # has no TC lowering for — it only worked in interpret mode).
+        pos = jax.lax.broadcasted_iota(jnp.int32, alpha_ref.shape, 0)
+        alpha_ref[...] = jnp.where(pos == 0, 0.0, NEG).astype(jnp.float32)
 
     P = alpha_ref.shape[0]
     a = alpha_ref[...]
