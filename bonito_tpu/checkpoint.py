@@ -211,6 +211,47 @@ def import_torch_checkpoint(path, model):
     return params
 
 
+def export_state_dict(layer, params, prefix=""):
+    """Our param tree -> reference-layout torch-key ndarray dict
+    (inverse of import_torch_checkpoint). Every converter returned by
+    _expected_torch_params is an involution (an axis-reversing transpose
+    or the identity), so the same converter maps our layout back to
+    torch's. Emits the zeroed ``bias_hh_l0`` twin for LSTM biases (torch
+    LSTMs carry both; the reference sums them, our importer folds them).
+
+    ``layer``/``params`` is one tree (e.g. model.encoder +
+    model.params["encoder"]); keys are relative unless ``prefix`` is set."""
+    expected = []
+
+    def visit(l, full):
+        entries = _expected_torch_params(l, full)
+        expected.extend(entries)
+        if entries:
+            return
+        for name, sub in l.sublayer_items():
+            visit(sub, f"{full}.{name}" if full else name)
+
+    visit(layer, prefix)
+
+    state = {}
+    plen = len(prefix) + 1 if prefix else 0
+    for torch_key, our_key, convert in expected:
+        node = params
+        ok = True
+        for part in our_key[plen:].split("."):
+            if not isinstance(node, dict) or part not in node:
+                ok = False
+                break
+            node = node[part]
+        if not ok:
+            continue  # param-less after serialization round-trip
+        arr = convert(np.asarray(node, np.float32))
+        state[torch_key] = np.ascontiguousarray(arr)
+        if torch_key.endswith("bias_ih_l0"):
+            state[torch_key.replace("bias_ih", "bias_hh")] = np.zeros_like(arr)
+    return state
+
+
 def load_weights(path, model):
     """Load weights for ``model`` from a native .npz or a torch .tar."""
     path = str(path)

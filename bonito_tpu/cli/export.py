@@ -1,9 +1,14 @@
 """
 Export CLI: package a trained model directory for deployment.
 
-Two targets (reference: bonito/cli/export.py):
-  - ``--format dorado``: one .npy tensor file per parameter with
-    dorado-style names, conv-BN fused, Clamp dropped from the config.
+Three targets (reference: bonito/cli/export.py):
+  - ``--format dorado``: one libtorch-scripted ``.tensor`` file per
+    parameter (torch.jit zip archives, loadable with ``torch.jit.load``
+    and by Dorado's libtorch runtime), named as the reference encoder's
+    state-dict keys, conv-BN fused, Clamp layers skipped in the
+    numbering (reference: cli/export.py:18-26,59-94).
+  - ``--format npy``: the same tensors as plain .npy files (our own
+    deployment format; no torch required to read it back).
   - ``--format torch``: a torch state-dict ``weights_1.tar`` importable by
     the reference bonito (inverse of our checkpoint importer).
 """
@@ -39,82 +44,81 @@ def reorder_layers_without_clamp(encoder_dict):
 
 
 def _torch_state_dict(model):
-    """Our param tree -> reference-layout torch tensors."""
+    """Our param tree -> reference-layout torch tensors (all families:
+    conv/LSTM/CRF, transformer layers, upsample)."""
     import torch
+    from bonito_tpu.checkpoint import export_state_dict
     state = {}
-
-    def emit(layer, params, path):
-        if isinstance(layer, nn.Convolution):
-            state[f"{path}.conv.weight"] = np.transpose(params["w"], (2, 1, 0))
-            if layer.bias:
-                state[f"{path}.conv.bias"] = params["b"]
-            if isinstance(layer.norm, nn.BatchNorm):
-                # reference BatchNorm wraps an inner "bn" module, so its
-                # state-dict keys are <path>.norm.bn.* (bonito/nn.py:191-197)
-                bn = params["norm"]
-                state[f"{path}.norm.bn.weight"] = bn["scale"]
-                state[f"{path}.norm.bn.bias"] = bn["bias"]
-                state[f"{path}.norm.bn.running_mean"] = bn["mean"]
-                state[f"{path}.norm.bn.running_var"] = bn["var"]
-        elif isinstance(layer, nn.LSTM):
-            state[f"{path}.rnn.weight_ih_l0"] = np.transpose(params["w_ih"])
-            state[f"{path}.rnn.weight_hh_l0"] = np.transpose(params["w_hh"])
-            if layer.bias:
-                state[f"{path}.rnn.bias_ih_l0"] = params["b"]
-                state[f"{path}.rnn.bias_hh_l0"] = np.zeros_like(params["b"])
-        elif isinstance(layer, nn.LinearCRFEncoder):
-            state[f"{path}.linear.weight"] = np.transpose(params["w"])
-            if layer.bias:
-                state[f"{path}.linear.bias"] = params["b"]
-        elif isinstance(layer, nn.Linear):
-            # reference Linear wraps an inner "linear" (bonito/nn.py:26-51)
-            state[f"{path}.linear.weight"] = np.transpose(params["w"])
-            if layer.bias:
-                state[f"{path}.linear.bias"] = params["b"]
-
     for root in ("encoder", "decoder"):
         tree = getattr(model, root, None)
-        if tree is None:
-            continue
-        for lpath, layer in nn.walk(tree):
-            p = model.params[root]
-            ok = True
-            for part in (lpath.split(".") if lpath else []):
-                if part not in p:
-                    ok = False
-                    break
-                p = p[part]
-            if ok:
-                emit(layer, p, f"{root}.{lpath}" if lpath else root)
+        if tree is not None and root in model.params:
+            state.update(export_state_dict(
+                tree, model.params[root], prefix=root))
+    return {k: torch.from_numpy(v) for k, v in state.items()}
 
+
+def save_tensor(directory, name, array):
+    """Save one tensor as a libtorch-scripted module archive — the format
+    Dorado loads (reference: cli/export.py:18-26): a scripted
+    torch.nn.Module with the tensor registered as parameter "0"."""
     import torch
-    return {k: torch.from_numpy(np.asarray(v, np.float32).copy())
-            for k, v in state.items()}
+    module = torch.nn.Module()
+    module.register_parameter(
+        "0", torch.nn.Parameter(torch.from_numpy(array.copy()),
+                                requires_grad=False))
+    torch.jit.script(module).save(str(directory / f"{name}.tensor"))
 
 
-def export_to_dorado(model, config, output):
-    """Per-tensor .npy files + cleaned config (reference: cli/export.py:59-80)."""
+def _clamp_order_map(encoder):
+    """Top-level index renumbering that skips Clamp layers (v4.0-v4.2
+    models interleave Clamps after convs; Dorado's layer numbering does
+    not count them — reference: cli/export.py:47-56)."""
+    if not isinstance(encoder, nn.Serial):
+        return {}
+    clamp_count = 0
+    order = {}
+    for i, layer in enumerate(encoder.sublayers):
+        if isinstance(layer, nn.Clamp):
+            clamp_count += 1
+        order[str(i)] = str(i - clamp_count)
+    return order
+
+
+def export_to_dorado(model, config, output, tensor_format="tensor"):
+    """Per-tensor files + cleaned config (reference: cli/export.py:59-94).
+
+    tensor_format "tensor" writes libtorch-scripted archives (what Dorado
+    consumes); "npy" writes plain .npy (no torch needed to read back).
+    Mirroring the reference, Clamp-skipping renames happen by moving the
+    file AFTER saving (the scripted archive embeds the original name)."""
+    import shutil
+    from bonito_tpu.checkpoint import export_state_dict
+
     output.mkdir(parents=True, exist_ok=True)
     params = nn.fuse_bn(model.encoder, model.params["encoder"])
-    flat = {}
+    state = export_state_dict(model.encoder, params)
 
-    def walk_tree(tree, prefix):
-        for k, v in tree.items():
-            key = f"{prefix}.{k}" if prefix else k
-            if isinstance(v, dict):
-                walk_tree(v, key)
-            else:
-                flat[key] = np.asarray(v, np.float32)
+    for name, arr in state.items():
+        if tensor_format == "npy":
+            np.save(output / f"{name}.npy", arr)
+        else:
+            save_tensor(output, name, arr)
 
-    walk_tree(params, "encoder")
-    for name, arr in flat.items():
-        np.save(output / f"{name}.npy", arr)
+    order = _clamp_order_map(model.encoder)
+    if any(k != v for k, v in order.items()):
+        ext = "npy" if tensor_format == "npy" else "tensor"
+        for name in state:
+            head = name.split(".")[0]
+            new = order.get(head, head)
+            if new != head:
+                shutil.move(output / f"{name}.{ext}",
+                            output / f"{name.replace(head, new, 1)}.{ext}")
 
     cfg = clean_config(dict(config))
     if "encoder" in cfg and isinstance(cfg["encoder"], dict):
         cfg["encoder"] = reorder_layers_without_clamp(cfg["encoder"])
     save_config(cfg, output / "config.toml")
-    sys.stderr.write(f"> exported {len(flat)} tensors to {output}\n")
+    sys.stderr.write(f"> exported {len(state)} tensors to {output}\n")
 
 
 def main(args):
@@ -127,8 +131,9 @@ def main(args):
         config = model.config
     output = Path(args.output or args.model_directory)
 
-    if args.format == "dorado":
-        export_to_dorado(model, config, output)
+    if args.format in ("dorado", "npy"):
+        export_to_dorado(model, config, output,
+                         tensor_format="npy" if args.format == "npy" else "tensor")
     elif args.format == "torch":
         import torch
         output.mkdir(parents=True, exist_ok=True)
@@ -149,5 +154,5 @@ def argparser():
                         help="config file to read settings from "
                              "(default: the model dir's config.toml)")
     parser.add_argument("--format", default="dorado",
-                        choices=("dorado", "torch"))
+                        choices=("dorado", "npy", "torch"))
     return parser

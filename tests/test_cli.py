@@ -42,16 +42,12 @@ class TestCLI:
 
 
 class TestExportDorado:
-    def test_dorado_export_roundtrip_config(self, tmp_path):
-        """dorado export: per-tensor npy files, BN fused away, Clamp
-        stripped from the serialized encoder."""
+    def _make_model_dir(self, tmp_path):
         import jax
-        import numpy as np
         from bonito_tpu.checkpoint import save_params
-        from bonito_tpu.config import load_config, save_config
+        from bonito_tpu.config import save_config
         from bonito_tpu.crf.model import Model
         from bonito_tpu.models import lstm_crf_config
-        from bonito_tpu.cli import export as export_cli
 
         cfg = lstm_crf_config(features=32, num_layers=2, state_len=2,
                               stride=5)
@@ -60,18 +56,91 @@ class TestExportDorado:
         save_config(cfg, mdir / "config.toml")
         m = Model(cfg)
         save_params(mdir / "weights_1.npz", m.init(jax.random.PRNGKey(0)))
+        return mdir, m
+
+    def test_npy_export_roundtrip_config(self, tmp_path):
+        """npy export: per-tensor npy files in torch state-dict naming,
+        BN fused away, Clamp stripped from the serialized encoder."""
+        from bonito_tpu.config import load_config
+        from bonito_tpu.cli import export as export_cli
+
+        mdir, _ = self._make_model_dir(tmp_path)
+        out = tmp_path / "exported"
+        args = export_cli.argparser().parse_args(
+            [str(mdir), "--output", str(out), "--format", "npy"])
+        export_cli.main(args)
+
+        tensors = sorted(p.name for p in out.glob("*.npy"))
+        assert any("rnn.weight_ih_l0" in t for t in tensors)
+        assert not any(".norm." in t for t in tensors)  # BN fused
+        cfg2 = load_config(out / "config.toml")
+        types = [l["type"] for l in cfg2["encoder"]["sublayers"]]
+        assert "clamp" not in types
+
+    def test_dorado_export_libtorch_tensor_roundtrip(self, tmp_path):
+        """dorado export writes libtorch-scripted .tensor archives
+        (reference: cli/export.py:18-26): each must load with
+        torch.jit.load and round-trip the tensor bit-exactly in the
+        reference's layout (torch [out, in] / conv [out, in, k])."""
+        import numpy as np
+        import torch
+        from bonito_tpu.cli import export as export_cli
+
+        mdir, m = self._make_model_dir(tmp_path)
+        out = tmp_path / "exported"
+        args = export_cli.argparser().parse_args(
+            [str(mdir), "--output", str(out), "--format", "dorado"])
+        export_cli.main(args)
+
+        tensors = {p.stem: p for p in out.glob("*.tensor")}
+        assert any("rnn.weight_ih_l0" in t for t in tensors)
+        assert not any(".norm." in t for t in tensors)  # BN fused
+
+        # pick an LSTM input weight: ours is [C, 4H]; torch layout [4H, C]
+        name = next(t for t in tensors if t.endswith("rnn.weight_ih_l0"))
+        layer_idx = name.split(".")[0]
+        loaded = torch.jit.load(str(tensors[name]))
+        arr = dict(loaded.named_parameters())["0"].detach().numpy()
+        ours = np.asarray(
+            m.params["encoder"][layer_idx]["w_ih"], np.float32)
+        assert arr.shape == ours.T.shape
+        np.testing.assert_array_equal(arr, ours.T)
+
+        # every exported tensor is a loadable scripted archive
+        for path in tensors.values():
+            torch.jit.load(str(path))
+
+    def test_dorado_export_transformer_family(self, tmp_path):
+        """sup-family export: transformer layers (wqkv/out_proj/ff/norms),
+        upsample and CRF head all reach the state dict with reference
+        torch key names (reference: cli/export.py:62-66)."""
+        import jax
+        import torch
+        from bonito_tpu.checkpoint import save_params
+        from bonito_tpu.config import save_config
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model as TModel
+        from bonito_tpu.cli import export as export_cli
+
+        cfg = transformer_crf_config(
+            d_model=32, nhead=2, depth=2, dim_feedforward=64,
+            attn_window=(7, 8), state_len=2, conv_stride=4)
+        mdir = tmp_path / "model"
+        mdir.mkdir()
+        save_config(cfg, mdir / "config.toml")
+        m = TModel(cfg)
+        save_params(mdir / "weights_1.npz", m.init(jax.random.PRNGKey(0)))
 
         out = tmp_path / "exported"
         args = export_cli.argparser().parse_args(
             [str(mdir), "--output", str(out), "--format", "dorado"])
         export_cli.main(args)
 
-        tensors = sorted(p.name for p in out.glob("*.npy"))
-        assert any("w_ih" in t for t in tensors)
-        assert not any(".norm." in t for t in tensors)  # BN fused
-        cfg2 = load_config(out / "config.toml")
-        types = [l["type"] for l in cfg2["encoder"]["sublayers"]]
-        assert "clamp" not in types
+        names = {p.stem for p in out.glob("*.tensor")}
+        assert any("self_attn.Wqkv.weight" in n for n in names)
+        assert any("ff.fc1.weight" in n for n in names)
+        assert any("conv.weight" in n for n in names)
+        torch.jit.load(str(next(iter(out.glob("*.tensor")))))
 
 
 class TestDownloadTableParity:
