@@ -36,6 +36,19 @@ from bonito_tpu.crf.seqdist import Log, Max
 NEG = -1e30
 
 
+def _sub_batch(n_states):
+    """Batch rows per decode-kernel launch. The kernels' VMEM working set
+    scales with S*N; the hac-validated plane is S=1024 x N=128. Smaller
+    state spaces take proportionally wider batches per program — at fast
+    shapes (S=64, batch 1024) one N=1024 launch measured 7.4 ms vs 9.4 ms
+    for 8x N=128 launches (per-program pipeline overhead, v5e)."""
+    import os
+    env = os.environ.get("BONITO_TPU_DECODE_SUB_BATCH")
+    if env:
+        return int(env)
+    return max(128, min(1024, 128 * 1024 // max(n_states, 1)))
+
+
 def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
     """Raw scores [N, T, C] -> {sequence, qstring, moves} per-frame arrays.
     Dispatches to the Pallas kernels when shapes allow, else the lax.scan
@@ -51,7 +64,7 @@ def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
         from bonito_tpu.ops import decode_pallas
         if decode_pallas.supported(seqdist, scores):
             N = scores.shape[0]
-            sub = int(os.environ.get("BONITO_TPU_DECODE_SUB_BATCH", 128))
+            sub = _sub_batch(seqdist.n_states)
             if N > sub:
                 # ragged tail (e.g. 192 = 128 + 64) is fine: the kernels
                 # only need N % 8 == 0, which `supported` already checked
@@ -116,7 +129,7 @@ def viterbi_decode_head(seqdist, head, qscale=1.0, qbias=0.0):
         from bonito_tpu.ops import decode_pallas
         if decode_pallas.supported_tcn_fused(
                 seqdist, head.h_tcn, head.wT, head.blank):
-            sub = int(os.environ.get("BONITO_TPU_DECODE_SUB_BATCH", 128))
+            sub = _sub_batch(seqdist.n_states)
 
             def run(h):
                 return decode_pallas.viterbi_decode_tcn_fused(
@@ -151,7 +164,7 @@ def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
     if not os.environ.get("BONITO_TPU_NO_PALLAS"):
         from bonito_tpu.ops import decode_pallas
         if decode_pallas.supported_tcn(seqdist, moves_tcn, blank_score):
-            sub = int(os.environ.get("BONITO_TPU_DECODE_SUB_BATCH", 128))
+            sub = _sub_batch(seqdist.n_states)
             if N > sub:
                 parts = [
                     decode_pallas.viterbi_decode_tcn(

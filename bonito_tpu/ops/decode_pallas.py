@@ -637,10 +637,10 @@ def supported_tcn(seqdist, moves_tcn, blank_score, require_tpu=True):
     )
 
 
-@partial(jax.jit, static_argnames=("seqdist", "blank_score", "qscale",
+@partial(jax.jit, static_argnames=("seqdist", "blank_score", "block_k", "qscale",
                                    "qbias", "interpret"))
 def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
-                       qbias=0.0, interpret=False):
+                       qbias=0.0, interpret=False, block_k=None):
     """moves_tcn: [T, nb*nb*R, N] move scores in (b, j, r) row order
     (Model.forward_tcn's output); stay scores are the constant
     ``blank_score``. Bit-identical math to viterbi_decode_pallas."""
@@ -650,7 +650,7 @@ def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
     T, Cm, N = moves_tcn.shape
     blank = float(blank_score)
 
-    K = _block_k(S, N, nb)
+    K = block_k or _block_k(S, N, nb)
     pad = (-T) % K
     if pad:
         moves_tcn = jnp.concatenate(

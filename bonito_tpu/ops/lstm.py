@@ -65,7 +65,17 @@ def lstm(x, w_ih, w_hh, b, reverse=False):
     if os.environ.get("BONITO_TPU_NO_PALLAS"):
         return lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
     try:
-        from bonito_tpu.ops.lstm_pallas import lstm_pallas, supported
+        from bonito_tpu.ops.lstm_pallas import (
+            lstm_pallas, lstm_pallas_fused, supported, supported_fused)
+        # Small-H models (fast, H=96) are HBM-bound on the materialised
+        # [T, N, 4H] gate-input stream, not on the recurrence matmul:
+        # computing the input projection in-kernel cut the 5-layer stack
+        # 26.4 -> 18.1 ms at batch 1024 (measured, v5e). For large H
+        # (hac, 1024) the serial recurrence matmul dominates and the
+        # standalone XLA projection overlaps better — keep it there.
+        if (supported_fused(x, w_hh)
+                and os.environ.get("BONITO_TPU_LSTM_FUSED", "1") != "0"):
+            return lstm_pallas_fused(x, w_ih, w_hh, b, reverse=reverse)
         if supported(x, w_hh):  # includes TPU-backend gate
             return lstm_pallas(x, w_ih, w_hh, b, reverse=reverse)
     except ImportError:

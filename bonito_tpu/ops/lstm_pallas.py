@@ -469,6 +469,126 @@ def lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
     return jnp.swapaxes(out, 0, 1)
 
 
+def _lstm_kernel_fused(K, descending, x_ref, wih_ref, whh_ref, b_ref,
+                       out_ref, h_ref, c_ref):
+    """Input projection computed in-kernel: the [T, N, 4H] gate-input
+    tensor never exists in HBM. For small-H models (fast, H=96) the step
+    is HBM-stream-bound on that tensor (~2.5 GB/layer write+read at batch
+    1024), not compute-bound — measured 5.3 ms/layer vs ~1.1 ms of MXU
+    work. The per-block projection ([K*N, Hin] @ [Hin, 4H]) is one MXU
+    matmul off the serial chain; only h @ W_hh stays per-step."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    H = whh_ref.shape[0]
+    _, N, Hin = x_ref.shape
+    xb = x_ref[...].reshape(K * N, Hin)
+    xw = jax.lax.dot_general(
+        xb, wih_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xw = xw + b_ref[...].astype(jnp.float32)
+    xw = xw.reshape(K, N, 4 * H)
+
+    h = h_ref[...]
+    c = c_ref[...]
+    rows = range(K - 1, -1, -1) if descending else range(K)
+    for k in rows:
+        h, c = _lstm_step(h, c, xw[k], whh_ref, H)
+        out_ref[k] = h.astype(out_ref.dtype)
+    c_ref[...] = c
+    h_ref[...] = h
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret", "block_k",
+                                   "pad_lanes"))
+def lstm_pallas_fused(x, w_ih, w_hh, b, reverse=False, interpret=False,
+                      block_k=8, pad_lanes=False):
+    """Fused input-projection + recurrence. x: [N, T, C] -> [N, T, H].
+    Streams x in and h out only (the xw tensor lives in VMEM per block).
+    ``pad_lanes`` lane-pads H to 128 (needed only if Mosaic rejects the
+    compact H; H=96 keeps gates at 4H=384 lanes = 3x128, exactly tiled)."""
+    N, T, C = x.shape
+    H = w_hh.shape[0]
+    dtype = x.dtype
+
+    H_orig = H
+    if pad_lanes:
+        Hp = -(-H // 128) * 128
+        if Hp != H:
+            w_hh, b_p = _pad_gates(w_hh, b, H, Hp)
+            w_ih = jnp.pad(w_ih.reshape(C, 4, H),
+                           ((0, 0), (0, 0), (0, Hp - H))).reshape(C, 4 * Hp)
+            b = b_p
+            H = Hp
+
+    if b is None:
+        b = jnp.zeros((4 * H,), jnp.float32)
+    b = b.astype(jnp.float32).reshape(1, 4 * H)
+
+    xt = jnp.swapaxes(x, 0, 1)  # [T, N, C] time-major
+    K = block_k
+    pad = (-T) % K
+    if pad:
+        zeros = jnp.zeros((pad, N, C), dtype)
+        xt = (jnp.concatenate([zeros, xt], axis=0) if reverse
+              else jnp.concatenate([xt, zeros], axis=0))
+    Tp = T + pad
+    G = Tp // K
+
+    if reverse:
+        index = lambda g: (G - 1 - g, 0, 0)
+    else:
+        index = lambda g: (g, 0, 0)
+
+    out = pl.pallas_call(
+        partial(_lstm_kernel_fused, K, reverse),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((K, N, C), index),
+            pl.BlockSpec((C, 4 * H), lambda g: (0, 0)),
+            pl.BlockSpec((H, 4 * H), lambda g: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, N, H), index),
+        out_shape=jax.ShapeDtypeStruct((Tp, N, H), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((N, H), jnp.float32),
+            pltpu.VMEM((N, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, w_ih.astype(dtype), w_hh.astype(dtype), b)
+
+    if pad:
+        out = out[pad:] if reverse else out[:T]
+    out = jnp.swapaxes(out, 0, 1)
+    if H_orig != H:
+        out = out[..., :H_orig]
+    return out
+
+
+def supported_fused(x, w_hh, require_tpu=True, block_k=8):
+    """Gate for the fused input-projection kernel: small-H models where
+    the xw HBM stream (not the recurrence matmul) dominates. H and C must
+    tile into sublanes; the VMEM budget must fit the per-block f32 xw."""
+    if require_tpu and jax.default_backend() != "tpu":
+        return False
+    N, T, C = x.shape
+    H = w_hh.shape[0]
+    if H > 256 or H % 8 != 0 or C % 8 != 0 or N % 8 != 0:
+        return False
+    itemsize = 2 if x.dtype in (jnp.bfloat16, jnp.float16) else 4
+    xw_bytes = block_k * N * 4 * H * 4
+    stream = 2 * block_k * N * (C + H) * itemsize
+    weights = (C + H) * 4 * H * itemsize + 4 * H * 4
+    return xw_bytes + stream + weights + 2 * N * H * 4 < 90 * 1024 * 1024
+
+
 def supported(x, w_hh, require_tpu=True):
     """Shape gate for the fused kernel: lane-aligned hidden size and a
     VMEM budget that fits W_hh + stream buffers."""

@@ -201,6 +201,48 @@ class TestLSTMHPadding:
                                    rtol=1e-5, atol=1e-5)
 
 
+class TestLSTMFusedInputProjection:
+    """lstm_pallas_fused: the input projection computed in-kernel (the
+    small-H production route — the [T, N, 4H] gate-input tensor never
+    exists in HBM; measured 26.4 -> 18.1 ms for the fast 5-layer stack)."""
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    @pytest.mark.parametrize("pad_lanes", [False, True])
+    def test_matches_scan(self, reverse, pad_lanes):
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas_fused
+        C, H = 96, 96
+        N, T = 8, 21  # T not a multiple of block_k: exercises padding
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(30), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(31), (N, T, C))
+        ref = lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
+        out = lstm_pallas_fused(x, w_ih, w_hh, b, reverse=reverse,
+                                interpret=True, block_k=8,
+                                pad_lanes=pad_lanes)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_no_bias(self):
+        from bonito_tpu.ops.lstm_pallas import lstm_pallas_fused
+        C = H = 32
+        w_ih, w_hh, _ = _params(jax.random.PRNGKey(32), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(33), (8, 16, C))
+        ref = lstm_scan(x, w_ih, w_hh, None)
+        out = lstm_pallas_fused(x, w_ih, w_hh, None, interpret=True,
+                                block_k=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_supported_gate(self):
+        from bonito_tpu.ops.lstm_pallas import supported_fused
+        x = jnp.zeros((1024, 1200, 96), jnp.bfloat16)
+        assert supported_fused(x, jnp.zeros((96, 384)), require_tpu=False)
+        # hac-size H stays on the standalone-projection kernel
+        xh = jnp.zeros((128, 1666, 1024), jnp.bfloat16)
+        assert not supported_fused(xh, jnp.zeros((1024, 4096)),
+                                   require_tpu=False)
+
+
 class TestLSTMInt8FullCell:
     """int8 input projection (dynamic activation scale) + int8 recurrence."""
 
