@@ -33,4 +33,28 @@ def main():
         sub.set_defaults(func=mod.main)
 
     args = parser.parse_args()
+    enable_compile_cache()
     args.func(args)
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache for every CLI tool: the hac
+    basecall step costs ~14 s to compile per process (measured, v5e);
+    the cache makes every run after the first skip it. Same knob
+    bench.py sets; override the location with JAX_COMPILATION_CACHE_DIR
+    or disable with BONITO_TPU_NO_COMPILE_CACHE=1."""
+    import os
+    if os.environ.get("BONITO_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+    path = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "bonito_tpu_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every compile, not only the slow ones (the default gates
+        # on a 1 s floor and misses the many small decode/stitch jits)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimisation; never fail the tool over it

@@ -57,17 +57,17 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
             # prep-free decode layout: the head emits move scores directly
             # in [T, moves, N] with stay = const blank_score, skipping the
             # [N, T, C] scores tensor and its decode-side transposes
-            from bonito_tpu.ops.decode import (viterbi_decode_head,
+            from bonito_tpu.ops.decode import (use_fused_head,
+                                               viterbi_decode_head,
                                                viterbi_decode_tcn)
-            import os
-            # fused-head decode (head matmul inside the Viterbi kernels)
-            # is opt-in: on-chip it is a wash for hac and 24% SLOWER for
-            # sup, and its in-kernel bf16 matmul diverges from the XLA
-            # head numerics (DESIGN.md negative results, round 2)
+            # fused-head decode (head matmul inside the Viterbi kernels):
+            # default for the small fast state space only — on-chip it is
+            # a wash for hac and 24% SLOWER for sup, and its in-kernel
+            # bf16 matmul diverges from the XLA head numerics (DESIGN.md
+            # negative results, round 2; BONITO_TPU_FUSED_HEAD overrides)
             head = (model.forward_tcn_head(params, xc)
                     if hasattr(model, "forward_tcn_head")
-                    and os.environ.get("BONITO_TPU_FUSED_HEAD", "0")
-                    not in ("", "0")
+                    and use_fused_head(model.seqdist)
                     else None)
             if head is not None:
                 # fused-head kernels: the move tensor never touches HBM

@@ -49,6 +49,19 @@ def _sub_batch(n_states):
     return max(128, min(1024, 128 * 1024 // max(n_states, 1)))
 
 
+def use_fused_head(seqdist):
+    """Default route choice for the fused-head decode kernels. Measured
+    on v5e (round 2/3): in-kernel head matmul wins only for the tiny fast
+    state space (217 vs 209 Msamples/s — its move-tensor stream dominates
+    the decode); it is a wash for hac and 24% slower for sup (the matmul
+    computed twice costs more than the stream saves — DESIGN.md)."""
+    import os
+    env = os.environ.get("BONITO_TPU_FUSED_HEAD")
+    if env is not None:
+        return env not in ("", "0")
+    return seqdist.n_states <= 128
+
+
 def viterbi_decode(seqdist, scores, qscale=1.0, qbias=0.0):
     """Raw scores [N, T, C] -> {sequence, qstring, moves} per-frame arrays.
     Dispatches to the Pallas kernels when shapes allow, else the lax.scan

@@ -96,7 +96,47 @@ class TestItemMaps:
         assert out == [(1, "a"), (2, "b")]
 
 
-class TestErrorPropagation:
+def _boom_on_zero(v):
+    if v == 0:
+        raise ValueError("first item exploded")
+    import time
+    time.sleep(0.005)
+    return v
+
+
+class TestFailFast:
+    """A worker exception must abort the stream immediately — not after
+    every remaining item is processed (round-2 VERDICT weak #6)."""
+
+    def test_process_map_aborts_upstream_early(self):
+        fed = []
+
+        def items():
+            for i in range(100_000):
+                fed.append(i)
+                yield (i, i)
+
+        gen = process_map(_boom_on_zero, items(), n_proc=2, maxsize=2)
+        with pytest.raises(RuntimeError, match="process_map worker failed"):
+            list(gen)
+        # upstream feeding stopped near the failure, not at end-of-stream
+        assert len(fed) < 1000
+
+    def test_thread_map_aborts_upstream_early(self):
+        fed = []
+
+        def items():
+            for i in range(100_000):
+                fed.append(i)
+                yield (i, i)
+
+        gen = thread_map(_boom_on_zero, items(), n_thread=2, maxsize=2)
+        with pytest.raises(ValueError, match="first item exploded"):
+            list(gen)
+        assert len(fed) < 1000
+
+
+class TestProducerErrorPropagation:
     def test_thread_iter_reraises_producer_exception(self):
         from bonito_tpu.pipeline import thread_iter
 
