@@ -162,6 +162,44 @@ def compute_fused_head_case():
     }
 
 
+GOLDEN_HAC = Path(__file__).parent / "golden" / "hac_shipped_shape.json"
+
+
+def compute_hac_shipped_case():
+    """Shipped hac-v4.3 geometry (1024 features, state_len 5, stride 6,
+    Clamp head): fixed-seed decode via the production TCN route — pins
+    decode semantics at the REAL state-space size (S=1024), not just the
+    S=16 toys (round-3 VERDICT item 4)."""
+    from bonito_tpu.crf.model import Model
+    from bonito_tpu.models import lstm_crf_config
+    from bonito_tpu.ops.decode import to_str, viterbi_decode_tcn
+
+    cfg = lstm_crf_config(scaling_strategy="quantile")  # shipped defaults
+    model = Model(cfg)
+    model.init(jax.random.PRNGKey(99))
+    split = model.decode_head()
+    _, (crf_name, _), _ = split
+    model.params["encoder"][crf_name]["w"] = (
+        model.params["encoder"][crf_name]["w"] * 5)  # 183/200 moves: a mix
+    rng = np.random.default_rng(99)
+    signal = rng.normal(size=(2, 600)).astype(np.float32)
+    mv, blank = model.forward_tcn(model.params, jnp.asarray(signal)[..., None])
+    out = viterbi_decode_tcn(model.seqdist, mv, blank,
+                             qscale=1.05, qbias=0.2)
+    return {
+        "sequences": [to_str(s) for s in np.asarray(out["sequence"])],
+        "qstrings": [to_str(q, qstring=True)
+                     for q in np.asarray(out["qstring"])],
+    }
+
+
+class TestGoldenHacShippedShape:
+    def test_hac_shipped_shape_matches_golden(self):
+        got = compute_hac_shipped_case()
+        want = json.loads(GOLDEN_HAC.read_text())
+        assert got == want
+
+
 class TestGoldenInt8:
     def test_int8_decode_matches_golden(self):
         got = compute_int8_case()
@@ -215,3 +253,5 @@ if __name__ == "__main__":
     print(f"wrote {GOLDEN_INT8}")
     GOLDEN_FUSED.write_text(json.dumps(compute_fused_head_case(), indent=1))
     print(f"wrote {GOLDEN_FUSED}")
+    GOLDEN_HAC.write_text(json.dumps(compute_hac_shipped_case(), indent=1))
+    print(f"wrote {GOLDEN_HAC}")
