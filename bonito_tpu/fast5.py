@@ -15,7 +15,8 @@ from pathlib import Path
 
 import numpy as np
 
-from bonito_tpu.reader import Read as BaseRead, apply_standardisation
+from bonito_tpu.reader import Read as BaseRead
+from bonito_tpu.signal import apply_standardisation
 from bonito_tpu.pipeline import process_map
 
 

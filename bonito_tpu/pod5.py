@@ -31,7 +31,8 @@ from pathlib import Path
 import numpy as np
 
 from bonito_tpu import native
-from bonito_tpu.reader import Read as BaseRead, apply_standardisation
+from bonito_tpu.reader import Read as BaseRead
+from bonito_tpu.signal import apply_standardisation
 
 _SIGNATURE = b"\x8bPOD\r\n\x1a\n"
 _ARROW_START = b"ARROW1\x00\x00"

@@ -1,10 +1,10 @@
 """
-Format-agnostic signal reading: directory probing, the Read record type,
-signal trim and normalisation.
+Format-agnostic signal reading: directory probing, the Read record
+type and its SAM metadata, read chunking for --save-ctc. Signal trim
+and normalisation live in bonito_tpu.signal.
 
-Trim heuristic and quantile/pa normalisation are bit-compatible with the
-reference (bonito/reader.py:122-166) — these feed directly into basecall
-output so their arithmetic must match exactly.
+The @RG/tag schema constants are the reference's
+(bonito/reader.py:59-86) — BAM equality requires them verbatim.
 """
 
 import sys
@@ -12,18 +12,8 @@ from glob import iglob
 from collections import OrderedDict
 from importlib import import_module
 
-import numpy as np
 
 __formats__ = ["pod5", "fast5"]
-
-# kit-14 DNA quantile normalisation defaults (reference: bonito/reader.py:18-21)
-__default_norm_params__ = {
-    "quantile_a": 0.2,
-    "quantile_b": 0.9,
-    "shift_multiplier": 0.51,
-    "scale_multiplier": 0.53,
-}
-
 
 class Reader:
     """Probe a directory for pod5/fast5 and dispatch to the backend."""
@@ -143,68 +133,3 @@ def read_chunks(read, chunksize=4000, overlap=400):
     n = (len(signal) - chunksize) // step + 1
     for i in range(n):
         yield ReadChunk(read, signal[i * step:i * step + chunksize], i + 1, n)
-
-
-def trim(signal, window_size=40, threshold=2.4, min_trim=10, min_elements=3,
-         max_samples=8000, max_trim=0.3):
-    """Signal-start trim heuristic (bit-identical to bonito/reader.py:122-139)."""
-    seen_peak = False
-    num_windows = min(max_samples, len(signal)) // window_size
-
-    for pos in range(num_windows):
-        start = pos * window_size + min_trim
-        end = start + window_size
-        window = signal[start:end]
-        if len(window[window > threshold]) > min_elements or seen_peak:
-            seen_peak = True
-            if window[-1] > threshold:
-                continue
-            if end >= min(max_samples, len(signal)) or end / len(signal) > max_trim:
-                return min_trim
-            return end
-
-    return min_trim
-
-
-def normalisation(sig, scaling_strategy=None, norm_params=None):
-    """(shift, scale) for signal standardisation (bonito/reader.py:142-166)."""
-    if scaling_strategy and scaling_strategy.get("strategy") == "pa":
-        if norm_params and norm_params.get("standardise") == 1:
-            shift = norm_params.get("mean")
-            scale = norm_params.get("stdev")
-        elif norm_params and norm_params.get("standardise") == 0:
-            shift = 0.0
-            scale = 1.0
-        else:
-            raise ValueError(
-                "Picoampere scaling requested, but standardisation flag "
-                "not provided")
-    elif scaling_strategy is None or scaling_strategy.get("strategy") == "quantile":
-        if norm_params is None:
-            norm_params = __default_norm_params__
-        qa, qb = np.quantile(
-            sig, [norm_params["quantile_a"], norm_params["quantile_b"]])
-        shift = max(10, norm_params["shift_multiplier"] * (qa + qb))
-        scale = max(1.0, norm_params["scale_multiplier"] * (qb - qa))
-    else:
-        raise ValueError(
-            f"Scaling strategy {scaling_strategy.get('strategy')} not "
-            "supported; choose quantile or pa.")
-    return shift, scale
-
-
-def apply_standardisation(read, scaled, scaling_strategy=None,
-                          norm_params=None, do_trim=True):
-    """Common tail of every backend's Read init: normalise + trim + slice."""
-    read.scaling_strategy = (
-        "quantile" if scaling_strategy is None
-        else scaling_strategy.get("strategy", "quantile"))
-    read.shift, read.scale = normalisation(scaled, scaling_strategy, norm_params)
-    read.trimmed_samples = (
-        trim(scaled, threshold=read.scale * 2.4 + read.shift) if do_trim else 0)
-    read.template_start = read.start + read.trimmed_samples / read.sample_rate
-    read.template_duration = (
-        read.duration - read.trimmed_samples / read.sample_rate)
-    read.signal = (scaled[read.trimmed_samples:] - read.shift) / read.scale
-    read.num_samples = len(scaled)
-    return read
