@@ -181,6 +181,36 @@ class TestTransformerTraining:
         assert float(gnorm) > 0
 
 
+class TestRematParity:
+    def test_remat_grads_match_plain(self, monkeypatch):
+        """BONITO_TPU_REMAT (opt-in memory-for-flops trade) must not
+        change gradients — jax.checkpoint recomputes identical values."""
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+
+        cfg = transformer_crf_config(
+            d_model=32, nhead=2, depth=2, dim_feedforward=64,
+            attn_window=(7, 8), state_len=2, conv_stride=4)
+        model = Model(cfg)
+        model.init(jax.random.PRNGKey(3))
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 128, 1)), jnp.float32)
+
+        def loss(params):
+            mv, _ = model.forward_tcn(params, x,
+                                      {"train": True, "updates": {}})
+            return jnp.sum(mv.astype(jnp.float32) ** 2) * 1e-3
+
+        monkeypatch.delenv("BONITO_TPU_REMAT", raising=False)
+        g_plain = jax.grad(loss)(model.params)
+        monkeypatch.setenv("BONITO_TPU_REMAT", "1")
+        g_remat = jax.grad(loss)(model.params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            g_plain, g_remat)
+
+
 class TestFusedRotaryAttention:
     def test_fused_matches_unfused(self):
         from bonito_tpu.ops.attention_pallas import (
