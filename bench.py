@@ -10,7 +10,7 @@ Viterbi decode). Prints ONE JSON line:
 
 vs_baseline is against the 1 Gsamples/s/chip north-star from BASELINE.md.
 
-Env knobs: BENCH_MODEL=hac|fast|sup|train, BENCH_BATCH, BENCH_CHUNK,
+Env knobs: BENCH_MODEL=hac|fast|sup|train|suptrain, BENCH_BATCH, BENCH_CHUNK,
 BENCH_ITERS, BENCH_QUANT=1 (int8 projections — hac default; opt-in for
 sup), BENCH_FUSED_HEAD=1 (opt into the fused-head decode route — on-chip
 it is a wash for hac and slower for sup; see DESIGN.md negative results).
@@ -168,18 +168,28 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
     return batchsize * chunksize * iters / dt
 
 
-def bench_train(batchsize, chunksize, iters):
+def bench_train(batchsize, chunksize, iters, kind="hac"):
     import jax
     import jax.numpy as jnp
     import optax
     from __graft_entry__ import _build_model
     from bonito_tpu.training import make_train_step
 
-    model = _build_model()
-    chunksize = chunksize or 6000
-    # batch 128 measured best on v5e (64: 2.50, 96: 2.70, 128: 2.75,
-    # 192: 2.63 Msamples/s) — the LSTM recurrence latency amortises
-    batchsize = batchsize or 128
+    if kind == "sup":
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+        model = Model(transformer_crf_config())
+        model.init(jax.random.PRNGKey(0))
+        # measured knee (v5e): batch 32 at the shipped chunk 12288 =
+        # 2.07 Msamples/s (chunk 6000: 1.39; batch 16: 1.74)
+        chunksize = chunksize or 12288
+        batchsize = batchsize or 32
+    else:
+        model = _build_model()
+        chunksize = chunksize or 6000
+        # batch 128 measured best on v5e (64: 2.50, 96: 2.70, 128: 2.75,
+        # 192: 2.63 Msamples/s) — the LSTM recurrence latency amortises
+        batchsize = batchsize or 128
     chunksize -= chunksize % model.stride
 
     tx = optax.adamw(2e-3)
@@ -215,11 +225,12 @@ def main():
     chunksize = int(os.environ.get("BENCH_CHUNK", 0)) or None
     iters = int(os.environ.get("BENCH_ITERS", 8))
 
-    if kind == "train":
-        sps = bench_train(batchsize, chunksize, iters)
-        metric = "hac_train_samples_per_sec"
+    if kind in ("train", "suptrain"):
+        fam = "sup" if kind == "suptrain" else "hac"
+        sps = bench_train(batchsize, chunksize, iters, kind=fam)
+        metric = f"{fam}_train_samples_per_sec"
         # fwd + bwd ~= 3x the forward matmul flops; training runs bf16
-        fps = {p: 3 * f for p, f in flops_per_sample("hac").items()}
+        fps = {p: 3 * f for p, f in flops_per_sample(fam).items()}
         quant = False
     else:
         sps = bench_basecall(kind, batchsize, chunksize, iters)
