@@ -224,7 +224,14 @@ def argparser():
     parser.add_argument("--min-qscore", default=0, type=int)
     parser.add_argument("--min-accuracy-save-ctc", default=None, type=float,
                         help="alias of --ctc-min-accuracy (reference flag)")
-    parser.add_argument("--n-proc", default=8, type=int)
+    # reader workers: leave cores for the pipeline threads + device
+    # client. Oversubscription is expensive: on a 4-core host, 8 workers
+    # measured 5.2 Msamples/s end-to-end vs 9.2 at 2 (the read/prep
+    # workers starve the dispatch/stitch/write threads)
+    import os
+    parser.add_argument(
+        "--n-proc", type=int,
+        default=max(1, min(8, (os.cpu_count() or 4) - 2)))
     parser.add_argument("--device", default=None,
                         help="accepted for reference CLI compatibility; "
                              "device selection is automatic (mesh over all "

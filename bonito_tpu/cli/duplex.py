@@ -98,7 +98,11 @@ def argparser():
     parser.add_argument("--no-header", action="store_true", default=False,
                         help="the pairs file has no header line")
     parser.add_argument("--seed", default=25, type=int)
-    parser.add_argument("--threads", default=8, type=int)
+    import os
+    # duplex consensus is host-CPU work: match the machine, don't
+    # oversubscribe it (same finding as the basecaller's --n-proc)
+    parser.add_argument("--threads", type=int,
+                        default=max(1, min(8, (os.cpu_count() or 4) - 1)))
     parser.add_argument("--alignment-threads", default=8, type=int)
     parser.add_argument("--min-qscore", default=0, type=int)
     return parser
