@@ -51,6 +51,23 @@ def build_model_dir(mdir):
     save_params(mdir / "weights_1.npz", params)
 
 
+def build_reads_pod5(rdir, n_reads, read_len):
+    import uuid
+    from bonito_tpu.pod5 import write_pod5
+    rdir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    per_file = 250
+    for fstart in range(0, n_reads, per_file):
+        reads = [{
+            "read_id": str(uuid.UUID(int=i)),
+            "signal": rng.normal(500, 40, read_len).astype(np.int16),
+            "read_number": i,
+            "calibration_offset": 10.0,
+            "calibration_scale": 1400.0 / 8192.0,
+        } for i in range(fstart, min(fstart + per_file, n_reads))]
+        write_pod5(rdir / f"batch_{fstart:06d}.pod5", reads)
+
+
 def build_reads_dir(rdir, n_reads, read_len):
     import h5py
     rdir.mkdir(parents=True, exist_ok=True)
@@ -77,12 +94,15 @@ def build_reads_dir(rdir, n_reads, read_len):
 
 
 def main():
-    mdir, rdir = WORK / "model", WORK / "reads"
+    fmt = os.environ.get("E2E_FMT", "fast5")
+    mdir = WORK / "model"
+    rdir = WORK / ("reads" if fmt == "fast5" else f"reads_{fmt}")
     if not (mdir / "weights_1.npz").exists():
         build_model_dir(mdir)
-    have = len(list(rdir.glob("*.fast5"))) * 250 if rdir.exists() else 0
+    have = len(list(rdir.glob(f"*.{fmt}"))) * 250 if rdir.exists() else 0
     if have < N_READS:
-        build_reads_dir(rdir, N_READS, READ_LEN)
+        (build_reads_dir if fmt == "fast5" else build_reads_pod5)(
+            rdir, N_READS, READ_LEN)
 
     total_samples = N_READS * READ_LEN
     env = dict(os.environ)
