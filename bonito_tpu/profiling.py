@@ -3,9 +3,15 @@ Lightweight pipeline observability (an upgrade over the reference, which
 has only a final samples/sec line — SURVEY.md §5).
 
 Set BONITO_TPU_PROFILE=1 to wrap each basecall pipeline stage in a timer
-that records items seen and the time spent blocked waiting on the
-upstream stage; a per-stage report prints at stream end. The stage whose
-downstream waits the longest is the bottleneck.
+that records, per stage: items seen, time blocked waiting on the
+upstream stage, time suspended at the yield (the consumer wasn't asking
+— i.e. blocked on DOWNSTREAM backpressure or the consumer was busy),
+and the throughput while not upstream-blocked. A stage with large
+down-wait is throttled by a LATER stage (its rate understates its
+capability by exactly that share); the bottleneck is the stage whose
+up-wait and down-wait are both small. Caveat: spans include the initial
+jit compile, so single short runs understate steady-state rates — use
+marginal-size runs for honest numbers (DESIGN.md round-3 CLI notes).
 """
 
 import atexit
@@ -24,15 +30,18 @@ class StageStats:
     def __init__(self, name):
         self.name = name
         self.items = 0
-        self.wait_s = 0.0
+        self.wait_s = 0.0       # blocked in upstream next()
+        self.down_s = 0.0       # suspended at our yield (consumer away)
         self.first = None
         self.last = None
 
     def row(self):
         span = (self.last - self.first) if self.items else 0.0
-        rate = self.items / span if span > 0 else 0.0
-        return (f"  {self.name:<12} items={self.items:<8} "
-                f"upstream-wait={self.wait_s:8.2f}s  "
+        active = max(span - self.wait_s, 0.0)
+        rate = self.items / active if active > 0 else 0.0
+        return (f"  {self.name:<12} items={self.items:<7} "
+                f"up-wait={self.wait_s:7.2f}s  "
+                f"down-wait={self.down_s:7.2f}s  "
                 f"rate={rate:8.1f}/s")
 
 
@@ -47,24 +56,26 @@ def instrument(name, iterable):
         it = iter(iterable)
         while True:
             t0 = time.perf_counter()
+            if stats.first is None:
+                stats.first = t0
             try:
                 item = next(it)
             except StopIteration:
                 return
             now = time.perf_counter()
             stats.wait_s += now - t0
-            if stats.first is None:
-                stats.first = now
             stats.last = now
             stats.items += 1
             yield item
+            stats.down_s += time.perf_counter() - now
 
     return gen()
 
 
 def _report():
     if _REPORTS:
-        sys.stderr.write("> pipeline stage profile:\n")
+        sys.stderr.write("> pipeline stage profile (rate = items per "
+                         "non-upstream-blocked second):\n")
         for s in _REPORTS:
             sys.stderr.write(s.row() + "\n")
 
