@@ -77,3 +77,30 @@ class TestFusedDecode:
         out = viterbi_decode(seqdist, jnp.asarray(scores))
         np.testing.assert_array_equal(
             np.asarray(out["sequence"])[0], np.asarray(expect, np.uint8))
+
+
+class TestRouteSelection:
+    def test_fused_head_default_by_state_space(self, monkeypatch):
+        """Fused-head decode defaults on only for small state spaces
+        (fast S=64 measured faster; hac wash, sup slower — DESIGN.md)."""
+        from bonito_tpu.crf.seqdist import CTC_CRF
+        from bonito_tpu.ops.decode import use_fused_head
+
+        monkeypatch.delenv("BONITO_TPU_FUSED_HEAD", raising=False)
+        assert use_fused_head(CTC_CRF(3, "NACGT"))       # S=64 (fast)
+        assert not use_fused_head(CTC_CRF(5, "NACGT"))   # S=1024 (hac/sup)
+        monkeypatch.setenv("BONITO_TPU_FUSED_HEAD", "1")
+        assert use_fused_head(CTC_CRF(5, "NACGT"))
+        monkeypatch.setenv("BONITO_TPU_FUSED_HEAD", "0")
+        assert not use_fused_head(CTC_CRF(3, "NACGT"))
+
+    def test_decode_sub_batch_scales_with_state_space(self, monkeypatch):
+        """Kernel launch width ~ S*N = the hac-validated VMEM plane."""
+        from bonito_tpu.ops.decode import _sub_batch
+
+        monkeypatch.delenv("BONITO_TPU_DECODE_SUB_BATCH", raising=False)
+        assert _sub_batch(1024) == 128   # hac/sup
+        assert _sub_batch(64) == 1024    # fast (capped)
+        assert _sub_batch(256) == 512
+        monkeypatch.setenv("BONITO_TPU_DECODE_SUB_BATCH", "256")
+        assert _sub_batch(64) == 256
