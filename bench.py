@@ -68,9 +68,11 @@ def flops_per_sample(kind, quant=False):
         lstm = 5 * 2 * (2 * H * 4 * H)
         head = 2 * H * S * 5
         conv = 2 * 1 * 16 * 5 + 2 * 16 * 16 * 5 + 2 * 16 * H * 19 / stride
-        bf16 = (lstm + head) / stride + conv  # fast runs bf16 (int8
-        # measured slower at these shapes — DESIGN.md round 3)
-        return {"bf16": bf16, "int8": 0.0}
+        # fast DEFAULTS to bf16 (int8 measured slower at these shapes —
+        # DESIGN.md round 3) but BENCH_QUANT=1 still runs the int8 cell
+        if quant:
+            return {"bf16": head / stride + conv, "int8": lstm / stride}
+        return {"bf16": (lstm + head) / stride + conv, "int8": 0.0}
     # hac (lstm_crf_config defaults: features 1024, stride 6, state_len 5)
     H, stride, S = 1024, 6, 1024
     lstm = 5 * 2 * (2 * H * 4 * H)   # input proj + recurrence, both int8
@@ -107,7 +109,9 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         model.init(jax.random.PRNGKey(0))
         chunksize = chunksize or 6000
         batchsize = batchsize or 1024
-        # tiny recurrences are grid-overhead-bound; 4 steps/grid measured best
+        # fast takes the fused input-projection kernel (K=8 measured
+        # best; BONITO_TPU_LSTM_FUSED_K overrides). The non-fused
+        # fallback wants K=4 at these tiny shapes:
         os.environ.setdefault("BONITO_TPU_LSTM_BLOCK_K", "4")
     else:
         from __graft_entry__ import _build_model

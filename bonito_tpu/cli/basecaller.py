@@ -151,7 +151,10 @@ def main(args):
         results, desc="> calling", unit=" reads", leave=False,
         smoothing=0, **tqdm_environ())
 
-    output_dir = args.output_dir or "."
+    # CTCWriter needs a concrete dir for its npy outputs; the Writer's
+    # summary must stay None unless --output-dir was given, or it would
+    # land in the CWD instead of next to the redirect target
+    output_dir = args.output_dir
     min_acc_ctc = (args.min_accuracy_save_ctc
                    if args.min_accuracy_save_ctc is not None
                    else args.ctc_min_accuracy)

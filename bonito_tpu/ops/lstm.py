@@ -75,7 +75,9 @@ def lstm(x, w_ih, w_hh, b, reverse=False):
         # standalone XLA projection overlaps better — keep it there.
         if (supported_fused(x, w_hh)
                 and os.environ.get("BONITO_TPU_LSTM_FUSED", "1") != "0"):
-            return lstm_pallas_fused(x, w_ih, w_hh, b, reverse=reverse)
+            return lstm_pallas_fused(
+                x, w_ih, w_hh, b, reverse=reverse,
+                block_k=int(os.environ.get("BONITO_TPU_LSTM_FUSED_K", 8)))
         if supported(x, w_hh):  # includes TPU-backend gate
             return lstm_pallas(x, w_ih, w_hh, b, reverse=reverse)
     except ImportError:

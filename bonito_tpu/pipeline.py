@@ -117,6 +117,17 @@ def _put_or_stop(q, item, stop):
                 return False
 
 
+def _get_or_stop(q, stop):
+    """Bounded get that gives up (returns None) when ``stop`` is set, so
+    idle workers don't block forever after an aborted stream."""
+    while True:
+        try:
+            return q.get(timeout=0.2)
+        except queue.Empty:
+            if stop.is_set():
+                return None
+
+
 def _drain_until_end(q, stop, end):
     """Consume ``q`` until its END sentinel (keeps the feeder unblocked
     after a worker error) or until ``stop`` aborts the stream."""
@@ -145,7 +156,9 @@ class _ThreadMapWorker(threading.Thread):
 
     def run(self):
         while True:
-            item = self.inq.get()
+            item = _get_or_stop(self.inq, self.stop)
+            if item is None:
+                return
             if isinstance(item, _End):
                 _put_or_stop(self.outq, END, self.stop)
                 return
@@ -179,17 +192,25 @@ def thread_map(fn, items, n_thread=4, maxsize=2, preserve_order=True):
     workers = [_ThreadMapWorker(fn, iq, oq, stop)
                for iq, oq in zip(inqs, outqs)]
 
+    feed_error = []
+
     def feeder():
-        i = 0
-        for item in items:
-            if stop.is_set():
-                return
-            if not _put_or_stop(inqs[i % n_thread], item, stop):
-                return
-            i += 1
-        for q in inqs:
-            if not _put_or_stop(q, END, stop):
-                return
+        try:
+            i = 0
+            for item in items:
+                if stop.is_set():
+                    return
+                if not _put_or_stop(inqs[i % n_thread], item, stop):
+                    return
+                i += 1
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            feed_error.append(e)
+        finally:
+            # always deliver END so workers drain and the consumer
+            # terminates (a raising upstream must not hang the stream)
+            for q in inqs:
+                if not _put_or_stop(q, END, stop):
+                    return
 
     def gen():
         for w in workers:
@@ -213,8 +234,13 @@ def thread_map(fn, items, n_thread=4, maxsize=2, preserve_order=True):
                         raise workers[q].error  # fail fast
                     continue
                 yield item
+            if feed_error:
+                raise feed_error[0]
         finally:
             stop.set()  # unblock feeder/workers if we exited early
+            feed.join(timeout=1.0)
+            for w in workers:
+                w.join(timeout=1.0)
 
     return gen()
 
@@ -237,7 +263,9 @@ def thread_itemmap(fn, items, n_thread=4):
 
 def _proc_worker(fn, inq, outq, stop):
     while True:
-        item = inq.get()
+        item = _get_or_stop(inq, stop)
+        if item is None:
+            return
         if item == "__END__":
             _put_or_stop(outq, "__END__", stop)
             return
@@ -276,17 +304,23 @@ def process_map(fn, items, n_proc=4, maxsize=2):
         for p in procs:
             p.start()
 
+        feed_error = []
+
         def feeder():
-            i = 0
-            for item in items:
-                if stop.is_set():
-                    return
-                if not _put_or_stop(inqs[i % n_proc], item, stop):
-                    return
-                i += 1
-            for q in inqs:
-                if not _put_or_stop(q, "__END__", stop):
-                    return
+            try:
+                i = 0
+                for item in items:
+                    if stop.is_set():
+                        return
+                    if not _put_or_stop(inqs[i % n_proc], item, stop):
+                        return
+                    i += 1
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                feed_error.append(e)
+            finally:
+                for q in inqs:
+                    if not _put_or_stop(q, "__END__", stop):
+                        return
 
         feed = threading.Thread(target=feeder, daemon=True)
         feed.start()
@@ -310,12 +344,13 @@ def process_map(fn, items, n_proc=4, maxsize=2):
                     raise RuntimeError(
                         f"process_map worker failed:\n{value}")
                 yield item
+            if feed_error:
+                raise feed_error[0]
         finally:
             stop.set()
-            if done == n_proc:  # clean end: reap the workers
-                feed.join()
-                for p in procs:
-                    p.join()
+            feed.join(timeout=1.0)
+            for p in procs:
+                p.join(timeout=1.0)
 
     return gen()
 

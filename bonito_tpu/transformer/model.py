@@ -239,7 +239,8 @@ class TransformerEncoderLayer(nn.Layer):
     def apply(self, params, x, ctx=None):
         import os
         if ctx and ctx.get("train") and (
-                ctx.get("remat") or os.environ.get("BONITO_TPU_REMAT")):
+                ctx.get("remat")
+                or os.environ.get("BONITO_TPU_REMAT", "0") not in ("", "0")):
             # OPT-IN rematerialisation under autodiff: saves only the
             # layer boundary, not the qkv/MLP intermediates
             # (~250 MB/layer at batch 32). Measured on v5e: it lets

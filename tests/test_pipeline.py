@@ -136,6 +136,27 @@ class TestFailFast:
         assert len(fed) < 1000
 
 
+class TestUpstreamErrorPropagation:
+    """A raising upstream ITERATOR must terminate the stream with the
+    error, not hang the consumer (the feeder thread previously died
+    without delivering END sentinels)."""
+
+    def _items(self):
+        yield (0, 1)
+        yield (1, 2)
+        raise OSError("corrupt input file")
+
+    def test_thread_map_upstream_raises(self):
+        gen = thread_map(_square, self._items(), n_thread=2)
+        with pytest.raises(OSError, match="corrupt input"):
+            list(gen)
+
+    def test_process_map_upstream_raises(self):
+        gen = process_map(_square, self._items(), n_proc=2)
+        with pytest.raises(OSError, match="corrupt input"):
+            list(gen)
+
+
 class TestProducerErrorPropagation:
     def test_thread_iter_reraises_producer_exception(self):
         from bonito_tpu.pipeline import thread_iter
