@@ -7,6 +7,7 @@ optional alignment stage -> writer thread; prints samples/sec at the end.
 """
 
 import inspect
+import os
 import sys
 import time
 from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
@@ -223,7 +224,8 @@ def argparser():
     parser.add_argument("--batchsize", default=None, type=int)
     parser.add_argument("--max-read-size", default=0, type=int)
     parser.add_argument("--max-reads", default=0, type=int)
-    parser.add_argument("--alignment-threads", default=8, type=int)
+    parser.add_argument("--alignment-threads", type=int,
+                        default=max(1, min(8, os.cpu_count() or 4)))
     parser.add_argument("--min-qscore", default=0, type=int)
     parser.add_argument("--min-accuracy-save-ctc", default=None, type=float,
                         help="alias of --ctc-min-accuracy (reference flag)")
@@ -231,7 +233,6 @@ def argparser():
     # client. Oversubscription is expensive: on a 4-core host, 8 workers
     # measured 5.2 Msamples/s end-to-end vs 9.2 at 2 (the read/prep
     # workers starve the dispatch/stitch/write threads)
-    import os
     parser.add_argument(
         "--n-proc", type=int,
         default=max(1, min(8, (os.cpu_count() or 4) - 2)))

@@ -19,7 +19,7 @@ import numpy as np
 
 FAMILY = sys.argv[1] if len(sys.argv) > 1 else "hac"
 N_READS = int(sys.argv[2]) if len(sys.argv) > 2 else {
-    "fast": 2000, "hac": 1500, "sup": 400}[FAMILY]
+    "fast": 2000, "hac": 1500, "sup": 400, "ctc": 1000}[FAMILY]
 READ_LEN = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
 WORK = Path(os.environ.get("E2E_DIR", f"/tmp/e2e_{FAMILY}"))
 
@@ -29,6 +29,20 @@ def build_model_dir(mdir):
     from bonito_tpu.checkpoint import save_params
     from bonito_tpu.config import save_config
 
+    if FAMILY == "ctc":
+        # conv-CTC r9.4.1 family: device log-softmax posteriors, HOST
+        # greedy/beam decode (BASELINE config #1); a random model emits
+        # mixed blanks/bases naturally, no head scaling needed
+        import jax
+        from bonito_tpu.models import get_config
+        from bonito_tpu.ctc.model import Model as CTCModel
+        cfg = get_config("dna_r9.4.1_e8_fast@v2")
+        model = CTCModel(cfg)
+        model.init(jax.random.PRNGKey(0))
+        mdir.mkdir(parents=True, exist_ok=True)
+        save_config(cfg, mdir / "config.toml")
+        save_params(mdir / "weights_1.npz", model.params)
+        return
     if FAMILY == "sup":
         from bonito_tpu.models import transformer_crf_config
         from bonito_tpu.transformer.model import Model
