@@ -122,10 +122,18 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         # by default; mirror that (BENCH_QUANT=0 to disable)
         os.environ.setdefault("BENCH_QUANT", "1")
     model.to_bf16()
-    if (os.environ.get("BENCH_QUANT", "0") not in ("", "0")
-            and hasattr(model, "quantize")):
-        model.quantize()
     chunksize -= chunksize % model.stride
+    quant_mode = os.environ.get("BENCH_QUANT", "0")
+    if quant_mode not in ("", "0") and hasattr(model, "quantize"):
+        if quant_mode == "static" and hasattr(model, "calibrate_amax"):
+            # static activation scales from one calibration batch: the
+            # dynamic per-token scales' abs-max reductions made int8
+            # SLOWER than bf16 for sup (DESIGN.md round 2)
+            rng_c = np.random.default_rng(1)
+            xcal = rng_c.normal(size=(8, chunksize, 1)).astype(np.float32)
+            model.quantize(amax=model.calibrate_amax(xcal))
+        else:
+            model.quantize()
 
     from bonito_tpu.ops.decode import viterbi_decode_tcn, viterbi_decode_head
 

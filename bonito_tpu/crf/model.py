@@ -89,25 +89,53 @@ class SeqdistModel:
         self.params = nn.cast_tree(self.params, jnp.bfloat16)
         return self
 
-    def quantize(self):
+    def quantize(self, amax=None):
         """int8-quantise every layer that exposes quantize_params: LSTM
         cells (koi update_graph(quantize=True) equivalent, reference:
         bonito/crf/model.py:240-246) and, for the transformer family,
         the attention/MLP projections. Opt-in via --quantize; the CRF
         head and upsample stay in the compute dtype (they feed the
-        decode kernels and the fused-head weight folding)."""
-        def walk_params(layer, params):
+        decode kernels and the fused-head weight folding).
+
+        ``amax`` (path-keyed dict from calibrate_amax) supplies STATIC
+        activation scales to layers that take them (the transformer
+        projections — dynamic per-token scales measured slower than
+        bf16 at sup shapes)."""
+        import inspect
+
+        def walk_params(layer, params, path):
             if hasattr(layer, "quantize_params"):
+                sig = inspect.signature(layer.quantize_params)
+                if amax and "amax" in sig.parameters:
+                    prefix = f"{path}." if path else ""
+                    local = {k[len(prefix):]: v for k, v in amax.items()
+                             if k.startswith(prefix)}
+                    return layer.quantize_params(params, amax=local)
                 return layer.quantize_params(params)
             out = dict(params)
             for name, sub in layer.sublayer_items():
                 if name in out and isinstance(out[name], dict):
-                    out[name] = walk_params(sub, out[name])
+                    out[name] = walk_params(
+                        sub, out[name], f"{path}.{name}" if path else name)
             return out
 
         self.params["encoder"] = walk_params(
-            self.encoder, self.params["encoder"])
+            self.encoder, self.params["encoder"], "encoder")
         return self
+
+    def calibrate_amax(self, x):
+        """Per-projection input abs-max from one forward over ``x``
+        [N, T, 1] — the calibration for static-scale int8 (ctx-collected
+        like BatchNorm stats; keys are ctx paths + '<proj>_amax')."""
+        import jax as _jax
+
+        @_jax.jit
+        def fwd(params, x):
+            ctx = {"calibrate": True, "updates": {}}
+            self.apply(params, x.astype(self.compute_dtype), ctx)
+            return ctx["updates"]
+
+        return {k: float(v) for k, v in fwd(self.params, x).items()}
 
     # -- forward ------------------------------------------------------------------
 

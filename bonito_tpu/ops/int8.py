@@ -14,15 +14,23 @@ import jax.numpy as jnp
 from bonito_tpu.ops.lstm_pallas import quantize_cols  # noqa: F401 (re-export)
 
 
-def matmul_int8(x, w_q, w_scales, out_dtype=None):
-    """x [..., C] @ dequant(w_q [C, F]) with per-token activation scales.
+def matmul_int8(x, w_q, w_scales, out_dtype=None, x_scale=None):
+    """x [..., C] @ dequant(w_q [C, F]) as an int8 MXU matmul with an
+    f32 rescale; out_dtype defaults to x.dtype.
 
-    Returns x @ (w_q * w_scales) computed as an int8 MXU matmul with an
-    f32 rescale; out_dtype defaults to x.dtype."""
+    Activation scale: dynamic per-token abs-max by default (safe for
+    any input), or a STATIC calibrated scalar via ``x_scale`` — on v5e
+    the dynamic reduction+rescale around every projection cost more
+    than the 2x MXU rate saved (DESIGN.md round-2 negative); a static
+    scale reduces the quantize to a round+clip."""
     xf = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
-                     1e-8) / 127.0
-    x_q = jnp.round(xf / sx).astype(jnp.int8)
+    if x_scale is None:
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        x_q = jnp.round(xf / sx).astype(jnp.int8)
+    else:
+        sx = x_scale
+        x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_q, w_q,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),

@@ -94,26 +94,36 @@ class MultiHeadAttention(nn.Layer):
             p["out_b"] = jnp.zeros((self.d_model,))
         return p
 
-    def quantize_params(self, params):
+    def quantize_params(self, params, amax=None):
         """Per-output-channel int8 qkv/out projections (opt-in via the
-        --quantize flag; attention itself stays bf16)."""
+        --quantize flag; attention itself stays bf16). ``amax`` (from
+        calibrate_amax) adds STATIC activation scales — without them the
+        projections fall back to dynamic per-token scales, which measured
+        SLOWER than bf16 at sup shapes (DESIGN.md)."""
         from bonito_tpu.ops.int8 import quantize_cols
         out = dict(params)
         for name in ("wqkv", "out_w"):
             w_q, w_s = quantize_cols(out.pop(name))
             out[name + "_q"], out[name + "_s"] = w_q, w_s
+            if amax and f"{name}_amax" in amax:
+                out[name + "_xs"] = jnp.float32(
+                    max(float(amax[f"{name}_amax"]), 1e-8) / 127.0)
         return out
 
-    def _project(self, params, name, x):
+    def _project(self, params, name, x, ctx=None):
+        if ctx is not None and ctx.get("calibrate"):
+            ctx["updates"][f"{ctx.get('path', '')}.{name}_amax"] = (
+                jnp.max(jnp.abs(x.astype(jnp.float32))))
         if name + "_q" in params:
             from bonito_tpu.ops.int8 import matmul_int8
-            return matmul_int8(x, params[name + "_q"], params[name + "_s"])
+            return matmul_int8(x, params[name + "_q"], params[name + "_s"],
+                               x_scale=params.get(name + "_xs"))
         return x @ params[name].astype(x.dtype)
 
     def apply(self, params, x, ctx=None):
         import os
         N, T, _ = x.shape
-        qkv = self._project(params, "wqkv", x)
+        qkv = self._project(params, "wqkv", x, ctx)
         if self.qkv_bias:
             qkv = qkv + params["qkv_b"].astype(x.dtype)
         qkv = qkv.reshape(N, T, 3, self.nhead, self.head_dim)
@@ -131,7 +141,7 @@ class MultiHeadAttention(nn.Layer):
                          else ap.fused_rotary_window_attention)
                 o = fused(qkv, cos, sin, self.attn_window)
                 o = o.reshape(N, T, self.d_model)
-                o = self._project(params, "out_w", o)
+                o = self._project(params, "out_w", o, ctx)
                 if self.out_bias:
                     o = o + params["out_b"].astype(x.dtype)
                 return o
@@ -144,7 +154,7 @@ class MultiHeadAttention(nn.Layer):
         o = attend(q, k, v, window=self.attn_window,
                    differentiable=train)
         o = jnp.swapaxes(o, 1, 2).reshape(N, T, self.d_model)
-        o = self._project(params, "out_w", o)
+        o = self._project(params, "out_w", o, ctx)
         if self.out_bias:
             o = o + params["out_b"].astype(x.dtype)
         return o
@@ -165,24 +175,37 @@ class GatedMlp(nn.Layer):
             "fc2": nn.lecun_normal(k2, (self.hidden, self.d_model)),
         }
 
-    def quantize_params(self, params):
+    def quantize_params(self, params, amax=None):
         from bonito_tpu.ops.int8 import quantize_cols
         out = dict(params)
         for name in ("fc1", "fc2"):
             w_q, w_s = quantize_cols(out.pop(name))
             out[name + "_q"], out[name + "_s"] = w_q, w_s
+            if amax and f"{name}_amax" in amax:
+                out[name + "_xs"] = jnp.float32(
+                    max(float(amax[f"{name}_amax"]), 1e-8) / 127.0)
         return out
 
+    def _record(self, ctx, name, x):
+        if ctx is not None and ctx.get("calibrate"):
+            ctx["updates"][f"{ctx.get('path', '')}.{name}_amax"] = (
+                jnp.max(jnp.abs(x.astype(jnp.float32))))
+
     def apply(self, params, x, ctx=None):
+        self._record(ctx, "fc1", x)
         if "fc1_q" in params:
             from bonito_tpu.ops.int8 import matmul_int8
-            y = matmul_int8(x, params["fc1_q"], params["fc1_s"])
+            y = matmul_int8(x, params["fc1_q"], params["fc1_s"],
+                            x_scale=params.get("fc1_xs"))
             y, gate = jnp.split(y, 2, axis=-1)
             y = y * jax.nn.silu(gate)
-            return matmul_int8(y, params["fc2_q"], params["fc2_s"])
+            self._record(ctx, "fc2", y)
+            return matmul_int8(y, params["fc2_q"], params["fc2_s"],
+                               x_scale=params.get("fc2_xs"))
         y = x @ params["fc1"].astype(x.dtype)
         y, gate = jnp.split(y, 2, axis=-1)
         y = y * jax.nn.silu(gate)
+        self._record(ctx, "fc2", y)
         return y @ params["fc2"].astype(x.dtype)
 
 
@@ -255,9 +278,10 @@ class TransformerEncoderLayer(nn.Layer):
 
     def _forward(self, params, x, ctx):
         a = self.deepnorm_alpha
-        h = self.self_attn.apply(params["self_attn"], x, ctx)
+        h = self.self_attn.apply(params["self_attn"], x,
+                                 nn._push_path(ctx, "self_attn"))
         x = self.norm1.apply(params["norm1"], h + a * x, ctx)
-        h = self.ff.apply(params["ff"], x, ctx)
+        h = self.ff.apply(params["ff"], x, nn._push_path(ctx, "ff"))
         x = self.norm2.apply(params["norm2"], h + a * x, ctx)
         return x
 

@@ -59,11 +59,21 @@ def main():
         return float(np.mean(accs)), float(np.median(accs))
 
     bf_mean, bf_med = score(model)
-    model.quantize()
+    orig = dict(model.params)  # quantize() reassigns params['encoder']
+    model.quantize()  # dynamic per-token activation scales
     q_mean, q_med = score(model)
-    print(f"bf16/f32 path: mean {bf_mean:.2f}% median {bf_med:.2f}%")
-    print(f"int8 path:     mean {q_mean:.2f}% median {q_med:.2f}%")
-    print(f"delta mean {q_mean - bf_mean:+.2f}")
+    model.params = orig
+    # static scales calibrated on TRAINING-distribution signal (fresh
+    # seed, not the held-out reads)
+    rng_c = np.random.default_rng(99)
+    tc = rng_c.integers(1, 5, size=(8, L)).astype(np.int32)
+    xc = jnp.asarray(signal_for(tc, rng_c, stride))[..., None]
+    model.quantize(amax=model.calibrate_amax(xc))
+    s_mean, s_med = score(model)
+    print(f"bf16/f32 path:        mean {bf_mean:.2f}% median {bf_med:.2f}%")
+    print(f"int8 dynamic scales:  mean {q_mean:.2f}% median {q_med:.2f}%")
+    print(f"int8 STATIC scales:   mean {s_mean:.2f}% median {s_med:.2f}%")
+    print(f"delta dynamic {q_mean - bf_mean:+.2f}  static {s_mean - bf_mean:+.2f}")
 
 
 if __name__ == "__main__":

@@ -181,6 +181,51 @@ class TestTransformerTraining:
         assert float(gnorm) > 0
 
 
+class TestStaticScaleInt8:
+    def test_calibrated_quantize_matches_float(self):
+        """calibrate_amax -> quantize(amax): projections carry static
+        activation scales (_xs) and the quantised forward stays close to
+        the float one (the scales cover the calibration activations)."""
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+
+        cfg = transformer_crf_config(
+            d_model=32, nhead=2, depth=2, dim_feedforward=64,
+            attn_window=(7, 8), state_len=2, conv_stride=4)
+        model = Model(cfg)
+        model.init(jax.random.PRNGKey(5))
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 128, 1)), jnp.float32)
+
+        want = np.asarray(model.forward(x), np.float32)
+        amax = model.calibrate_amax(x)
+        assert any(k.endswith("wqkv_amax") for k in amax)
+        assert any(k.endswith("fc2_amax") for k in amax)
+        model.quantize(amax=amax)
+        enc = model.params["encoder"]["transformer_encoder"]["0"]
+        assert "wqkv_xs" in enc["self_attn"]
+        assert "fc1_xs" in enc["ff"]
+        got = np.asarray(model.forward(x), np.float32)
+        # int8 quantisation error bound, not exactness
+        assert np.abs(got - want).max() < 0.35
+        corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+        assert corr > 0.999
+
+    def test_uncalibrated_quantize_stays_dynamic(self):
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model
+
+        cfg = transformer_crf_config(
+            d_model=32, nhead=2, depth=2, dim_feedforward=64,
+            attn_window=(7, 8), state_len=2, conv_stride=4)
+        model = Model(cfg)
+        model.init(jax.random.PRNGKey(5))
+        model.quantize()
+        enc = model.params["encoder"]["transformer_encoder"]["0"]
+        assert "wqkv_q" in enc["self_attn"]
+        assert "wqkv_xs" not in enc["self_attn"]
+
+
 class TestRematParity:
     def test_remat_grads_match_plain(self, monkeypatch):
         """BONITO_TPU_REMAT (opt-in memory-for-flops trade) must not
