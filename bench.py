@@ -10,10 +10,11 @@ Viterbi decode). Prints ONE JSON line:
 
 vs_baseline is against the 1 Gsamples/s/chip north-star from BASELINE.md.
 
-Env knobs: BENCH_MODEL=hac|fast|sup|train|suptrain, BENCH_BATCH, BENCH_CHUNK,
-BENCH_ITERS, BENCH_QUANT=1 (int8 projections — hac default; opt-in for
-sup), BENCH_FUSED_HEAD=1 (opt into the fused-head decode route — on-chip
-it is a wash for hac and slower for sup; see DESIGN.md negative results).
+Env knobs: BENCH_MODEL=hac|fast|sup|train|suptrain, BENCH_BATCH,
+BENCH_CHUNK, BENCH_ITERS, BENCH_QUANT=1|static (int8 — hac defaults on;
+"static" adds calibrated activation scales for the sup projections),
+BENCH_FUSED_HEAD=0|1 (override the fused-head decode route; the default
+picks it only for small state spaces — fast yes, hac wash, sup slower).
 
 NOTE: on the axon remote backend, block_until_ready returns before
 execution finishes and the host tunnel is ~75 MB/s — the only honest
