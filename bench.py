@@ -136,9 +136,8 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         else:
             model.quantize()
 
-    from bonito_tpu.ops.decode import viterbi_decode_tcn, viterbi_decode_head
-
-    from bonito_tpu.ops.decode import use_fused_head
+    from bonito_tpu.ops.decode import (use_fused_head, viterbi_decode_head,
+                                       viterbi_decode_tcn)
     fused_env = os.environ.get("BENCH_FUSED_HEAD")
     fused = (fused_env not in ("", "0") if fused_env is not None
              else use_fused_head(model.seqdist))

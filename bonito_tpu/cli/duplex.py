@@ -8,6 +8,7 @@ reader, pair iteration over worker processes, optional alignment and the
 DuplexWriter.
 """
 
+import os
 import sys
 import time
 from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
@@ -98,7 +99,6 @@ def argparser():
     parser.add_argument("--no-header", action="store_true", default=False,
                         help="the pairs file has no header line")
     parser.add_argument("--seed", default=25, type=int)
-    import os
     # duplex consensus is host-CPU work: match the machine, don't
     # oversubscribe it (same finding as the basecaller's --n-proc)
     parser.add_argument("--threads", type=int,

@@ -33,7 +33,6 @@ def build_model_dir(mdir):
         # conv-CTC r9.4.1 family: device log-softmax posteriors, HOST
         # greedy/beam decode (BASELINE config #1); a random model emits
         # mixed blanks/bases naturally, no head scaling needed
-        import jax
         from bonito_tpu.models import get_config
         from bonito_tpu.ctc.model import Model as CTCModel
         cfg = get_config("dna_r9.4.1_e8_fast@v2")
