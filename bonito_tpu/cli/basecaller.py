@@ -76,7 +76,14 @@ def main(args):
         )
     except FileNotFoundError:
         sys.stderr.write(f"> error: failed to load {args.model_directory}\n")
+        sys.stderr.write("> available models:\n")
+        for name in sorted(models):
+            sys.stderr.write(f" - {name}\n")
         sys.exit(1)
+
+    if args.verbose:
+        sys.stderr.write(
+            f"> model basecaller params: {model.config.get('basecaller')}\n")
 
     basecall = load_symbol(model.config, "basecall")
 
@@ -93,13 +100,17 @@ def main(args):
         sys.stderr.write("> loading reference\n")
         aligner = Aligner(args.reference, preset=args.mm2_preset)
 
+    if args.save_ctc and not args.reference:
+        sys.stderr.write("> a reference is needed to output ctc training data\n")
+        sys.exit(1)
+
     read_ids = column_to_set(args.read_ids)
     cancel = process_cancel()
 
     groups = []
     num_reads = None
     if fmt.name != "fastq":
-        groups = reader.get_read_groups(
+        groups, num_reads = reader.get_read_groups(
             args.reads_directory, args.model_directory,
             n_proc=8, recursive=args.recursive,
             read_ids=read_ids, skip=args.skip,
@@ -118,13 +129,19 @@ def main(args):
         cancel=cancel,
     )
 
+    if args.verbose:
+        sys.stderr.write(f"> read scaling: {model.config.get('scaling')}\n")
+
     if args.distributed:
         from bonito_tpu.parallel import host_shard_reads
         reads = host_shard_reads(reads)
+        num_reads = None  # this host only sees its shard
 
     if args.max_reads:
         from itertools import islice
         reads = islice(reads, args.max_reads)
+        if num_reads is not None:
+            num_reads = min(num_reads, args.max_reads)
 
     if args.save_ctc:
         reads = (
@@ -150,6 +167,7 @@ def main(args):
     from bonito_tpu.util import tqdm_environ
     results = tqdm(
         results, desc="> calling", unit=" reads", leave=False,
+        total=num_reads if not args.save_ctc else None,
         smoothing=0, **tqdm_environ())
 
     # CTCWriter needs a concrete dir for its npy outputs; the Writer's

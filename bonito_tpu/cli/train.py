@@ -84,14 +84,14 @@ def main(args):
 
     os.makedirs(workdir, exist_ok=True)
 
-    # workdir config embeds args + dataset metadata (reference: cli/train.py:73-78)
+    # workdir config embeds the full invocation + dataset metadata so the
+    # model dir is self-describing (reference: cli/train.py:42-44,73-78)
     config["training"] = {
-        "command": " ".join(sys.argv),
-        "directory": str(args.directory),
-        "chunks": args.chunks or len(train_loader.dataset),
-        "valid_chunks": args.valid_chunks or len(valid_loader.dataset),
-        "batch": args.batch, "epochs": args.epochs, "lr": args.lr,
+        k: (str(v) if isinstance(v, Path) else v)
+        for k, v in vars(args).items()
+        if v is not None and not callable(v)
     }
+    config["training"]["pwd"] = os.getcwd()
     # dataset.py plugins may contribute metadata fields
     # (reference: cli/train.py:74-78)
     dataset_cfg = getattr(
@@ -101,9 +101,18 @@ def main(args):
     lr_scheduler_fn = None
     if "lr_scheduler" in config:
         sched_config = dict(config["lr_scheduler"])
-        builder = getattr(schedules, sched_config.pop("type",
-                          "linear_warmup_cosine_decay"))
-        lr_scheduler_fn = builder(**sched_config)
+        if "package" in sched_config:
+            # reference configs name the builder by package/symbol
+            # (cli/train.py:80-86); map the reference package here
+            from importlib import import_module
+            package = sched_config["package"].replace(
+                "bonito.", "bonito_tpu.")
+            builder = getattr(import_module(package), sched_config["symbol"])
+            lr_scheduler_fn = builder(**sched_config)
+        else:
+            builder = getattr(schedules, sched_config.pop(
+                "type", "linear_warmup_cosine_decay"))
+            lr_scheduler_fn = builder(**sched_config)
 
     chunks_per_epoch = args.chunks or len(train_loader.dataset)
 
@@ -119,10 +128,15 @@ def main(args):
         batch_size=args.batch,
     )
 
+    # the CLI lr always wins over any [optim] lr, as in the reference
+    # (cli/train.py:100-105 + training.py:228); comma-separated values
+    # become a per-group list for pluggable optimizers
+    if "," in str(args.lr):
+        lr = [float(x) for x in str(args.lr).split(",")]
+    else:
+        lr = float(args.lr)
     optim_kwargs = dict(config.get("optim", {}))
-    lr = optim_kwargs.pop("lr", args.lr)
-    if isinstance(lr, str):
-        lr = float(lr)
+    optim_kwargs.pop("lr", None)
     trainer.fit(workdir, args.epochs, lr, **optim_kwargs)
 
 
@@ -131,15 +145,18 @@ def argparser():
         formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
     parser.add_argument("training_directory")
     group = parser.add_mutually_exclusive_group()
-    group.add_argument("--config")
+    # same default architecture as the reference (cli/train.py:114)
+    group.add_argument("--config", default="dna_r9.4.1@v3.1")
     group.add_argument("--pretrained", default="")
     parser.add_argument("--directory", type=Path, required=True)
-    parser.add_argument("--lr", default=2e-3, type=float)
+    # a string so "2e-3,1e-3" can carry per-group rates to a pluggable
+    # optimizer, as in the reference (cli/train.py:100-103)
+    parser.add_argument("--lr", default="2e-3")
     parser.add_argument("--seed", default=25, type=int)
     parser.add_argument("--epochs", default=5, type=int)
     parser.add_argument("--batch", default=64, type=int)
     parser.add_argument("--chunks", default=0, type=int)
-    parser.add_argument("--valid-chunks", default=0, type=int)
+    parser.add_argument("--valid-chunks", default=None, type=int)
     parser.add_argument("--no-amp", action="store_true", default=False)
     parser.add_argument("-f", "--force", action="store_true", default=False)
     parser.add_argument("--restore-optim", action="store_true", default=False)

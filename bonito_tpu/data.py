@@ -138,11 +138,14 @@ def load_numpy(limit, directory, valid_limit=None):
     else:
         print("[validation set not found: splitting training set]",
               file=sys.stderr)
-        split = np.floor(len(train_data[0]) * 0.97).astype(np.int32)
+        if valid_limit is None:
+            split = np.floor(len(train_data[0]) * 0.97).astype(np.int32)
+        else:
+            # an explicit --valid-chunks carves exactly that many chunks
+            # off the end of the training set (reference: data.py:110-113)
+            split = max(0, len(train_data[0]) - valid_limit)
         valid_data = [x[split:] for x in train_data]
         train_data = [x[:split] for x in train_data]
-        if valid_limit:
-            valid_data = [x[:valid_limit] for x in valid_data]
     return ChunkDataSet(*train_data), ChunkDataSet(*valid_data)
 
 

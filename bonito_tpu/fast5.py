@@ -127,16 +127,19 @@ def _files(directory, recursive=False):
 
 def get_read_groups(directory, model, read_ids=None, skip=False, n_proc=1,
                     recursive=False, cancel=None):
-    """Unique @RG lines across all files (reference: bonito/fast5.py:109-126)."""
+    """Unique @RG lines plus the filtered read count
+    (reference: bonito/fast5.py:109-126 returns both)."""
     groups = set()
+    num_reads = 0
     args = [(f, read_ids, skip, False, None, None, True)
             for f in _files(directory, recursive)]
     for _, reads in process_map(_read_file,
                                 ((i, a) for i, a in enumerate(args)),
                                 n_proc=n_proc):
+        num_reads += len(reads)
         for read in reads:
             groups.add(read.readgroup(model))
-    return sorted(groups)
+    return sorted(groups), num_reads
 
 
 def get_reads(directory, read_ids=None, skip=False, max_read_size=0,

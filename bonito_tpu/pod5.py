@@ -408,18 +408,23 @@ def _files(directory, recursive=False):
 
 def get_read_groups(directory, model, read_ids=None, skip=False, n_proc=1,
                     recursive=False, cancel=None):
+    """Unique @RG lines plus the total read count (the reference's
+    pod5 counterpart returns both, bonito/pod5.py:84-110; the count is
+    over all reads in the files, pre-filter, as there)."""
     groups = set()
+    num_reads = 0
     for filename in _files(directory, recursive):
         try:
             p5 = Pod5File(filename)
         except Exception as e:
             sys.stderr.write(f"> warning: {filename} - {e}\n")
             continue
+        num_reads += p5.num_reads()
         for row in range(p5.num_reads()):
             read = Read(p5, row, filename, meta=True)
             if read_ids is None or (read.read_id in read_ids) ^ skip:
                 groups.add(read.readgroup(model))
-    return sorted(groups)
+    return sorted(groups), num_reads
 
 
 def _read_file(args):
