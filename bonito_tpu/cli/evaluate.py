@@ -162,8 +162,8 @@ def argparser():
     parser.add_argument("--standardise", action="store_true", default=False)
     parser.add_argument("--seed", default=9, type=int)
     parser.add_argument("--weights", default=None, type=str)
-    parser.add_argument("--chunks", default=1000, type=int)
-    parser.add_argument("--batchsize", default=96, type=int)
+    parser.add_argument("--chunks", default=512, type=int)
+    parser.add_argument("--batchsize", default=256, type=int)
     parser.add_argument("--beamsize", default=5, type=int)
     parser.add_argument("--min-coverage", default=0.5, type=float)
     return parser

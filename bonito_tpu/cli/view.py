@@ -28,7 +28,10 @@ def describe(layer, indent=0):
 
 
 def main(args):
-    if os.path.exists(args.config):
+    if os.path.isdir(args.config):
+        # a model directory works too (reference: cli/view.py:14-15)
+        config = load_config(os.path.join(args.config, "config.toml"))
+    elif os.path.exists(args.config):
         config = load_config(args.config)
     else:
         config = model_zoo.get_config(args.config)

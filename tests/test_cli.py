@@ -309,3 +309,67 @@ class TestTorchExportRoundTrip:
         np.testing.assert_array_equal(
             np.asarray(m.apply(m.params, x)),
             np.asarray(m2.apply(m2.params, x)))
+
+
+class TestReferenceCliSemantics:
+    """Behavioral details matched to the reference CLI (round-3 sweep)."""
+
+    def test_save_ctc_requires_reference(self, capsys):
+        """--save-ctc without --reference exits 1 before any compute
+        (reference: cli/basecaller.py:82-84)."""
+        from bonito_tpu.cli import basecaller
+        args = basecaller.argparser().parse_args(["m", "r", "--save-ctc"])
+        # dodge the reader probe: any nonexistent dir raises first, so
+        # point at an empty real dir
+        import pytest, tempfile, os, h5py
+        d = tempfile.mkdtemp()
+        with h5py.File(os.path.join(d, "x.fast5"), "w"):
+            pass
+        args.reads_directory = d
+        args.model_directory = "definitely/not/a/model"
+        with pytest.raises(SystemExit) as e:
+            basecaller.main(args)
+        assert e.value.code == 1
+
+    def test_lr_comma_list_parses(self):
+        from bonito_tpu.cli import train as train_cli
+        args = train_cli.argparser().parse_args(
+            ["wd", "--directory", ".", "--lr", "2e-3,1e-3"])
+        lr = [float(x) for x in str(args.lr).split(",")]
+        assert lr == [2e-3, 1e-3]
+
+    def test_valid_chunks_split_semantics(self, tmp_path):
+        """--valid-chunks N with no validation dir carves exactly the
+        last N chunks off the training set (reference: data.py:110-113)."""
+        import numpy as np
+        from bonito_tpu.data import load_numpy
+        np.save(tmp_path / "chunks.npy", np.zeros((50, 20), np.float16))
+        np.save(tmp_path / "references.npy", np.ones((50, 8), np.uint8))
+        np.save(tmp_path / "reference_lengths.npy",
+                np.full(50, 8, np.uint16))
+        tr, va = load_numpy(None, str(tmp_path), valid_limit=7)
+        assert (len(tr), len(va)) == (43, 7)
+        tr, va = load_numpy(None, str(tmp_path), valid_limit=None)
+        assert (len(tr), len(va)) == (48, 2)  # 97/3 default split
+
+    def test_get_read_groups_returns_count(self, tmp_path):
+        import h5py
+        from bonito_tpu import fast5
+        with h5py.File(tmp_path / "a.fast5", "w") as f:
+            for i in range(3):
+                g = f.create_group(f"read_{i:032x}")
+                raw = g.create_group("Raw")
+                raw.create_dataset("Signal", data=[1, 2, 3])
+                raw.attrs.update(read_id=f"{i:032x}", read_number=i,
+                                 start_mux=1, start_time=10)
+                ch = g.create_group("channel_id")
+                ch.attrs.update(channel_number="1", digitisation=8192.0,
+                                offset=10.0, range=1400.0,
+                                sampling_rate=4000.0)
+                tr = g.create_group("tracking_id")
+                tr.attrs.update(run_id="r", exp_start_time="t",
+                                flow_cell_id="f", device_id="d",
+                                sample_id="s")
+        groups, num_reads = fast5.get_read_groups(str(tmp_path), "model")
+        assert num_reads == 3
+        assert len(groups) == 1 and groups[0].startswith("@RG")
