@@ -139,16 +139,26 @@ def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None)
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def load_state(workdir, model):
-    """Resume epoch number + weights/optimizer state from a workdir."""
+def load_state(workdir, model, want_optim=False):
+    """Resume epoch number + weights (+ optimizer state) from a workdir.
+
+    Matches the reference's pick (bonito/training.py:24-69): with
+    ``want_optim`` the resume epoch is the newest one that has BOTH a
+    weights and an optim checkpoint; otherwise the newest weights.
+    """
     workdir = Path(workdir)
-    weight_epochs = sorted(
-        int(p.stem.split("_")[1]) for p in workdir.glob("weights_*.npz"))
-    if not weight_epochs:
+    weight_epochs = {
+        int(p.stem.split("_")[1]) for p in workdir.glob("weights_*.npz")}
+    if want_optim:
+        optim_epochs = {
+            int(p.stem.split("_")[1]) for p in workdir.glob("optim_*.pkl")}
+        epoch = max(weight_epochs & optim_epochs, default=None)
+    else:
+        epoch = max(weight_epochs, default=None)
+    if epoch is None:
         return 0, None
-    epoch = weight_epochs[-1]
     model.params = load_params(workdir / f"weights_{epoch}.npz")
-    opt_state = load_optim_state(workdir, epoch)
+    opt_state = load_optim_state(workdir, epoch) if want_optim else None
     return epoch, opt_state
 
 
@@ -257,15 +267,32 @@ class Trainer:
                     **losses,
                 })
 
-        for i, batch in enumerate(self.train_loader):
-            lr_scale = self.get_lr_scale(step0 + i, epochs, last_epoch)
-            losses, grad_norm = self.train_one_step(batch, lr_scale)
-            chunks += batch[0].shape[0]
+        # cap at steps_per_epoch so unbounded plugin loaders still yield
+        # epochs (reference: bonito/training.py:165), with the same
+        # chunk-count progress bar
+        from itertools import islice
+        from tqdm import tqdm
+        from bonito_tpu.util import tqdm_environ
+        with tqdm(total=self.steps_per_epoch,
+                  desc=f"[0/{self.chunks_per_epoch}]", ascii=True,
+                  leave=True, ncols=100,
+                  bar_format="{l_bar}{bar}| [{elapsed}{postfix}]",
+                  **tqdm_environ()) as progress:
+            for i, batch in enumerate(
+                    islice(self.train_loader, self.steps_per_epoch)):
+                lr_scale = self.get_lr_scale(step0 + i, epochs, last_epoch)
+                losses, grad_norm = self.train_one_step(batch, lr_scale)
+                chunks += batch[0].shape[0]
+                if pending is not None:
+                    materialize(pending)
+                pending = (losses, grad_norm, chunks, lr_scale)
+                if smoothed_loss is not None:
+                    progress.set_postfix(loss=f"{smoothed_loss:.4f}")
+                progress.set_description(
+                    f"[{chunks}/{self.chunks_per_epoch}]", refresh=False)
+                progress.update()
             if pending is not None:
                 materialize(pending)
-            pending = (losses, grad_norm, chunks, lr_scale)
-        if pending is not None:
-            materialize(pending)
         return smoothed_loss, time.perf_counter() - t0
 
     def _get_valid_fn(self):
@@ -420,7 +447,8 @@ class Trainer:
         if self.steps_per_epoch is None:
             raise ValueError("chunks_per_epoch/batch_size must be set before fit")
 
-        last_epoch, opt_state = load_state(workdir, self.model)
+        last_epoch, opt_state = load_state(
+            workdir, self.model, want_optim=self.restore_optim)
         if self.model.params is None:
             self.model.init()
         self.init_optimizer(lr, **optim_kwargs)
@@ -463,14 +491,16 @@ class Trainer:
         # be on a shared filesystem)
         is_writer = jax.process_index() == 0
 
-        for epoch in range(last_epoch + 1, last_epoch + epochs + 1):
+        # `epochs` is the absolute target: resuming from epoch 3 with
+        # epochs=5 trains 2 more (reference: bonito/training.py:248)
+        for epoch in range(last_epoch + 1, epochs + 1):
             if is_writer:
                 with CSVLogger(workdir / f"losses_{epoch}.csv") as loss_log:
                     train_loss, duration = self.train_one_epoch(
-                        loss_log, epoch, last_epoch + epochs, last_epoch)
+                        loss_log, epoch, epochs, last_epoch)
             else:
                 train_loss, duration = self.train_one_epoch(
-                    None, epoch, last_epoch + epochs, last_epoch)
+                    None, epoch, epochs, last_epoch)
 
             if is_writer:
                 save_checkpoint(
