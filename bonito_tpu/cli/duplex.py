@@ -26,6 +26,16 @@ def main(args):
     init(args.seed)
     fmt = biofmt(aligned=bool(args.reference))
 
+    if args.reference and args.reference.endswith(".mmi") and fmt.name == "cram":
+        sys.stderr.write("> error: reference cannot be a .mmi when "
+                         "outputting cram\n")
+        sys.exit(1)
+    elif args.reference and fmt.name == "fastq":
+        sys.stderr.write(f"> warning: did you really want "
+                         f"{fmt.aligned} {fmt.name}?\n")
+    else:
+        sys.stderr.write(f"> outputting {fmt.aligned} {fmt.name}\n")
+
     sys.stderr.write(f"> indexing {args.in_bam}\n")
     bam = ReadIndexedBam(args.in_bam)
 

@@ -25,11 +25,18 @@ from bonito_tpu.util import load_model
 
 
 def clean_config(config):
-    """Strip training-only sections (reference: cli/export.py:29-44)."""
-    keep = ("model", "labels", "input", "global_norm", "scaling",
-            "standardisation", "run_info", "qscore", "encoder", "basecaller",
-            "block")
-    return {k: v for k, v in config.items() if k in keep}
+    """Strip training-only sections, keep everything else — unknown
+    metadata fields must survive the export (reference:
+    cli/export.py:29-44 pops rather than whitelists)."""
+    drop = ("decoder", "aux_CRF_losses", "training", "basecaller",
+            "lr_scheduler", "optim")
+    config = {k: v for k, v in config.items() if k not in drop}
+    for field in ("qscore", "run_info", "scaling", "standardisation",
+                  "training_dataset"):
+        if field not in config:
+            sys.stderr.write(
+                f"INFO: metadata '{field}' is not set in config\n")
+    return config
 
 
 def reorder_layers_without_clamp(encoder_dict):
@@ -129,7 +136,7 @@ def main(args):
         config = load_config(Path(args.model_directory) / "config.toml")
     else:
         config = model.config
-    output = Path(args.output or args.model_directory)
+    output = Path(args.output)
 
     if args.format in ("dorado", "npy"):
         export_to_dorado(model, config, output,
@@ -149,7 +156,7 @@ def argparser():
     parser = ArgumentParser(
         formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
     parser.add_argument("model_directory")
-    parser.add_argument("--output", default=None)
+    parser.add_argument("--output", required=True)
     parser.add_argument("--config", default=None,
                         help="config file to read settings from "
                              "(default: the model dir's config.toml)")

@@ -448,3 +448,38 @@ def init(seed=25):
         jax.config.update("jax_compilation_cache_dir", cache)
     except Exception:
         pass
+
+
+def print_alignment(ref, seq):
+    """
+    Print the local alignment between ``ref`` and ``seq`` as three rows
+    (ref / match bars / query) plus the score, returning the score
+    (reference: bonito/util.py:371-382).
+    """
+    from bonito_tpu.alignment import smith_waterman
+
+    result = smith_waterman(seq, ref)
+    if result is None:
+        print("  Score=0")
+        return 0
+    q = seq[result.beg_query:result.end_query]
+    r = ref[result.beg_ref:result.end_ref]
+    rows, bars, qrows = [], [], []
+    qi = ri = 0
+    for count, op in _CIGAR_RE.findall(result.cigar):
+        n = int(count)
+        if op in "=X":
+            rows.append(r[ri:ri + n]); qrows.append(q[qi:qi + n])
+            bars.append(("|" if op == "=" else ".") * n)
+            ri += n; qi += n
+        elif op == "I":  # extra bases in the query
+            rows.append("-" * n); qrows.append(q[qi:qi + n])
+            bars.append(" " * n); qi += n
+        elif op == "D":  # missing bases in the query
+            rows.append(r[ri:ri + n]); qrows.append("-" * n)
+            bars.append(" " * n); ri += n
+    print("".join(rows))
+    print("".join(bars))
+    print("".join(qrows))
+    print("  Score=%s" % result.score)
+    return result.score
