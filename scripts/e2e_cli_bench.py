@@ -124,9 +124,10 @@ def main():
         out = WORK / f"out_{run}.bam"
         t0 = time.perf_counter()
         with open(out, "wb") as fh, open(WORK / f"run_{run}.log", "w") as lg:
+            extra = os.environ.get("E2E_ARGS", "").split()
             subprocess.run(
                 [sys.executable, "-m", "bonito_tpu", "basecaller",
-                 str(mdir), str(rdir)],
+                 str(mdir), str(rdir), *extra],
                 stdout=fh, stderr=lg, env=env, check=True)
         dt = time.perf_counter() - t0
         print(f"{FAMILY} run {run}: {total_samples/1e6:.0f} Msamples in "
