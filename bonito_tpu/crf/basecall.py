@@ -187,13 +187,25 @@ def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
     def device_stage(batches, depth=2):
         """Keep ``depth`` batches in flight: dispatch runs ahead of the
         host fetch so the chip never idles on the device->host transfer."""
+        import time
         from collections import deque
+        from bonito_tpu.profiling import batch_timing
         pending = deque()
+        t_end = None
         for spans, batch in batches:
+            t0 = time.perf_counter()
+            gap = (t0 - t_end) if t_end is not None else 0.0
             pending.append((spans, compute.dispatch(batch)))
+            t1 = time.perf_counter()
             if len(pending) >= depth:
                 spans_done, handle = pending.popleft()
-                yield spans_done, compute.fetch(handle)
+                out = compute.fetch(handle)
+                t_end = time.perf_counter()
+                batch_timing(t1 - t0, t_end - t1, gap)
+                yield spans_done, out
+            else:
+                t_end = time.perf_counter()
+                batch_timing(t1 - t0, 0.0, gap)
         while pending:
             spans_done, handle = pending.popleft()
             yield spans_done, compute.fetch(handle)

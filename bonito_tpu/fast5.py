@@ -100,12 +100,19 @@ def _filter(read_id, read_ids, skip):
 
 def _read_file(args):
     (filename, read_ids, skip, do_trim, scaling_strategy, norm_params,
-     meta) = args
+     meta) = args[:7]
+    # optional 8th element: an explicit block of read-group names, so one
+    # work item is a SMALL slice of a file rather than the whole file
+    # (whole-file items serialised ~100 MB of reads through the worker
+    # queue in one blob and stalled the pipeline's first batch)
+    names = args[7] if len(args) > 7 else None
     import h5py
     out = []
     try:
         with h5py.File(filename, "r") as f5:
-            for grp in _iter_read_groups(f5):
+            groups = ((f5[n] for n in names) if names is not None
+                      else _iter_read_groups(f5))
+            for grp in groups:
                 rid = _attr(grp["Raw"], "read_id")
                 if not _filter(rid, read_ids, skip):
                     continue
@@ -118,6 +125,30 @@ def _read_file(args):
     except Exception as e:
         sys.stderr.write(f"> warning: {filename} - {e}\n")
     return out
+
+
+READ_BLOCK = 8
+
+
+def _read_blocks(files, block=READ_BLOCK):
+    """Yield (filename, names-block) work items of ~``block`` reads.
+
+    Listing a file's read groups is a cheap metadata open (~3 ms);
+    it runs lazily in the feeder thread while workers parse earlier
+    blocks. Legacy single-read files become one whole-file item."""
+    import h5py
+    for filename in files:
+        try:
+            with h5py.File(filename, "r") as f5:
+                if "Raw" in f5:  # legacy single-read layout
+                    yield filename, None
+                    continue
+                names = [n for n in f5 if n.startswith("read_")]
+        except Exception as e:
+            sys.stderr.write(f"> warning: {filename} - {e}\n")
+            continue
+        for i in range(0, len(names), block):
+            yield filename, names[i:i + block]
 
 
 def _files(directory, recursive=False):
@@ -146,11 +177,12 @@ def get_reads(directory, read_ids=None, skip=False, max_read_size=0,
               n_proc=1, recursive=False, cancel=None, do_trim=True,
               scaling_strategy=None, norm_params=None):
     """Stream Read objects from every fast5 in ``directory``."""
-    args = [(f, read_ids, skip, do_trim, scaling_strategy, norm_params, False)
-            for f in _files(directory, recursive)]
+    args = ((f, read_ids, skip, do_trim, scaling_strategy, norm_params,
+             False, names)
+            for f, names in _read_blocks(_files(directory, recursive)))
     for _, reads in process_map(_read_file,
                                 ((i, a) for i, a in enumerate(args)),
-                                n_proc=n_proc):
+                                n_proc=n_proc, maxsize=4):
         for read in reads:
             if max_read_size > 0 and len(read.signal) > max_read_size:
                 sys.stderr.write(

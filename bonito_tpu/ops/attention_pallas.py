@@ -103,8 +103,11 @@ def _rot_dt(x, cos, sin, D):
     return out
 
 
-def _fused_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, o_ref):
+def _fused_kernel_dt(left, right, B, G, KW, t_real, q_ref, trig_ref, o_ref):
     # q_ref [1, 3, H, D, T]; trig_ref [2, r2, T]; o_ref [1, H, D, T]
+    # T here is the padded length (a block multiple); keys at positions
+    # >= t_real are zero padding and masked out. Padded QUERY rows emit
+    # garbage that the caller slices away.
     D = q_ref.shape[3]
     for g in range(G):
         ks = min(max(g - 1, 0), G - KW)
@@ -125,7 +128,7 @@ def _fused_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, o_ref):
         qq = g * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 0)
         kk = ks * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 1)
         delta = kk - qq
-        mask = (delta >= -left) & (delta <= right)
+        mask = (delta >= -left) & (delta <= right) & (kk < t_real)
         s = jnp.where(mask[None], s, NEG)
         m = jnp.max(s, axis=2, keepdims=True)
         p = jnp.exp(s - m)
@@ -141,11 +144,27 @@ def _fused_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, o_ref):
 def fused_supported(qkv, window, rotary_dim, block=128, require_tpu=True):
     N, T, three, H, D = qkv.shape
     left, right = window
+    # Any T is fine: ragged lengths are zero-padded to a block multiple at
+    # entry with padded keys masked in-kernel (the reference sup config's
+    # chunksize 12000 gives T=1000 tokens, which previously fell back to
+    # the ~2.3x-slower XLA path and capped the whole CLI).
     return (
-        three == 3 and T % block == 0 and left < block and right <= block
+        three == 3 and left < block and right <= block
         and D % 8 == 0 and rotary_dim % 16 == 0 and rotary_dim <= D
         and (jax.default_backend() == "tpu" or not require_tpu)
     )
+
+
+def _pad_t(qkv, cos, sin, block):
+    """Zero-pad the token axis to a block multiple: qkv [N, T, 3, H, D],
+    cos/sin [T, r2]. Returns (qkv, cos, sin, padded_T)."""
+    T = qkv.shape[1]
+    Tp = -(-T // block) * block
+    if Tp != T:
+        qkv = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0), (0, 0), (0, 0)))
+        cos = jnp.pad(cos, ((0, Tp - T), (0, 0)))
+        sin = jnp.pad(sin, ((0, Tp - T), (0, 0)))
+    return qkv, cos, sin, Tp
 
 
 @partial(jax.jit, static_argnames=("window", "block", "interpret"))
@@ -156,7 +175,8 @@ def fused_rotary_window_attention(qkv, cos, sin, window, block=128,
     The layout transposes at entry/exit fuse into the neighbouring
     projection matmuls under jit (measured: proj+transpose == proj)."""
     left, right = window
-    N, T, _, H, D = qkv.shape
+    N, t_real, _, H, D = qkv.shape
+    qkv, cos, sin, T = _pad_t(qkv, cos, sin, block)
     B = block
     G = T // B
     KW = min(3, G)
@@ -165,7 +185,7 @@ def fused_rotary_window_attention(qkv, cos, sin, window, block=128,
     trig = jnp.stack([cos.T, sin.T], axis=0).astype(jnp.float32)
 
     out = pl.pallas_call(
-        partial(_fused_kernel_dt, left, right, B, G, KW),
+        partial(_fused_kernel_dt, left, right, B, G, KW, t_real),
         grid=(N,),
         in_specs=[pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
                   pl.BlockSpec((2, r2, T), lambda n: (0, 0, 0))],
@@ -175,7 +195,8 @@ def fused_rotary_window_attention(qkv, cos, sin, window, block=128,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qkv_dt, trig)
-    return jnp.transpose(out, (0, 3, 1, 2))               # [N, T, H, D]
+    out = jnp.transpose(out, (0, 3, 1, 2))                # [N, T, H, D]
+    return out[:, :t_real]
 
 
 # ---------------------------------------------------------------------------
@@ -201,8 +222,8 @@ def _rot_dt_inv(x, cos, sin, D):
     return out
 
 
-def _fused_fwd_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, o_ref,
-                         lse_ref):
+def _fused_fwd_kernel_dt(left, right, B, G, KW, t_real, q_ref, trig_ref,
+                         o_ref, lse_ref):
     D = q_ref.shape[3]
     for g in range(G):
         ks = min(max(g - 1, 0), G - KW)
@@ -222,7 +243,7 @@ def _fused_fwd_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, o_ref,
         qq = g * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 0)
         kk = ks * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 1)
         delta = kk - qq
-        mask = (delta >= -left) & (delta <= right)
+        mask = (delta >= -left) & (delta <= right) & (kk < t_real)
         s = jnp.where(mask[None], s, NEG)
         m = jnp.max(s, axis=2, keepdims=True)
         p = jnp.exp(s - m)
@@ -235,8 +256,8 @@ def _fused_fwd_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, o_ref,
         o_ref[0, :, :, qs] = o.astype(o_ref.dtype)
 
 
-def _fused_bwd_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, lse_ref,
-                         o_ref, do_ref, dq_out, dk_ref, dv_ref):
+def _fused_bwd_kernel_dt(left, right, B, G, KW, t_real, q_ref, trig_ref,
+                         lse_ref, o_ref, do_ref, dq_out, dk_ref, dv_ref):
     D = q_ref.shape[3]
     T = q_ref.shape[4]
     scale = 1.0 / (D ** 0.5)
@@ -265,7 +286,7 @@ def _fused_bwd_kernel_dt(left, right, B, G, KW, q_ref, trig_ref, lse_ref,
         qq = g * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 0)
         kk = ks * B + jax.lax.broadcasted_iota(jnp.int32, (B, KW * B), 1)
         delta = kk - qq
-        mask = (delta >= -left) & (delta <= right)
+        mask = (delta >= -left) & (delta <= right) & (kk < t_real)
         p = jnp.where(mask[None], jnp.exp(s - lse[:, :, None]), 0.0)
 
         # dp[h, b, j] = sum_d do[h, d, b] v[h, d, j]
@@ -316,7 +337,8 @@ def fused_rotary_window_attention_train(qkv, cos, sin, window, block=128,
 
 def _fused_train_fwd(qkv, cos, sin, window, block, interpret):
     left, right = window
-    N, T, _, H, D = qkv.shape
+    N, t_real, _, H, D = qkv.shape
+    qkv, cos, sin, T = _pad_t(qkv, cos, sin, block)
     B = block
     G = T // B
     KW = min(3, G)
@@ -325,7 +347,7 @@ def _fused_train_fwd(qkv, cos, sin, window, block, interpret):
     trig = jnp.stack([cos.T, sin.T], axis=0).astype(jnp.float32)
 
     out_dt, lse = pl.pallas_call(
-        partial(_fused_fwd_kernel_dt, left, right, B, G, KW),
+        partial(_fused_fwd_kernel_dt, left, right, B, G, KW, t_real),
         grid=(N,),
         in_specs=[pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
                   pl.BlockSpec((2, r2, T), lambda n: (0, 0, 0))],
@@ -338,21 +360,25 @@ def _fused_train_fwd(qkv, cos, sin, window, block, interpret):
         interpret=interpret,
     )(qkv_dt, trig)
     out = jnp.transpose(out_dt, (0, 3, 1, 2))             # [N, T, H, D]
-    return out, (qkv_dt, trig, lse, out_dt)
+    return out[:, :t_real], (qkv_dt, trig, lse, out_dt, t_real)
 
 
 def _fused_train_bwd(window, block, interpret, res, g):
-    qkv_dt, trig, lse, out_dt = res
+    qkv_dt, trig, lse, out_dt, t_real = res
     left, right = window
     N, _, H, D, T = qkv_dt.shape
     B = block
     G = T // B
     KW = min(3, G)
     r2 = trig.shape[1]
+    if T != t_real:
+        # zero cotangent on the padded tail: padded-query rows then
+        # contribute exactly nothing to dk/dv (ds == 0)
+        g = jnp.pad(g, ((0, 0), (0, T - t_real), (0, 0), (0, 0)))
     do_dt = jnp.transpose(g, (0, 2, 3, 1))                # [N, H, D, T]
 
     dqkv_dt = pl.pallas_call(
-        partial(_fused_bwd_kernel_dt, left, right, B, G, KW),
+        partial(_fused_bwd_kernel_dt, left, right, B, G, KW, t_real),
         grid=(N,),
         in_specs=[pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
                   pl.BlockSpec((2, r2, T), lambda n: (0, 0, 0)),
@@ -370,7 +396,8 @@ def _fused_train_bwd(window, block, interpret, res, g):
         interpret=interpret,
     )(qkv_dt, trig, lse, out_dt, do_dt)
     dqkv = jnp.transpose(dqkv_dt, (0, 4, 1, 2, 3))        # [N, T, 3, H, D]
-    return dqkv, jnp.zeros_like(trig[0].T), jnp.zeros_like(trig[1].T)
+    zt = jnp.zeros((t_real, r2), trig.dtype)
+    return dqkv[:, :t_real], zt, zt
 
 
 fused_rotary_window_attention_train.defvjp(

@@ -427,17 +427,35 @@ def get_read_groups(directory, model, read_ids=None, skip=False, n_proc=1,
     return sorted(groups), num_reads
 
 
+# one parsed Pod5File per worker process (work items are small row
+# blocks of one file at a time, so a single slot is enough)
+_P5_CACHE = {}
+
+
+def _p5_cached(filename):
+    if filename not in _P5_CACHE:
+        _P5_CACHE.clear()
+        _P5_CACHE[filename] = Pod5File(filename)
+    return _P5_CACHE[filename]
+
+
 def _read_file(args):
-    """Worker: parse one pod5 file into a list of Read objects (plain
-    attrs + numpy signal — picklable across the process boundary)."""
-    filename, read_ids, skip, do_trim, scaling_strategy, norm_params = args
+    """Worker: parse a pod5 file — or, with the optional 8th element, a
+    (start, stop) row block of it — into a list of Read objects (plain
+    attrs + numpy signal, picklable across the process boundary).
+    Blocks keep one work item ~8 reads so the first batch doesn't wait
+    on a whole-file blob through the queue."""
+    filename, read_ids, skip, do_trim, scaling_strategy, norm_params = args[:6]
+    rows = args[6] if len(args) > 6 else None
     out = []
     try:
-        p5 = Pod5File(filename)
+        p5 = _p5_cached(filename)
     except Exception as e:
         sys.stderr.write(f"> warning: {filename} - {e}\n")
         return out
-    for row in range(p5.num_reads()):
+    row_range = (range(*rows) if rows is not None
+                 else range(p5.num_reads()))
+    for row in row_range:
         rid = str(uuid.UUID(bytes=bytes(
             p5.reads.column("read_id")[row].as_py())))
         if not (read_ids is None or (rid in read_ids) ^ skip):
@@ -460,15 +478,34 @@ def get_reads(directory, read_ids=None, skip=False, max_read_size=0,
     from bonito_tpu.pipeline import process_map
 
     files = _files(directory, recursive)
-    args = [(f, read_ids, skip, do_trim, scaling_strategy, norm_params)
-            for f in files]
 
-    if n_proc <= 1 or len(files) <= 1:
-        batches = ((None, _read_file(a)) for a in args)
+    def blocks(block=8):
+        """(filename, row-range) work items of ~``block`` reads each, so
+        the first reads reach the pipeline after one small block rather
+        than after a whole file (a 250-read file is a ~100 MB queue
+        blob). Row counts come from a lazy metadata open in the feeder
+        thread; workers cache the parsed file (_p5_cached)."""
+        for f in files:
+            try:
+                n = Pod5File(f).num_reads()
+            except Exception as e:
+                sys.stderr.write(f"> warning: {f} - {e}\n")
+                continue
+            for lo in range(0, n, block):
+                yield (f, read_ids, skip, do_trim, scaling_strategy,
+                       norm_params, (lo, min(lo + block, n)))
+
+    if n_proc <= 1:
+        batches = (
+            (None, _read_file(
+                (f, read_ids, skip, do_trim, scaling_strategy, norm_params)))
+            for f in files)
     else:
+        # blocks (not whole files) even when there is a single file:
+        # row-range items let every worker contribute to it
         batches = process_map(
-            _read_file, ((i, a) for i, a in enumerate(args)),
-            n_proc=min(n_proc, len(files)))
+            _read_file, ((i, a) for i, a in enumerate(blocks())),
+            n_proc=n_proc, maxsize=4)
 
     for _, reads in batches:
         for read in reads:

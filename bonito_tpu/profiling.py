@@ -72,7 +72,34 @@ def instrument(name, iterable):
     return gen()
 
 
+_BATCHES = []
+
+
+def batch_timing(dispatch_s, fetch_s, gap_s=0.0):
+    """Record one device-stage cycle (BONITO_TPU_PROFILE=2 prints each).
+    ``gap_s`` is the time between the previous cycle's end and this
+    dispatch — waiting on the input-batch queue plus yield backpressure."""
+    if not enabled():
+        return
+    _BATCHES.append((dispatch_s, fetch_s, gap_s))
+    if os.environ.get("BONITO_TPU_PROFILE") == "2":
+        sys.stderr.write(f"  [batch {len(_BATCHES):3d}] "
+                         f"dispatch={dispatch_s*1e3:7.1f} ms  "
+                         f"fetch={fetch_s*1e3:7.1f} ms  "
+                         f"gap={gap_s*1e3:7.1f} ms\n")
+
+
 def _report():
+    if _BATCHES:
+        import statistics
+        tail = _BATCHES[max(2, len(_BATCHES) // 4):] or _BATCHES
+        d = statistics.median(t[0] for t in tail)
+        f = statistics.median(t[1] for t in tail)
+        g = statistics.median(t[2] for t in tail)
+        sys.stderr.write(
+            f"> device stage: {len(_BATCHES)} batches, steady median "
+            f"dispatch={d*1e3:.1f} ms fetch={f*1e3:.1f} ms "
+            f"gap={g*1e3:.1f} ms\n")
     if _REPORTS:
         sys.stderr.write("> pipeline stage profile (rate = items per "
                          "non-upstream-blocked second):\n")

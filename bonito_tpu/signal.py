@@ -93,6 +93,12 @@ def apply_standardisation(read, scaled, scaling_strategy=None,
     read.template_start = read.start + read.trimmed_samples / read.sample_rate
     read.template_duration = (
         read.duration - read.trimmed_samples / read.sample_rate)
-    read.signal = (scaled[read.trimmed_samples:] - read.shift) / read.scale
+    # standardise in f64 (shift/scale are quantile-derived f64 scalars),
+    # then store f32: the device step consumes f32 (chunk() casts anyway,
+    # so this is bit-identical downstream) and an f64 signal would double
+    # every reader-worker pickle and queue transfer
+    read.signal = np.asarray(
+        (scaled[read.trimmed_samples:] - read.shift) / read.scale,
+        dtype=np.float32)
     read.num_samples = len(scaled)
     return read

@@ -120,14 +120,16 @@ def main():
     total_samples = N_READS * READ_LEN
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
-    for run in (1, 2):
+    for run in range(1, int(os.environ.get("E2E_RUNS", 2)) + 1):
         out = WORK / f"out_{run}.bam"
         t0 = time.perf_counter()
         with open(out, "wb") as fh, open(WORK / f"run_{run}.log", "w") as lg:
             extra = os.environ.get("E2E_ARGS", "").split()
+            # clamp to N_READS: the dir may hold more reads from a larger
+            # earlier run, and rate = N_READS * READ_LEN / wall
             subprocess.run(
                 [sys.executable, "-m", "bonito_tpu", "basecaller",
-                 str(mdir), str(rdir), *extra],
+                 str(mdir), str(rdir), "--max-reads", str(N_READS), *extra],
                 stdout=fh, stderr=lg, env=env, check=True)
         dt = time.perf_counter() - t0
         print(f"{FAMILY} run {run}: {total_samples/1e6:.0f} Msamples in "

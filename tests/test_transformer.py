@@ -279,6 +279,31 @@ class TestFusedRotaryAttention:
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
 
+    def test_ragged_t_matches_dense(self):
+        # the reference sup config's chunksize 12000 gives T=1000 tokens
+        # (not a block multiple): the kernel zero-pads T and masks the
+        # padded keys, so any T must match the dense-masked oracle
+        from bonito_tpu.ops.attention_pallas import (
+            fused_rotary_window_attention, fused_supported)
+        from bonito_tpu.transformer.model import rotary_freqs, apply_rotary
+        from bonito_tpu.ops.attention import dense_attention
+        N, T, H, D = 2, 200, 4, 32
+        W = (63, 64)
+        qkv = jax.random.normal(jax.random.PRNGKey(7), (N, T, 3, H, D))
+        cos, sin = rotary_freqs(T, D)
+        assert fused_supported(qkv, W, D, block=128, require_tpu=False)
+        out = fused_rotary_window_attention(qkv, cos, sin, W, interpret=True)
+        assert out.shape == (N, T, H, D)
+
+        q = apply_rotary(qkv[:, :, 0], cos, sin)
+        k = apply_rotary(qkv[:, :, 1], cos, sin)
+        v = qkv[:, :, 2]
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+        ref = jnp.swapaxes(dense_attention(q, k, v, W), 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+
     def test_partial_rotary_dim(self):
         from bonito_tpu.ops.attention_pallas import (
             fused_rotary_window_attention)
@@ -341,6 +366,37 @@ class TestFusedAttentionVJP:
 
         def loss_ref(qkv):
             return jnp.sum((self._ref(qkv, cos, sin, W) - tgt) ** 2)
+
+        g_fused = jax.grad(loss_fused)(qkv)
+        g_ref = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=5e-2, atol=5e-2)
+
+    def test_grads_ragged_t(self):
+        # grads at a non-block-multiple T: padded-query rows get a zero
+        # cotangent, so dk/dv accumulation must be unpolluted
+        from bonito_tpu.ops.attention_pallas import (
+            fused_rotary_window_attention_train)
+        from bonito_tpu.transformer.model import rotary_freqs, apply_rotary
+        from bonito_tpu.ops.attention import dense_attention
+        N, T, H, D = 2, 200, 4, 32
+        W = (63, 64)
+        qkv = jax.random.normal(jax.random.PRNGKey(8), (N, T, 3, H, D))
+        cos, sin = rotary_freqs(T, D)
+        tgt = jax.random.normal(jax.random.PRNGKey(9), (N, T, H, D))
+
+        def loss_fused(qkv):
+            o = fused_rotary_window_attention_train(
+                qkv, cos, sin, W, 128, True)
+            return jnp.sum((o - tgt) ** 2)
+
+        def loss_ref(qkv):
+            q = apply_rotary(qkv[:, :, 0], cos, sin)
+            k = apply_rotary(qkv[:, :, 1], cos, sin)
+            v = qkv[:, :, 2]
+            q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+            o = jnp.swapaxes(dense_attention(q, k, v, W), 1, 2)
+            return jnp.sum((o - tgt) ** 2)
 
         g_fused = jax.grad(loss_fused)(qkv)
         g_ref = jax.grad(loss_ref)(qkv)
