@@ -208,6 +208,22 @@ class Stack(Serial):
                 self.sublayers[0], "pin_input_layout", False):
             from bonito_tpu.ops.relayout import pin_layout
             x = pin_layout(x)
+        # layer classes can also opt in to stack-level token padding:
+        # pad [N, T, C] ONCE to the layer's block multiple (the layers
+        # mask keys beyond ctx['t_real']), slice back at the stack exit —
+        # instead of every layer padding and slicing its own tensors
+        pad_fn = (getattr(self.sublayers[0], "token_pad_block", None)
+                  if self.sublayers else None)
+        block = pad_fn() if pad_fn else None
+        t = x.shape[1]
+        if block and t % block:
+            import jax.numpy as jnp
+            tp = -(-t // block) * block
+            x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+            ctx = dict(ctx or {})
+            ctx["t_real"] = t
+            out = super().apply(params, x, ctx)
+            return out[:, :t]
         return super().apply(params, x, ctx)
 
     def to_dict(self):

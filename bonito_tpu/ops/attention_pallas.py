@@ -167,15 +167,21 @@ def _pad_t(qkv, cos, sin, block):
     return qkv, cos, sin, Tp
 
 
-@partial(jax.jit, static_argnames=("window", "block", "interpret"))
+@partial(jax.jit, static_argnames=("window", "block", "interpret", "t_real"))
 def fused_rotary_window_attention(qkv, cos, sin, window, block=128,
-                                  interpret=False):
+                                  interpret=False, t_real=None):
     """qkv: [N, T, 3, H, D]; cos/sin: [T, rotary_dim/2] -> [N, T, H, D].
+
+    ``t_real``: when the CALLER already padded the token stream (e.g.
+    Stack-level padding, once for all layers), pass the real length so
+    keys beyond it are masked; the output keeps the padded length. With
+    t_real=None a ragged T is padded/sliced here instead.
 
     The layout transposes at entry/exit fuse into the neighbouring
     projection matmuls under jit (measured: proj+transpose == proj)."""
     left, right = window
-    N, t_real, _, H, D = qkv.shape
+    N, t_slice, _, H, D = qkv.shape
+    t_mask = t_slice if t_real is None else t_real
     qkv, cos, sin, T = _pad_t(qkv, cos, sin, block)
     B = block
     G = T // B
@@ -185,7 +191,7 @@ def fused_rotary_window_attention(qkv, cos, sin, window, block=128,
     trig = jnp.stack([cos.T, sin.T], axis=0).astype(jnp.float32)
 
     out = pl.pallas_call(
-        partial(_fused_kernel_dt, left, right, B, G, KW, t_real),
+        partial(_fused_kernel_dt, left, right, B, G, KW, t_mask),
         grid=(N,),
         in_specs=[pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
                   pl.BlockSpec((2, r2, T), lambda n: (0, 0, 0))],
@@ -196,7 +202,7 @@ def fused_rotary_window_attention(qkv, cos, sin, window, block=128,
         interpret=interpret,
     )(qkv_dt, trig)
     out = jnp.transpose(out, (0, 3, 1, 2))                # [N, T, H, D]
-    return out[:, :t_real]
+    return out[:, :t_slice]
 
 
 # ---------------------------------------------------------------------------
@@ -324,20 +330,24 @@ def _fused_bwd_kernel_dt(left, right, B, G, KW, t_real, q_ref, trig_ref,
     dq_out[0, 2] = dv_ref[...].astype(dq_out.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_rotary_window_attention_train(qkv, cos, sin, window, block=128,
-                                        interpret=False):
+                                        interpret=False, t_real=None):
     """Differentiable twin of fused_rotary_window_attention (same layout
     and kernels, plus an LSE plane saved for the flash-style backward).
+    ``t_real`` as in the inference twin: key-mask bound for a token
+    stream the caller already padded.
 
     qkv: [N, T, 3, H, D]; cos/sin: [T, rotary_dim/2] -> [N, T, H, D]."""
-    out, _ = _fused_train_fwd(qkv, cos, sin, window, block, interpret)
+    out, _ = _fused_train_fwd(qkv, cos, sin, window, block, interpret,
+                              t_real)
     return out
 
 
-def _fused_train_fwd(qkv, cos, sin, window, block, interpret):
+def _fused_train_fwd(qkv, cos, sin, window, block, interpret, t_real=None):
     left, right = window
-    N, t_real, _, H, D = qkv.shape
+    N, t_slice, _, H, D = qkv.shape
+    t_mask = t_slice if t_real is None else t_real
     qkv, cos, sin, T = _pad_t(qkv, cos, sin, block)
     B = block
     G = T // B
@@ -347,7 +357,7 @@ def _fused_train_fwd(qkv, cos, sin, window, block, interpret):
     trig = jnp.stack([cos.T, sin.T], axis=0).astype(jnp.float32)
 
     out_dt, lse = pl.pallas_call(
-        partial(_fused_fwd_kernel_dt, left, right, B, G, KW, t_real),
+        partial(_fused_fwd_kernel_dt, left, right, B, G, KW, t_mask),
         grid=(N,),
         in_specs=[pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
                   pl.BlockSpec((2, r2, T), lambda n: (0, 0, 0))],
@@ -360,25 +370,25 @@ def _fused_train_fwd(qkv, cos, sin, window, block, interpret):
         interpret=interpret,
     )(qkv_dt, trig)
     out = jnp.transpose(out_dt, (0, 3, 1, 2))             # [N, T, H, D]
-    return out[:, :t_real], (qkv_dt, trig, lse, out_dt, t_real)
+    return out[:, :t_slice], (qkv_dt, trig, lse, out_dt, t_slice, t_mask)
 
 
-def _fused_train_bwd(window, block, interpret, res, g):
-    qkv_dt, trig, lse, out_dt, t_real = res
+def _fused_train_bwd(window, block, interpret, t_real_arg, res, g):
+    qkv_dt, trig, lse, out_dt, t_slice, t_mask = res
     left, right = window
     N, _, H, D, T = qkv_dt.shape
     B = block
     G = T // B
     KW = min(3, G)
     r2 = trig.shape[1]
-    if T != t_real:
+    if T != t_slice:
         # zero cotangent on the padded tail: padded-query rows then
         # contribute exactly nothing to dk/dv (ds == 0)
-        g = jnp.pad(g, ((0, 0), (0, T - t_real), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, T - t_slice), (0, 0), (0, 0)))
     do_dt = jnp.transpose(g, (0, 2, 3, 1))                # [N, H, D, T]
 
     dqkv_dt = pl.pallas_call(
-        partial(_fused_bwd_kernel_dt, left, right, B, G, KW, t_real),
+        partial(_fused_bwd_kernel_dt, left, right, B, G, KW, t_mask),
         grid=(N,),
         in_specs=[pl.BlockSpec((1, 3, H, D, T), lambda n: (n, 0, 0, 0, 0)),
                   pl.BlockSpec((2, r2, T), lambda n: (0, 0, 0)),
@@ -396,13 +406,13 @@ def _fused_train_bwd(window, block, interpret, res, g):
         interpret=interpret,
     )(qkv_dt, trig, lse, out_dt, do_dt)
     dqkv = jnp.transpose(dqkv_dt, (0, 4, 1, 2, 3))        # [N, T, 3, H, D]
-    zt = jnp.zeros((t_real, r2), trig.dtype)
-    return dqkv[:, :t_real], zt, zt
+    zt = jnp.zeros((t_slice, r2), trig.dtype)
+    return dqkv[:, :t_slice], zt, zt
 
 
 fused_rotary_window_attention_train.defvjp(
-    lambda qkv, cos, sin, window, block, interpret: _fused_train_fwd(
-        qkv, cos, sin, window, block, interpret),
+    lambda qkv, cos, sin, window, block, interpret, t_real=None: (
+        _fused_train_fwd(qkv, cos, sin, window, block, interpret, t_real)),
     _fused_train_bwd)
 
 

@@ -130,6 +130,10 @@ class MultiHeadAttention(nn.Layer):
         cos, sin = rotary_freqs(T, self.rotary_dim)
 
         train = bool(ctx and ctx.get("train"))
+        # stack-level token padding (see Stack.apply): the token stream
+        # was already padded ONCE to the attention block multiple, so the
+        # kernels only need the real length for their key mask
+        t_real = (ctx or {}).get("t_real")
         if (self.attn_window is not None
                 and not os.environ.get("BONITO_TPU_NO_PALLAS")):
             # fused rotary + banded attention: qkv stays in its natural
@@ -139,12 +143,20 @@ class MultiHeadAttention(nn.Layer):
             if ap.fused_supported(qkv, self.attn_window, self.rotary_dim):
                 fused = (ap.fused_rotary_window_attention_train if train
                          else ap.fused_rotary_window_attention)
-                o = fused(qkv, cos, sin, self.attn_window)
+                o = fused(qkv, cos, sin, self.attn_window, 128, False,
+                          t_real)
                 o = o.reshape(N, T, self.d_model)
                 o = self._project(params, "out_w", o, ctx)
                 if self.out_bias:
                     o = o + params["out_b"].astype(x.dtype)
                 return o
+
+        if t_real is not None and t_real != T:
+            # non-fused fallback under stack-level padding: the padded
+            # keys are only zero at the FIRST layer, so run the exact
+            # path at the real length and zero-fill the pad positions
+            qkv = qkv[:, :t_real]
+            cos, sin = cos[:t_real], sin[:t_real]
 
         q = apply_rotary(qkv[:, :, 0], cos, sin)
         k = apply_rotary(qkv[:, :, 1], cos, sin)
@@ -153,7 +165,10 @@ class MultiHeadAttention(nn.Layer):
         q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
         o = attend(q, k, v, window=self.attn_window,
                    differentiable=train)
-        o = jnp.swapaxes(o, 1, 2).reshape(N, T, self.d_model)
+        t_here = o.shape[2]
+        o = jnp.swapaxes(o, 1, 2).reshape(N, t_here, self.d_model)
+        if t_here != T:
+            o = jnp.pad(o, ((0, 0), (0, T - t_here), (0, 0)))
         o = self._project(params, "out_w", o, ctx)
         if self.out_bias:
             o = o + params["out_b"].astype(x.dtype)
@@ -215,6 +230,20 @@ class TransformerEncoderLayer(nn.Layer):
     # downsample's output layout otherwise propagates into (and taxes)
     # all 18 layers — measured 196 -> 153 ms (scripts/prof_sup8.py)
     pin_input_layout = True
+
+    def token_pad_block(self):
+        """Stack-level token padding granule: at a ragged token count
+        (e.g. the shipped sup chunksize 12000 -> 1000 tokens) pad the
+        stream ONCE to the attention block multiple instead of paying a
+        pad+slice copy of the ~400 MB qkv tensor in every layer
+        (measured: encoder 205 -> ~165 ms at chunk 12000). Only when the
+        fused TPU kernel (which masks keys >= ctx['t_real']) will run."""
+        import os
+        if (self.self_attn.attn_window is None
+                or os.environ.get("BONITO_TPU_NO_PALLAS")
+                or jax.default_backend() != "tpu"):
+            return None
+        return 128
 
     def __init__(self, d_model, nhead, dim_feedforward, deepnorm_alpha,
                  deepnorm_beta, attn_window=None):

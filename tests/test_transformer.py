@@ -456,6 +456,77 @@ class TestLayoutPin:
         assert out.shape == x.shape
 
 
+class TestStackTokenPadding:
+    """Stack-level token padding (Stack.apply + token_pad_block): at a
+    ragged token count (e.g. shipped sup chunksize 12000 -> 1000 tokens)
+    the stream is padded ONCE to the attention block multiple, layers
+    mask keys beyond ctx['t_real'], and the stack exit slices back.
+    Real positions must be bit-unchanged vs the unpadded stack."""
+
+    def _stack(self, depth=2, d_model=32):
+        from bonito_tpu import nn as tnn
+        layer = {"type": "transformerencoderlayer", "d_model": d_model,
+                 "nhead": 2, "dim_feedforward": 64,
+                 "deepnorm_alpha": 1.0, "deepnorm_beta": 1.0,
+                 "attn_window": [7, 8]}
+        return tnn.from_dict({"type": "stack", "depth": depth,
+                              "layer": layer})
+
+    def test_padded_stack_matches_unpadded(self, monkeypatch):
+        from bonito_tpu.transformer.model import TransformerEncoderLayer
+        stack = self._stack()
+        p = stack.init_params(jax.random.PRNGKey(3))
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 50, 32))
+        base = stack.apply(p, x)          # CPU: token_pad_block -> None
+        monkeypatch.setattr(TransformerEncoderLayer, "token_pad_block",
+                            lambda self: 16)
+        out = stack.apply(p, x)           # padded to T=64, t_real=50
+        assert out.shape == base.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_padded_stack_grads_match(self, monkeypatch):
+        from bonito_tpu.transformer.model import TransformerEncoderLayer
+        stack = self._stack()
+        p = stack.init_params(jax.random.PRNGKey(5))
+        x = jax.random.normal(jax.random.PRNGKey(6), (2, 50, 32))
+
+        def loss(p):
+            return jnp.sum(stack.apply(p, x, {"train": True}) ** 2)
+
+        g_base = jax.grad(loss)(p)
+        monkeypatch.setattr(TransformerEncoderLayer, "token_pad_block",
+                            lambda self: 16)
+        g_pad = jax.grad(loss)(p)
+        for va, vb in zip(jax.tree_util.tree_leaves(g_base),
+                          jax.tree_util.tree_leaves(g_pad)):
+            np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_fused_kernel_caller_padded(self):
+        # the kernel route under stack-level padding: caller pads qkv to
+        # a block multiple and passes t_real; output real slice must
+        # match the kernel's own self-padding route
+        from bonito_tpu.ops.attention_pallas import (
+            fused_rotary_window_attention)
+        from bonito_tpu.transformer.model import rotary_freqs
+        N, T, H, D = 2, 200, 4, 32
+        W = (63, 64)
+        qkv = jax.random.normal(jax.random.PRNGKey(10), (N, T, 3, H, D))
+        cos, sin = rotary_freqs(T, D)
+        ref = fused_rotary_window_attention(qkv, cos, sin, W,
+                                            interpret=True)
+        Tp = 256
+        qkv_p = jnp.pad(qkv, ((0, 0), (0, Tp - T), (0, 0), (0, 0), (0, 0)))
+        cos_p = jnp.pad(cos, ((0, Tp - T), (0, 0)))
+        sin_p = jnp.pad(sin, ((0, Tp - T), (0, 0)))
+        out = fused_rotary_window_attention(qkv_p, cos_p, sin_p, W, 128,
+                                            True, T)
+        assert out.shape == (N, Tp, H, D)
+        np.testing.assert_allclose(np.asarray(out[:, :T]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestQuantizedProjections:
     """Opt-in int8 qkv/out/MLP projections (--quantize for the sup
     family; default stays bf16 so decode outputs are unchanged)."""
