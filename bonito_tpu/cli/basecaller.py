@@ -46,8 +46,15 @@ def main(args):
 
     fmt = biofmt(aligned=bool(args.reference))
 
-    if args.reference and args.reference.endswith(".mmi") and fmt.name == "cram":
-        sys.stderr.write("> error: reference cannot be a .mmi when outputting cram\n")
+    if args.reference and args.reference.endswith(".mmi"):
+        # fail fast, BEFORE the model load/compile: the in-tree mapper
+        # indexes FASTA directly (a 100 Mb reference indexes in ~26 s,
+        # README.md "CLI") and minimap2's .mmi format
+        # is not supported (reference accepts it via mappy:
+        # bonito/cli/basecaller.py:75)
+        sys.stderr.write(
+            "> error: prebuilt minimap2 .mmi indexes are not supported; "
+            "pass the FASTA (indexed at startup: ~26 s / 100 Mb measured)\n")
         sys.exit(1)
     elif args.reference and fmt.name == "fastq":
         sys.stderr.write(f"> warning: did you really want {fmt.aligned} {fmt.name}?\n")

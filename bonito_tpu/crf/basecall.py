@@ -207,8 +207,14 @@ def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
                 t_end = time.perf_counter()
                 batch_timing(t1 - t0, 0.0, gap)
         while pending:
+            # stream-end drain: record timings too (dispatch already
+            # happened, so only the fetch is attributable) or the last
+            # ``depth`` batches vanish from the BONITO_TPU_PROFILE report
+            t1 = time.perf_counter()
             spans_done, handle = pending.popleft()
-            yield spans_done, compute.fetch(handle)
+            out = compute.fetch(handle)
+            batch_timing(0.0, time.perf_counter() - t1, 0.0)
+            yield spans_done, out
 
     scores = thread_iter(device_stage(instrument("batch", batches)))
 

@@ -121,6 +121,33 @@ class SeqdistModel:
 
         self.params["encoder"] = walk_params(
             self.encoder, self.params["encoder"], "encoder")
+
+        # Mark LSTM->LSTM chains: a quantised LSTM feeding another emits
+        # its hidden state as int8 (round(h*127) — exactly what both its
+        # own recurrence and the consumer's projection quantise to), so
+        # the fused int8 kernels chain with no XLA quantise/abs-max pass
+        # or bf16 activation copy between layers. An LSTM feeding the CRF
+        # head also chains: the head weights go int8 too (static 127
+        # activation scale is exact only for a bounded LSTM h, which is
+        # why this is structure-gated here and not in the generic walk).
+        def mark_chains(layer, params):
+            items = [(n, s) for n, s in layer.sublayer_items()
+                     if s is not None]
+            for (_, a), (nb2, b2) in zip(items, items[1:]):
+                if isinstance(a, nn.LSTM) and isinstance(b2, nn.LSTM):
+                    a.int8_out = True
+                elif (isinstance(a, nn.LSTM)
+                      and isinstance(b2, nn.LinearCRFEncoder)
+                      and isinstance(params.get(nb2), dict)):
+                    newp = b2.quantize_head_params(params[nb2])
+                    if "w_q" in newp:
+                        params[nb2] = newp
+                        a.int8_out = True
+            for name, s in items:
+                if isinstance(params.get(name), dict):
+                    mark_chains(s, params[name])
+
+        mark_chains(self.encoder, self.params["encoder"])
         return self
 
     def calibrate_amax(self, x):
@@ -196,10 +223,33 @@ class SeqdistModel:
             np.arange(nb * nb * R), (nb, nb, R))
         perm = jnp.asarray((r_ * nb + b_) * nb + j_)
         p_crf = p_enc[crf_name]
-        w = p_crf["w"].astype(h.dtype)[:, perm]
-        moves = h @ w
-        if crf.bias:
-            moves = moves + p_crf["b"].astype(h.dtype)[perm]
+        if "w_q" in p_crf:
+            # int8 head: a chained int8 h (round(h*127) from the last
+            # quantised LSTM) hits the int8 MXU with no quantise pass;
+            # the bf16 head matmul is ~9 ms of the hac step at its
+            # roofline and int8 halves it
+            if h.dtype == jnp.int8:
+                h_q = h
+            else:
+                h_q = jnp.round(
+                    h.astype(jnp.float32) * 127.0).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                h_q, p_crf["w_q"][:, perm],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            moves = acc.astype(jnp.float32) * (
+                p_crf["w_s"].reshape(-1)[perm] / 127.0)
+            if crf.bias:
+                moves = moves + p_crf["b"].astype(jnp.float32)[perm]
+            moves = moves.astype(self.compute_dtype)
+        else:
+            if h.dtype == jnp.int8:
+                h = (h.astype(jnp.float32) * (1.0 / 127.0)).astype(
+                    self.compute_dtype)
+            w = p_crf["w"].astype(h.dtype)[:, perm]
+            moves = h @ w
+            if crf.bias:
+                moves = moves + p_crf["b"].astype(h.dtype)[perm]
         if crf.activation is not None:
             moves = crf.activation.apply({}, moves, ctx)
         if crf.scale is not None:
@@ -250,6 +300,9 @@ class SeqdistModel:
         for name, layer in items:
             h = layer.apply(p_enc.get(name, {}), h,
                             nn._push_path(enc_ctx, name))
+        if h.dtype == jnp.int8:  # chained int8 LSTM output
+            h = (h.astype(jnp.float32) * (1.0 / 127.0)).astype(
+                self.compute_dtype)
 
         b_, j_, r_ = np.unravel_index(
             np.arange(nb * nb * R), (nb, nb, R))

@@ -537,7 +537,8 @@ class LSTM(Layer):
             return lstm_int8(x, params.get("w_ih"), params["w_hh_q"],
                              params["scales"], b, reverse=self.reverse,
                              w_ih_q=params.get("w_ih_q"),
-                             ih_scales=params.get("ih_scales"))
+                             ih_scales=params.get("ih_scales"),
+                             out_int8=getattr(self, "int8_out", False))
         if ctx and ctx.get("train"):
             # training needs a differentiable recurrence: the Pallas BPTT
             # custom-VJP on TPU, lax.scan (XLA-derived BPTT) elsewhere
@@ -604,10 +605,54 @@ class LinearCRFEncoder(Layer):
             p["b"] = jnp.zeros((self.out_size,))
         return p
 
-    def apply(self, params, x, ctx=None):
+    def quantize_head_params(self, params):
+        """Per-output-channel int8 head weights (added alongside the f32
+        originals — the fused-head decode's weight folding still wants
+        them). NOT part of the generic quantize walk: the static 127
+        activation scale is only exact when the head input is a bounded
+        LSTM h — SeqdistModel.quantize calls this for LSTM->head pairs
+        only (a sup-family head sees unbounded upsample outputs). The
+        quantisation matches what the int8 LSTM chain already emits, so a
+        chained int8 h feeds the head matmul with no quantise pass at
+        all. The head matmul is ~9 ms of the hac step at its bf16
+        roofline; int8 halves it. BONITO_TPU_INT8_HEAD=0 opts out."""
+        import os
+        if os.environ.get("BONITO_TPU_INT8_HEAD", "1") == "0":
+            return params
+        if "w" not in params:
+            return params
+        from bonito_tpu.ops.lstm_pallas import quantize_cols
+        w_q, w_s = quantize_cols(params["w"])
+        out = dict(params)
+        out["w_q"], out["w_s"] = w_q, w_s
+        return out
+
+    def project_scores(self, params, x):
+        """The head matmul (+bias), int8 when quantised. ``x`` may be a
+        chained int8 h (scale 1/127) or the compute dtype."""
+        if "w_q" in params:
+            if x.dtype == jnp.int8:
+                x_q = x
+            else:
+                x_q = jnp.round(
+                    x.astype(jnp.float32) * 127.0).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x_q, params["w_q"],
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            scores = acc.astype(jnp.float32) * (params["w_s"] / 127.0)
+            if self.bias:
+                scores = scores + params["b"].astype(jnp.float32)
+            return scores.astype(jnp.bfloat16)
+        if x.dtype == jnp.int8:
+            x = (x.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
         scores = x @ params["w"].astype(x.dtype)
         if self.bias:
             scores = scores + params["b"].astype(x.dtype)
+        return scores
+
+    def apply(self, params, x, ctx=None):
+        scores = self.project_scores(params, x)
         if self.activation is not None:
             scores = self.activation.apply({}, scores, ctx)
         if self.scale is not None:

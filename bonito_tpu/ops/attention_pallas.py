@@ -141,18 +141,28 @@ def _fused_kernel_dt(left, right, B, G, KW, t_real, q_ref, trig_ref, o_ref):
         o_ref[0, :, :, qs] = o.astype(o_ref.dtype)
 
 
+def fused_supported_dims(window, head_dim, rotary_dim, block=128,
+                         require_tpu=True):
+    """Shape-level gate shared with Stack-level token padding
+    (TransformerEncoderLayer.token_pad_block): padding the token stream
+    only pays off when the fused kernel will actually run."""
+    left, right = window
+    return (
+        left < block and right <= block
+        and head_dim % 8 == 0 and rotary_dim % 16 == 0
+        and rotary_dim <= head_dim
+        and (jax.default_backend() == "tpu" or not require_tpu)
+    )
+
+
 def fused_supported(qkv, window, rotary_dim, block=128, require_tpu=True):
     N, T, three, H, D = qkv.shape
-    left, right = window
     # Any T is fine: ragged lengths are zero-padded to a block multiple at
     # entry with padded keys masked in-kernel (the reference sup config's
     # chunksize 12000 gives T=1000 tokens, which previously fell back to
     # the ~2.3x-slower XLA path and capped the whole CLI).
-    return (
-        three == 3 and left < block and right <= block
-        and D % 8 == 0 and rotary_dim % 16 == 0 and rotary_dim <= D
-        and (jax.default_backend() == "tpu" or not require_tpu)
-    )
+    return three == 3 and fused_supported_dims(
+        window, D, rotary_dim, block=block, require_tpu=require_tpu)
 
 
 def _pad_t(qkv, cos, sin, block):

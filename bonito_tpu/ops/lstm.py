@@ -86,14 +86,44 @@ def lstm(x, w_ih, w_hh, b, reverse=False):
 
 
 def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
-              w_ih_q=None, ih_scales=None):
+              w_ih_q=None, ih_scales=None, out_int8=False):
     """Quantised LSTM; Pallas int8 kernel on TPU, dequantised scan
     elsewhere. w_ih_q/ih_scales (optional) quantise the input projection
-    too — pass w_ih=None then."""
+    too — pass w_ih=None then.
+
+    ``x`` may be int8 (a previous quantised layer's round(h*127) output);
+    ``out_int8`` emits that form so consecutive quantised layers chain
+    int8-to-int8. The int8 output only materialises on the fused-kernel
+    path — every fallback dequantises/emits the compute dtype, and int8
+    inputs are handled on all paths, so mixed routing stays correct."""
     import jax
-    from bonito_tpu.ops.lstm_pallas import lstm_pallas_int8
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("BONITO_TPU_NO_PALLAS")):
+    from bonito_tpu.ops.lstm_pallas import (
+        lstm_pallas_int8, lstm_pallas_int8_fused, supported_int8_fused)
+    on_tpu = (jax.default_backend() == "tpu"
+              and not os.environ.get("BONITO_TPU_NO_PALLAS"))
+    if (on_tpu and w_ih_q is not None
+            and os.environ.get("BONITO_TPU_LSTM_INT8_FUSED", "1") != "0"
+            and supported_int8_fused(x, w_hh_q)):
+        # Fused int8 route: the projection runs in-kernel from an int8
+        # input stream — no [T, N, 4H] gate tensor in HBM and no XLA
+        # abs-max/quantise passes between chained layers (measured: the
+        # dynamic per-layer activation scaling cost ~1.3 ms/layer at hac
+        # shapes).
+        if x.dtype == jnp.int8:
+            xq, sx = x, jnp.float32(1.0 / 127.0)
+        else:
+            xf = x.astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+            xq = jnp.round(xf / sx).astype(jnp.int8)
+        # K=2 measured best at hac shapes (67.2 / 75.9 / 86.0 ms for the
+        # 5-layer stack at K=2/4/8; the old two-stage route: 73.4)
+        block_k = int(os.environ.get("BONITO_TPU_LSTM_INT8_FUSED_K", 2))
+        return lstm_pallas_int8_fused(
+            xq, w_ih_q, w_hh_q, ih_scales * sx, scales, b,
+            reverse=reverse, block_k=block_k, out_int8=out_int8)
+    if x.dtype == jnp.int8:
+        x = (x.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
+    if on_tpu:
         return lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=reverse,
                                 w_ih_q=w_ih_q, ih_scales=ih_scales)
     if w_ih is None:

@@ -469,6 +469,137 @@ def lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
     return jnp.swapaxes(out, 0, 1)
 
 
+def _lstm_kernel_int8_fused(K, descending, out_int8, x_ref, wih_ref,
+                            whh_ref, ihsc_ref, sc_ref, b_ref, out_ref,
+                            hq_ref, c_ref):
+    """Full-cell int8 LSTM with the input projection computed IN-kernel
+    from an int8 input stream: neither the [T, N, 4H] gate-input tensor
+    nor any f32/bf16 activation copy of x ever exists in HBM. The hidden
+    state is carried as int8 (round(h*127) — exactly what both the
+    recurrence and the next layer's projection consume), so with
+    ``out_int8`` consecutive quantised layers chain int8-to-int8 with no
+    XLA quantise/abs-max passes between them (koi's quantized-LSTM role,
+    reference flag path bonito/util.py:292-296).
+
+    ihsc_ref already folds the input activation scale (1/127 for a
+    chained int8 input; the dynamic conv-output scale for layer 0)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        hq_ref[...] = jnp.zeros_like(hq_ref)
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    H = whh_ref.shape[0]
+    _, N, C = x_ref.shape
+    xb = x_ref[...].reshape(K * N, C)
+    acc = jax.lax.dot_general(
+        xb, wih_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    xw = acc.astype(jnp.float32) * ihsc_ref[...]
+    xw = (xw + b_ref[...].astype(jnp.float32)).reshape(K, N, 4 * H)
+
+    h_q = hq_ref[...]
+    c = c_ref[...]
+    scale = sc_ref[...]
+    rows = range(K - 1, -1, -1) if descending else range(K)
+    for k in rows:
+        rec = jnp.dot(h_q, whh_ref[...],
+                      preferred_element_type=jnp.int32)
+        gates = xw[k] + rec.astype(jnp.float32) * scale
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        h_q = jnp.round(h * 127.0).astype(jnp.int8)
+        out_ref[k] = h_q if out_int8 else h.astype(out_ref.dtype)
+    c_ref[...] = c
+    hq_ref[...] = h_q
+
+
+@partial(jax.jit, static_argnames=("reverse", "interpret", "block_k",
+                                   "out_int8", "out_dtype"))
+def lstm_pallas_int8_fused(x_q, w_ih_q, w_hh_q, ih_scales, scales, b,
+                           reverse=False, interpret=False, block_k=4,
+                           out_int8=False, out_dtype=jnp.bfloat16):
+    """Fused int8 input-projection + int8 recurrence.
+
+    x_q: int8 [N, T, C] — the input already quantised, with its activation
+    scale folded into ``ih_scales`` (pass ih_scales * x_scale). Returns
+    [N, T, H] int8 (round(h*127), for chaining into the next quantised
+    layer) when out_int8, else ``out_dtype``."""
+    N, T, C = x_q.shape
+    H = w_hh_q.shape[0]
+
+    if b is None:
+        b = jnp.zeros((4 * H,), jnp.float32)
+    b = b.astype(jnp.float32).reshape(1, 4 * H)
+    ih_scales = ih_scales.astype(jnp.float32).reshape(1, 4 * H)
+
+    xt = jnp.swapaxes(x_q, 0, 1)  # [T, N, C] time-major
+    K = block_k
+    pad = (-T) % K
+    if pad:
+        zeros = jnp.zeros((pad, N, C), jnp.int8)
+        xt = (jnp.concatenate([zeros, xt], axis=0) if reverse
+              else jnp.concatenate([xt, zeros], axis=0))
+    Tp = T + pad
+    G = Tp // K
+
+    if reverse:
+        index = lambda g: (G - 1 - g, 0, 0)
+    else:
+        index = lambda g: (g, 0, 0)
+
+    out = pl.pallas_call(
+        partial(_lstm_kernel_int8_fused, K, reverse, out_int8),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((K, N, C), index),
+            pl.BlockSpec((C, 4 * H), lambda g: (0, 0)),
+            pl.BlockSpec((H, 4 * H), lambda g: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda g: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda g: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((K, N, H), index),
+        out_shape=jax.ShapeDtypeStruct(
+            (Tp, N, H), jnp.int8 if out_int8 else out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((N, H), jnp.int8),
+            pltpu.VMEM((N, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, w_ih_q, w_hh_q, ih_scales, scales, b)
+
+    if pad:
+        out = out[pad:] if reverse else out[:T]
+    return jnp.swapaxes(out, 0, 1)
+
+
+def supported_int8_fused(x, w_hh_q, require_tpu=True, block_k=4):
+    """Gate for the fused int8 kernel: lane-aligned H/C and a VMEM budget
+    counting the int32 projection accumulator + f32 xw block (the two
+    kernel-body temporaries that dominate at hac shapes)."""
+    if require_tpu and jax.default_backend() != "tpu":
+        return False
+    N, T, C = x.shape
+    H = w_hh_q.shape[0]
+    if H % 128 != 0 or C % 128 != 0 or N % 8 != 0:
+        return False
+    weights = (C + H) * 4 * H + 3 * 4 * H * 4           # int8 + 3 f32 rows
+    xw_tmp = 2 * block_k * N * 4 * H * 4                # int32 acc + f32 xw
+    gates_tmp = N * 4 * H * 4
+    stream = 2 * block_k * N * (C + 2 * H)              # int8/bf16 blocks
+    scratch = N * H * 5
+    return (weights + xw_tmp + gates_tmp + stream + scratch
+            < 90 * 1024 * 1024)
+
+
 def _lstm_kernel_fused(K, descending, x_ref, wih_ref, whh_ref, b_ref,
                        out_ref, h_ref, c_ref):
     """Input projection computed in-kernel: the [T, N, 4H] gate-input

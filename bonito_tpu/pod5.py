@@ -479,7 +479,9 @@ def get_reads(directory, read_ids=None, skip=False, max_read_size=0,
 
     files = _files(directory, recursive)
 
-    def blocks(block=8):
+    from bonito_tpu.fast5 import READ_BLOCK
+
+    def blocks(block=READ_BLOCK):
         """(filename, row-range) work items of ~``block`` reads each, so
         the first reads reach the pipeline after one small block rather
         than after a whole file (a 250-read file is a ~100 MB queue

@@ -112,8 +112,15 @@ class MultiHeadAttention(nn.Layer):
 
     def _project(self, params, name, x, ctx=None):
         if ctx is not None and ctx.get("calibrate"):
+            # under stack-level token padding the pad rows carry garbage
+            # (fused-path padded-query outputs are non-zero) — calibrate
+            # on the real tokens only
+            xr = x
+            t_real = ctx.get("t_real")
+            if t_real is not None and t_real != x.shape[1]:
+                xr = x[:, :t_real]
             ctx["updates"][f"{ctx.get('path', '')}.{name}_amax"] = (
-                jnp.max(jnp.abs(x.astype(jnp.float32))))
+                jnp.max(jnp.abs(xr.astype(jnp.float32))))
         if name + "_q" in params:
             from bonito_tpu.ops.int8 import matmul_int8
             return matmul_int8(x, params[name + "_q"], params[name + "_s"],
@@ -203,8 +210,13 @@ class GatedMlp(nn.Layer):
 
     def _record(self, ctx, name, x):
         if ctx is not None and ctx.get("calibrate"):
+            xr = x
+            t_real = ctx.get("t_real")
+            if (t_real is not None and x.ndim >= 2
+                    and t_real != x.shape[1]):
+                xr = x[:, :t_real]
             ctx["updates"][f"{ctx.get('path', '')}.{name}_amax"] = (
-                jnp.max(jnp.abs(x.astype(jnp.float32))))
+                jnp.max(jnp.abs(xr.astype(jnp.float32))))
 
     def apply(self, params, x, ctx=None):
         self._record(ctx, "fc1", x)
@@ -237,11 +249,18 @@ class TransformerEncoderLayer(nn.Layer):
         stream ONCE to the attention block multiple instead of paying a
         pad+slice copy of the ~400 MB qkv tensor in every layer
         (measured: encoder 205 -> ~165 ms at chunk 12000). Only when the
-        fused TPU kernel (which masks keys >= ctx['t_real']) will run."""
+        fused TPU kernel (which masks keys >= ctx['t_real']) will run —
+        for shapes it rejects, padding would make every layer pay the
+        slice-to-t_real + re-pad fallback for nothing."""
         import os
-        if (self.self_attn.attn_window is None
+        attn = self.self_attn
+        if (attn.attn_window is None
                 or os.environ.get("BONITO_TPU_NO_PALLAS")
                 or jax.default_backend() != "tpu"):
+            return None
+        from bonito_tpu.ops.attention_pallas import fused_supported_dims
+        if not fused_supported_dims(attn.attn_window, attn.head_dim,
+                                    attn.rotary_dim, block=128):
             return None
         return 128
 

@@ -263,6 +263,148 @@ class TestLSTMInt8FullCell:
         assert err.max() < 0.08
         assert err.mean() < 0.02
 
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_fused_int8_matches_float(self, reverse):
+        from bonito_tpu.ops.lstm_pallas import (
+            lstm_pallas_int8_fused, quantize_whh, quantize_cols)
+        from bonito_tpu.ops.lstm import lstm_scan
+        C = H = 128
+        N, T = 8, 12
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(17), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(18), (N, T, C))
+        w_q, scales = quantize_whh(w_hh)
+        wih_q, ih_scales = quantize_cols(w_ih)
+        sx = jnp.max(jnp.abs(x)) / 127.0
+        xq = jnp.round(x / sx).astype(jnp.int8)
+        out = lstm_pallas_int8_fused(
+            xq, wih_q, w_q, ih_scales * sx, scales, b,
+            reverse=reverse, interpret=True, block_k=4,
+            out_dtype=jnp.float32)
+        ref = lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
+        err = np.abs(np.asarray(out) - np.asarray(ref))
+        assert err.max() < 0.08
+        assert err.mean() < 0.02
+
+    @pytest.mark.parametrize("T", [12, 13])  # 13 exercises block padding
+    def test_fused_int8_out_int8_is_rounded_h(self, T):
+        from bonito_tpu.ops.lstm_pallas import (
+            lstm_pallas_int8_fused, quantize_whh, quantize_cols)
+        C = H = 128
+        N = 8
+        w_ih, w_hh, b = _params(jax.random.PRNGKey(19), C, H)
+        x = jax.random.normal(jax.random.PRNGKey(20), (N, T, C))
+        w_q, scales = quantize_whh(w_hh)
+        wih_q, ih_scales = quantize_cols(w_ih)
+        sx = jnp.max(jnp.abs(x)) / 127.0
+        xq = jnp.round(x / sx).astype(jnp.int8)
+        args = (xq, wih_q, w_q, ih_scales * sx, scales, b)
+        hf = lstm_pallas_int8_fused(*args, interpret=True, block_k=4,
+                                    out_dtype=jnp.float32)
+        hi = lstm_pallas_int8_fused(*args, interpret=True, block_k=4,
+                                    out_int8=True)
+        assert hi.dtype == jnp.int8
+        np.testing.assert_array_equal(
+            np.asarray(hi), np.round(np.asarray(hf) * 127.0).astype(np.int8))
+
+    def test_fused_int8_chain_two_layers(self):
+        """int8 handoff between two quantised layers ~= float two-layer
+        stack (the handoff quantisation is the same round(h*127) the
+        recurrence itself uses)."""
+        from bonito_tpu.ops.lstm_pallas import (
+            lstm_pallas_int8_fused, quantize_whh, quantize_cols)
+        from bonito_tpu.ops.lstm import lstm_scan
+        C = H = 128
+        N, T = 8, 12
+        p0 = _params(jax.random.PRNGKey(21), C, H)
+        p1 = _params(jax.random.PRNGKey(22), H, H)
+        x = jax.random.normal(jax.random.PRNGKey(23), (N, T, C))
+
+        ref = lstm_scan(lstm_scan(x, *p0), *p1, reverse=True)
+
+        sx = jnp.max(jnp.abs(x)) / 127.0
+        xq = jnp.round(x / sx).astype(jnp.int8)
+        outs = []
+        h = xq
+        for (w_ih, w_hh, b), scale_in, rev in [(p0, sx, False),
+                                               (p1, 1.0 / 127.0, True)]:
+            w_q, scales = quantize_whh(w_hh)
+            wih_q, ih_scales = quantize_cols(w_ih)
+            h = lstm_pallas_int8_fused(
+                h, wih_q, w_q, ih_scales * scale_in, scales, b,
+                reverse=rev, interpret=True, block_k=4,
+                out_int8=True)
+        out = np.asarray(h, np.float32) / 127.0
+        err = np.abs(out - np.asarray(ref))
+        assert err.max() < 0.1
+        assert err.mean() < 0.03
+
+    def test_quantize_marks_int8_chains(self):
+        from bonito_tpu import nn
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        cfg = lstm_crf_config(features=32, num_layers=3, state_len=2,
+                              stride=5)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(0))
+        m.quantize()
+        lstms = [l for l in m.encoder.sublayers if isinstance(l, nn.LSTM)]
+        assert len(lstms) == 3
+        # all three chain: LSTM->LSTM->LSTM->int8 CRF head
+        assert [getattr(l, "int8_out", False) for l in lstms] == [
+            True, True, True]
+        head = [l for l in m.encoder.sublayers
+                if isinstance(l, nn.LinearCRFEncoder)][0]
+        crf_name = [n for n, l in m.encoder.sublayer_items()
+                    if l is head][0]
+        p_crf = m.params["encoder"][crf_name]
+        assert "w_q" in p_crf and "w" in p_crf  # originals kept (fused head)
+        # forward still works (CPU falls back to the dequantised path)
+        out = np.asarray(m.forward(jnp.ones((1, 100, 1))), np.float32)
+        assert np.isfinite(out).all()
+
+    def test_int8_head_matches_float(self):
+        """int8 head on a bounded (tanh-like) input ~= f32 head, both via
+        forward_tcn (the production decode layout) and apply."""
+        import os
+        from bonito_tpu.crf.model import Model
+        from bonito_tpu.models import lstm_crf_config
+        cfg = lstm_crf_config(features=64, num_layers=2, state_len=2,
+                              stride=5)
+        m = Model(cfg)
+        m.init(jax.random.PRNGKey(3))
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 200, 1))
+        ref_tcn, blank = m.forward_tcn(m.params, x)
+        ref_apply = m.apply(m.params, x)
+        m.quantize()
+        out_tcn, blank_q = m.forward_tcn(m.params, x)
+        out_apply = m.apply(m.params, x)
+        assert blank == blank_q
+        err = np.abs(np.asarray(out_tcn, np.float32)
+                     - np.asarray(ref_tcn, np.float32))
+        assert err.mean() < 0.1, err.mean()
+        err_a = np.abs(np.asarray(out_apply, np.float32)
+                       - np.asarray(ref_apply, np.float32))
+        assert err_a.mean() < 0.1, err_a.mean()
+
+    def test_sup_head_not_quantized(self):
+        """The transformer head input (upsample output) is unbounded —
+        quantize() must NOT int8 the sup head (static 127 scale would
+        overflow)."""
+        from bonito_tpu.models import transformer_crf_config
+        from bonito_tpu.transformer.model import Model as TModel
+        cfg = transformer_crf_config(
+            d_model=32, nhead=2, depth=1, dim_feedforward=64,
+            attn_window=(7, 8), state_len=2, conv_stride=4)
+        tm = TModel(cfg)
+        tm.init(jax.random.PRNGKey(5))
+        tm.quantize()
+        heads = [(n, l) for n, l in tm.encoder.sublayer_items()
+                 if isinstance(l, getattr(__import__("bonito_tpu.nn",
+                               fromlist=["nn"]), "LinearCRFEncoder"))]
+        assert heads, "no CRF head found in the sup encoder"
+        for n, _ in heads:
+            assert "w_q" not in tm.params["encoder"].get(n, {})
+
     def test_model_quantize_full_cell(self):
         from bonito_tpu.crf.model import Model
         from bonito_tpu.models import lstm_crf_config
