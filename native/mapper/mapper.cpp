@@ -217,6 +217,52 @@ AlnResult banded_align(const std::string& q, const std::string& r, int band,
     return res;
 }
 
+// Trim the alignment ends to the maximal-scoring contiguous segment
+// (Kadane over per-op scores, affine-ish gap costs). The glocal DP makes
+// the query align end-to-end, so a chimeric junction or adapter tail
+// drags the alignment through garbage (measured: a 2-segment chimera
+// mapped with NM ~1150 across the junction); minimap2 soft-clips these.
+// Returns the query/ref lengths trimmed at each end.
+void trim_ops(std::string& ops, int& q_trim_l, int& q_trim_r,
+              int& r_trim_l, int& r_trim_r,
+              int match = 2, int mismatch = -4, int gap_open = 4,
+              int gap_extend = 2) {
+    q_trim_l = q_trim_r = r_trim_l = r_trim_r = 0;
+    const int L = (int)ops.size();
+    if (!L) return;
+    long best = -1, cur = 0;
+    int best_lo = 0, best_hi = L, cur_lo = 0;
+    char prev = 0;
+    for (int i = 0; i < L; i++) {
+        char c = ops[i];
+        long s;
+        if (c == '=') s = match;
+        else if (c == 'X') s = mismatch;
+        else s = -(long)(gap_extend + (c != prev ? gap_open : 0));
+        prev = c;
+        cur += s;
+        if (cur > best) { best = cur; best_lo = cur_lo; best_hi = i + 1; }
+        if (cur < 0) { cur = 0; cur_lo = i + 1; prev = 0; }
+    }
+    if (best_lo == 0 && best_hi == L) return;
+    // never trim to a stub: keep the full alignment if the best segment
+    // is degenerate (the caller's min-quality gates handle junk maps)
+    if (best_hi - best_lo < 30) return;
+    for (int i = 0; i < best_lo; i++) {
+        char c = ops[i];
+        if (c == '=' || c == 'X') { q_trim_l++; r_trim_l++; }
+        else if (c == 'I') q_trim_l++;
+        else r_trim_l++;
+    }
+    for (int i = best_hi; i < L; i++) {
+        char c = ops[i];
+        if (c == '=' || c == 'X') { q_trim_r++; r_trim_r++; }
+        else if (c == 'I') q_trim_r++;
+        else r_trim_r++;
+    }
+    ops = ops.substr(best_lo, best_hi - best_lo);
+}
+
 void ops_to_cigar_nm_md(const std::string& ops, const std::string& ref,
                         std::string& cigar, int32_t& nm, std::string& md) {
     cigar.clear(); md.clear(); nm = 0;
@@ -338,6 +384,14 @@ bool map_query(const Index& idx, const std::string& query_raw, Mapping& out) {
     AlnResult aln = banded_align(query, ref_window, band);
     if (aln.score == INT32_MIN || aln.ops.empty()) return false;
 
+    // soft-clip junk ends (chimeric junctions, adapters): keep the
+    // maximal-scoring segment, like minimap2's extension z-drop
+    int qtl, qtr, rtl, rtr;
+    trim_ops(aln.ops, qtl, qtr, rtl, rtr);
+    aln.j_start += rtl;
+    aln.j_end -= rtr;
+    if (aln.ops.empty() || aln.j_end <= aln.j_start) return false;
+
     std::string ref_core = ref_window.substr(
         aln.j_start, aln.j_end - aln.j_start);
     ops_to_cigar_nm_md(aln.ops, ref_core, out.cigar, out.nm, out.md);
@@ -345,8 +399,15 @@ bool map_query(const Index& idx, const std::string& query_raw, Mapping& out) {
     out.ctg_id = ctg;
     out.strand = best_strand ? -1 : 1;
     out.r_st = (w_lo + (int64_t)aln.j_start) - ctg_start;
-    out.q_st = 0;
-    out.q_en = (int32_t)query.size();
+    // q_st/q_en in ORIGINAL read coordinates (mappy's convention; the
+    // SAM writer swaps soft clips for reverse-strand records)
+    if (best_strand) {
+        out.q_st = qtr;
+        out.q_en = (int32_t)query.size() - qtl;
+    } else {
+        out.q_st = qtl;
+        out.q_en = (int32_t)query.size() - qtr;
+    }
     out.score = aln.score;
     int denom = best_s > 0 ? best_s : 1;
     int mq = (int)(40.0 * (1.0 - (double)second_s / denom));

@@ -108,3 +108,93 @@ class TestMapper:
         assert len(out) == 1
         read, res = out[0]
         assert res["mapping"].ctg == "chr1"
+
+
+def _cigar_walk(cigar, query, ref):
+    """(edits, q_used, r_used) from applying a cigar — NM's definition."""
+    import re
+    qi = ri = edits = 0
+    for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar):
+        n = int(n)
+        if op in "M=X":
+            edits += sum(1 for a, b in zip(query[qi:qi + n],
+                                           ref[ri:ri + n]) if a != b)
+            qi += n
+            ri += n
+        elif op == "I":
+            edits += n
+            qi += n
+        elif op == "D":
+            edits += n
+            ri += n
+        elif op == "S":
+            qi += n
+    return edits, qi, ri
+
+
+class TestMapperConcordance:
+    """Regression pins from scripts/mapper_concordance_study.py (round 4):
+    nanopore-error-rate reads map to the true locus with internally
+    consistent cigar/NM, mapq>=30 hits are trustworthy, and chimeric
+    reads are soft-clipped at the junction instead of dragged across it
+    (minimap2 'lr:hq' role, reference bonito/aligner.py:36-55)."""
+
+    def test_error_ladder_locus_and_nm(self, ref_and_aligner):
+        contigs, aligner = ref_and_aligner
+        rng = np.random.default_rng(5)
+        n = mapped = locus_ok = 0
+        for i in range(30):
+            length = int(rng.integers(800, 3000))
+            start = int(rng.integers(0, len(contigs["chr1"]) - length))
+            frag = contigs["chr1"][start:start + length]
+            read = mutate(rng, frag, sub_rate=0.10, indel_rate=0.05)
+            strand = 1
+            if i % 2:
+                read, strand = revcomp(read), -1
+            n += 1
+            h = aligner.map(read)
+            if h is None:
+                continue
+            mapped += 1
+            correct = (h.ctg == "chr1" and h.strand == strand
+                       and abs(h.r_st - start) < 60 + 0.03 * length)
+            locus_ok += correct
+            if h.mapq >= 30:
+                assert correct, (h.r_st, start, h.strand, strand)
+            # NM/cigar internal consistency (q_st/q_en: original coords)
+            seg = read[h.q_st:h.q_en]
+            if h.strand == -1:
+                seg = revcomp(seg)
+            edits, qu, ru = _cigar_walk(h.cigar_str, seg, h.ref_seq)
+            assert qu == len(seg)
+            assert ru == h.r_en - h.r_st
+            assert edits == h.NM
+        # study measured 100%/100% at 10%/5% error; pin with slack
+        assert mapped / n >= 0.9
+        assert locus_ok / mapped >= 0.9
+
+    def test_chimeric_read_is_clipped(self, ref_and_aligner):
+        contigs, aligner = ref_and_aligner
+        rng = np.random.default_rng(6)
+        ok = total = 0
+        for _ in range(12):
+            la, lb = int(rng.integers(1500, 3000)), int(rng.integers(1500, 3000))
+            sa = int(rng.integers(0, len(contigs["chr1"]) - la))
+            sb = int(rng.integers(0, len(contigs["chr2"]) - lb))
+            read = (mutate(rng, contigs["chr1"][sa:sa + la]) +
+                    mutate(rng, contigs["chr2"][sb:sb + lb]))
+            h = aligner.map(read)
+            total += 1
+            if h is None:
+                continue
+            # the primary hit must be clipped to ONE segment: its ref
+            # span inside the true source interval, soft clips present
+            def inside(s0, ln):
+                o = (min(h.r_en, s0 + ln + 100) - max(h.r_st, s0 - 100))
+                return o / max(h.r_en - h.r_st, 1) > 0.9
+            covers_one = ((h.ctg == "chr1" and inside(sa, la))
+                          or (h.ctg == "chr2" and inside(sb, lb)))
+            clipped = (h.q_en - h.q_st) < len(read) - 200
+            ok += covers_one and clipped
+        # study: 59/60 across a bigger sweep
+        assert ok >= total - 2, (ok, total)
