@@ -6,12 +6,22 @@ this environment has neither, so — like bam.py/pod5.py — the container
 format is implemented first-party against the public CRAM 3.0
 specification (hts-specs CRAMv3.pdf).
 
-Scope: the encoder writes *referenceless* CRAM (preservation map
-``RR=false``), the mode htslib uses when no reference is supplied: read
-bases are carried verbatim in read features ('b' stretches, soft clips,
-inserts), so no fasta is needed to decode. Aligned records keep ref
-name/pos/MAPQ/CIGAR (M/=/X stretches decode as M, as in htslib no-ref
-mode); tags round-trip via the tag dictionary + per-tag external blocks.
+Two encoding modes, matching htslib's behaviour with/without a fasta:
+
+- *reference-based* (``reference_based=True``, preservation ``RR=true``):
+  match stretches are implicit against the reference and mismatches
+  encode as 'X' substitution-matrix codes — materially smaller files;
+  decoding needs the same fasta (``CramReader(..., reference=...)``).
+  The io.Writer picks this mode whenever an aligner is present
+  (reference behaviour: bonito/io.py:415-425).
+- *referenceless* (default, ``RR=false``), the mode htslib uses when no
+  reference is supplied: read bases are carried verbatim in read
+  features ('b' stretches, soft clips, inserts), so no fasta is needed
+  to decode.
+
+Aligned records keep ref name/pos/MAPQ/CIGAR (M/=/X stretches decode as
+M, as in htslib); tags round-trip via the tag dictionary + per-tag
+external blocks.
 All blocks are gzip-compressed; containers and blocks carry their CRC32s;
 the file ends with the spec's canonical 38-byte v3 EOF container (the
 writer's own primitives reproduce it bit-exactly — pinned in
@@ -242,13 +252,40 @@ _SERIES_IDS = {
     "BF": 1, "CF": 2, "RI": 3, "RL": 4, "AP": 5, "RG": 6, "RN": 7,
     "MF": 8, "NS": 9, "NP": 10, "TS": 11, "TL": 12,
     "FN": 13, "FC": 14, "FP": 15, "DL": 16, "BB": 17, "SC": 18, "IN": 19,
-    "BA": 20, "MQ": 21, "QS": 22, "RS": 23, "PD": 24, "HC": 25,
+    "BA": 20, "MQ": 21, "QS": 22, "RS": 23, "PD": 24, "HC": 25, "BS": 26,
 }
 _BYTE_ARRAY_SERIES = ("BB", "SC", "IN")
 _TAG_ID_BASE = 32
 
+# substitution matrix helpers (preservation key SM): for reference base r
+# the four substitute bases are ACGTN-minus-r in order; the SM byte packs
+# each substitute's 2-bit code MSB-first. 0x1b = codes 0,1,2,3 in order.
+DEFAULT_SM = b"\x1b" * 5
+_SUB_ORDER = {r: [b for b in "ACGTN" if b != r] for r in "ACGTN"}
 
-def build_compression_header(tag_lines, tag_ids):
+
+def _sub_code(ref_base, read_base, sm=DEFAULT_SM):
+    """2-bit substitution code for read_base against ref_base, or None
+    when either base falls outside the ACGTN matrix."""
+    if ref_base not in _SUB_ORDER:
+        return None
+    byte = sm["ACGTN".index(ref_base)]
+    for i, b in enumerate(_SUB_ORDER[ref_base]):
+        if b == read_base:
+            return (byte >> (6 - 2 * i)) & 3
+    return None
+
+
+def _sub_base(ref_base, code, sm=DEFAULT_SM):
+    r = ref_base if ref_base in _SUB_ORDER else "N"
+    byte = sm["ACGTN".index(r)]
+    for i, b in enumerate(_SUB_ORDER[r]):
+        if ((byte >> (6 - 2 * i)) & 3) == code:
+            return b
+    raise ValueError(f"substitution code {code} unmapped for {ref_base}")
+
+
+def build_compression_header(tag_lines, tag_ids, reference_based=False):
     """tag_lines: list of TD lines (each a list of (tag, type) pairs);
     tag_ids: {(tag, type): content id}."""
     td = b"\x00".join(
@@ -257,8 +294,11 @@ def build_compression_header(tag_lines, tag_ids):
     preservation = _serialise_map([
         (b"RN", b"\x01"),            # read names preserved
         (b"AP", b"\x00"),            # AP stored absolute, not delta
-        (b"RR", b"\x00"),            # no reference required (verbatim bases)
-        (b"SM", b"\x1b" * 5),        # default substitution matrix (unused)
+        # RR=true: match stretches are implicit against the reference
+        # (htslib's mode when a fasta is supplied — bonito/io.py:415-425);
+        # RR=false: verbatim bases, no fasta needed to decode
+        (b"RR", b"\x01" if reference_based else b"\x00"),
+        (b"SM", DEFAULT_SM),
         (b"TD", itf8_encode(len(td)) + td),
     ])
     series = []
@@ -404,10 +444,10 @@ class _Codec:
 
 class CramRecord:
     __slots__ = ("name", "flag", "ref_id", "pos", "mapq", "cigar",
-                 "seq", "qual", "tags", "read_group")
+                 "seq", "qual", "tags", "read_group", "ref")
 
     def __init__(self, name, flag, ref_id, pos, mapq, cigar, seq, qual,
-                 tags, read_group=-1):
+                 tags, read_group=-1, ref=None):
         self.name = name
         self.flag = flag
         self.ref_id = ref_id
@@ -418,31 +458,52 @@ class CramRecord:
         self.qual = qual        # phred string (no +33 offset applied), "" = missing
         self.tags = tags        # ["xx:T:val", ...] SAM text form
         self.read_group = read_group
+        self.ref = ref          # aligned reference span (ref-based mode)
 
 
 _CONSUMES_QUERY = set("MIS=X")
 
 
-def _features_from_record(rec):
-    """Feature list [(code, read_pos_1based, payload)] for a mapped record
-    in no-ref mode: M/=/X stretches -> 'b' (verbatim bases), S -> softclip,
-    I -> insert, D/N/H/P -> length features."""
+def _features_from_record(rec, use_ref=False):
+    """Feature list [(code, read_pos_1based, payload)] for a mapped
+    record. No-ref mode: M/=/X stretches -> 'b' (verbatim bases).
+    Reference-based mode (use_ref, rec.ref = the aligned reference
+    span): matches are implicit, mismatches encode as 'X' substitution
+    codes — the htslib-with-fasta behaviour that makes CRAM files
+    materially smaller. S -> softclip, I -> insert, D/N/H/P -> lengths."""
     feats = []
     rpos = 1
+    refpos = 0  # cursor into rec.ref (consumed by M/=/X and D/N)
+    with_ref = use_ref and rec.ref is not None
     for op, n in rec.cigar:
         if op == "S":
             feats.append(("S", rpos, rec.seq[rpos - 1:rpos - 1 + n]))
             rpos += n
         elif op in "M=X":
-            feats.append(("b", rpos, rec.seq[rpos - 1:rpos - 1 + n]))
+            if with_ref:
+                frag = rec.seq[rpos - 1:rpos - 1 + n]
+                ref_frag = rec.ref[refpos:refpos + n]
+                for i, (a, b) in enumerate(zip(frag, ref_frag)):
+                    if a == b:
+                        continue
+                    code = _sub_code(b, a)
+                    if code is None:  # outside the ACGTN matrix
+                        feats.append(("b", rpos + i, a))
+                    else:
+                        feats.append(("X", rpos + i, code))
+            else:
+                feats.append(("b", rpos, rec.seq[rpos - 1:rpos - 1 + n]))
+            refpos += n
             rpos += n
         elif op == "I":
             feats.append(("I", rpos, rec.seq[rpos - 1:rpos - 1 + n]))
             rpos += n
         elif op == "D":
             feats.append(("D", rpos, n))
+            refpos += n
         elif op == "N":
             feats.append(("N", rpos, n))
+            refpos += n
         elif op == "H":
             feats.append(("H", rpos, n))
         elif op == "P":
@@ -462,8 +523,10 @@ class CramWriter:
 
     RECORDS_PER_CONTAINER = 4096
 
-    def __init__(self, fd, header_text, refs, records_per_container=None):
+    def __init__(self, fd, header_text, refs, records_per_container=None,
+                 reference_based=False):
         self.fd = fd
+        self.reference_based = bool(reference_based)
         self.refs = list(refs)
         self.ref_ids = {name: i for i, (name, _) in enumerate(refs)}
         self.rg_ids = {}
@@ -505,11 +568,14 @@ class CramWriter:
                 tags.append(f"NM:i:{mapping.NM}")
             if getattr(mapping, "MD", None):
                 tags.append(f"MD:Z:{mapping.MD}")
+            ref_span = (getattr(mapping, "ref_seq", None)
+                        if self.reference_based else None)
             rec = CramRecord(
                 read_id, 16 if mapping.strand == -1 else 0,
                 self.ref_ids[mapping.ctg], mapping.r_st, mapping.mapq,
                 _parse_cigar(cig), seq,
-                "" if qstring in ("", "*") else qstring, tags)
+                "" if qstring in ("", "*") else qstring, tags,
+                ref=ref_span.upper() if ref_span else None)
         self.add_record(rec)
 
     def add_record(self, rec):
@@ -586,7 +652,8 @@ class CramWriter:
                 sid = tag_ids[(t[:2], t[3])]
                 streams[sid] += itf8_encode(len(payload)) + payload
             if mapped:
-                feats = _features_from_record(rec)
+                feats = _features_from_record(
+                    rec, use_ref=self.reference_based)
                 put_int("FN", len(feats))
                 prev = 0
                 for code, fpos, payload in feats:
@@ -599,6 +666,8 @@ class CramWriter:
                         put_array("SC", payload.encode())
                     elif code == "I":
                         put_array("IN", payload.encode())
+                    elif code == "X":
+                        put_byte("BS", payload)
                     elif code == "D":
                         put_int("DL", payload)
                     elif code == "N":
@@ -617,7 +686,8 @@ class CramWriter:
 
         comp_block = build_block(
             CT_COMPRESSION_HEADER, 0,
-            build_compression_header(tag_lines, tag_ids))
+            build_compression_header(tag_lines, tag_ids,
+                                     reference_based=self.reference_based))
 
         ext_blocks, content_ids = [], []
         for cid in sorted(streams):
@@ -663,11 +733,21 @@ class CramReader:
     """Decode a CRAM 3.0 byte string/file written with external-style
     codecs (everything CramWriter emits). Yields CramRecord."""
 
-    def __init__(self, source):
+    def __init__(self, source, reference=None):
+        """``reference``: FASTA path or {name: sequence} dict — required
+        to decode reference-based CRAM (preservation RR=true); files this
+        writer produces without a reference decode with no fasta."""
         data = source if isinstance(source, (bytes, bytearray)) \
             else open(source, "rb").read()
         if not data.startswith(MAGIC[:4]):
             raise ValueError("not a CRAM file")
+        if reference is None:
+            self.ref_seqs = None
+        elif isinstance(reference, dict):
+            self.ref_seqs = {k: v.upper() for k, v in reference.items()}
+        else:
+            from bonito_tpu.aligner import read_fasta
+            self.ref_seqs = {n: s.upper() for n, s in read_fasta(reference)}
         self.version = (data[4], data[5])
         self.data = data
         pos = 26
@@ -767,6 +847,8 @@ class CramReader:
                         feats.append((code, fpos, c("SC").read_bytes()))
                     elif code == "I":
                         feats.append((code, fpos, c("IN").read_bytes()))
+                    elif code == "X":
+                        feats.append((code, fpos, c("BS").read_byte()))
                     elif code == "D":
                         feats.append((code, fpos, c("DL").read_int()))
                     elif code == "N":
@@ -778,8 +860,18 @@ class CramReader:
                     else:
                         raise ValueError(f"unsupported feature {code}")
                 mapq = c("MQ").read_int()
-                seq, cigar = _reconstruct(feats, rl)
                 pos = ap - 1
+                ref = None
+                if preservation.get("RR"):
+                    if self.ref_seqs is None:
+                        raise ValueError(
+                            "reference-based CRAM (RR=true): pass "
+                            "reference= to CramReader to decode")
+                    ref_name = self.refs[ref_id][0]
+                    ref = self.ref_seqs[ref_name]
+                seq, cigar = _reconstruct(
+                    feats, rl, ref=ref, ref_pos=pos,
+                    sm=preservation.get("SM", DEFAULT_SM))
             else:
                 seq = c("BA").stream.take(rl).decode()
                 cigar, mapq, pos = [], 0, -1
@@ -815,11 +907,12 @@ def _decode_tag_payload(typ, payload):
     raise ValueError(f"unsupported tag type {typ}")
 
 
-def _reconstruct(feats, read_len):
-    """No-ref decode: rebuild SEQ + CIGAR from the feature list. Read
-    positions not covered by any feature decode as reference matches —
-    impossible without a reference, so this reader requires full coverage
-    (which the writer guarantees)."""
+def _reconstruct(feats, read_len, ref=None, ref_pos=0, sm=DEFAULT_SM):
+    """Rebuild SEQ + CIGAR from the feature list. With ``ref`` (the
+    contig sequence; reference-based mode, RR=true) read positions not
+    covered by a feature decode as reference matches and 'X' features
+    apply the substitution matrix. Without a reference, full feature
+    coverage is required (which the no-ref writer guarantees)."""
     seq = bytearray()
     cigar = []
 
@@ -831,15 +924,36 @@ def _reconstruct(feats, read_len):
         else:
             cigar.append((op, n))
 
-    covered = 1
-    for code, fpos, payload in feats:
-        if fpos > covered:
+    covered = 1   # next un-decoded read position (1-based)
+    rcur = ref_pos  # reference cursor (0-based into ref)
+
+    def fill_match(upto):
+        # implicit reference match run covering [covered, upto)
+        nonlocal covered, rcur
+        n = upto - covered
+        if n <= 0:
+            return
+        if ref is None:
             raise ValueError("referenceless CRAM record with uncovered "
                              f"read positions at {covered}")
+        seq.extend(ref[rcur:rcur + n].encode())
+        push("M", n)
+        rcur += n
+        covered = upto
+
+    for code, fpos, payload in feats:
+        fill_match(fpos)
         if code == "b":
             seq += payload
             push("M", len(payload))
             covered = fpos + len(payload)
+            rcur += len(payload)
+        elif code == "X":
+            seq += _sub_base(ref[rcur] if ref is not None else "N",
+                             payload, sm).encode()
+            push("M", 1)
+            covered = fpos + 1
+            rcur += 1
         elif code == "S":
             seq += payload
             push("S", len(payload))
@@ -850,12 +964,15 @@ def _reconstruct(feats, read_len):
             covered = fpos + len(payload)
         elif code == "D":
             push("D", payload)
+            rcur += payload
         elif code == "N":
             push("N", payload)
+            rcur += payload
         elif code == "H":
             push("H", payload)
         elif code == "P":
             push("P", payload)
+    fill_match(read_len + 1)
     if len(seq) != read_len:
         raise ValueError("decoded sequence length mismatch")
     return seq.decode(), cigar

@@ -383,7 +383,14 @@ class Writer(Thread):
             self._bam = BAMWriter(self.fd, header_text, sq)
         elif mode == "wc":
             from bonito_tpu.cram import CramWriter
-            self._bam = CramWriter(self.fd, header_text, sq)
+            # with an aligner the mappings carry their reference span, so
+            # emit reference-based CRAM (RR=true, implicit match
+            # stretches + substitution codes — what htslib writes when
+            # given a fasta, reference bonito/io.py:415-425); decoding
+            # then needs the same fasta. Unaligned cram stays
+            # referenceless (verbatim bases).
+            self._bam = CramWriter(self.fd, header_text, sq,
+                                   reference_based=aligner is not None)
         elif mode == "w":
             self.fd.write(header_text)
 

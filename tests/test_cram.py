@@ -206,3 +206,98 @@ class TestWriterIntegration:
         assert recs[0].seq == "ACGTACGTAC"
         tags = dict(t.split(":", 1) for t in recs[0].tags)
         assert tags["qs"] == "i:40"
+
+
+class TestReferenceBased:
+    """RR=true mode: implicit match stretches + 'X' substitution codes
+    (htslib's with-fasta behaviour, reference bonito/io.py:415-425)."""
+
+    HDR = ("@HD\tVN:1.6\tSO:unknown\n"
+           "@SQ\tSN:chr1\tLN:60\n")
+    REF = "ACGTACGTAACCGGTTACGTACGTAACCGGTTACGTACGTAACCGGTTACGTACGTAACC"
+
+    def _write(self, mappings_and_seqs):
+        buf = io.BytesIO()
+        w = CramWriter(buf, self.HDR, [("chr1", len(self.REF))],
+                       reference_based=True)
+        for name, seq, mapping in mappings_and_seqs:
+            w.write(name, seq, "I" * len(seq), mapping=mapping)
+        w.close()
+        return buf.getvalue()
+
+    def test_roundtrip_with_substitutions_and_indels(self):
+        # read covering REF[4:24] with a substitution at read pos 3,
+        # an insertion and a deletion
+        ref_span = self.REF[4:24]
+        seq = ref_span[:3] + "G" + ref_span[4:8] + "AA" + ref_span[8:14] \
+            + ref_span[16:]
+        assert self.REF[7] != "G"
+        cigar = "8M2I6M2D4M"
+        m = _mk_mapping(ctg="chr1", r_st=4, r_en=24, q_st=0, q_en=len(seq),
+                        mapq=50, strand=1, cigar_str=cigar, NM=5, MD="",
+                        ref_seq=ref_span)
+        data = self._write([("rx", seq, m)])
+
+        recs = list(CramReader(data, reference={"chr1": self.REF}))
+        r = recs[0]
+        assert r.seq == seq
+        assert "".join(f"{n}{op}" for op, n in r.cigar) == cigar
+        assert r.pos == 4
+
+    def test_exact_match_stores_no_bases(self):
+        seq = self.REF[10:40]
+        m = _mk_mapping(ctg="chr1", r_st=10, r_en=40, q_st=0, q_en=30,
+                        mapq=60, strand=1, cigar_str="30M", NM=0, MD="30",
+                        ref_seq=seq)
+        data = self._write([("rx", seq, m)])
+        recs = list(CramReader(data, reference={"chr1": self.REF}))
+        assert recs[0].seq == seq
+        # referenceless encoding of the same record carries the bases
+        buf = io.BytesIO()
+        w = CramWriter(buf, self.HDR, [("chr1", len(self.REF))])
+        w.write("rx", seq, "I" * 30, mapping=m)
+        w.close()
+        norf = buf.getvalue()
+        # the ref-based record encodes ZERO read features; its container
+        # must be smaller than the verbatim-bases one
+        assert len(data) < len(norf)
+
+    def test_reader_requires_reference(self):
+        seq = self.REF[10:40]
+        m = _mk_mapping(ctg="chr1", r_st=10, r_en=40, q_st=0, q_en=30,
+                        mapq=60, strand=1, cigar_str="30M", NM=0, MD="30",
+                        ref_seq=seq)
+        data = self._write([("rx", seq, m)])
+        with pytest.raises(ValueError, match="reference-based CRAM"):
+            list(CramReader(data))
+
+    def test_mixed_unmapped_stays_verbatim(self):
+        seq = self.REF[0:20]
+        m = _mk_mapping(ctg="chr1", r_st=0, r_en=20, q_st=0, q_en=20,
+                        mapq=60, strand=1, cigar_str="20M", NM=0, MD="20",
+                        ref_seq=seq)
+        buf = io.BytesIO()
+        w = CramWriter(buf, self.HDR, [("chr1", len(self.REF))],
+                       reference_based=True)
+        w.write("mapped", seq, "I" * 20, mapping=m)
+        w.write("unmapped", "TTTTGGGG", "IIIIIIII")
+        w.close()
+        recs = list(CramReader(buf.getvalue(),
+                               reference={"chr1": self.REF}))
+        assert recs[0].seq == seq
+        assert recs[1].seq == "TTTTGGGG" and recs[1].flag == 4
+
+    def test_reverse_strand_roundtrip(self):
+        ref_span = self.REF[20:36]
+        # read is the revcomp of the span with one substitution
+        comp = str.maketrans("ACGT", "TGCA")
+        read = ref_span.translate(comp)[::-1]
+        read = read[:5] + ("A" if read[5] != "A" else "C") + read[6:]
+        m = _mk_mapping(ctg="chr1", r_st=20, r_en=36, q_st=0, q_en=16,
+                        mapq=40, strand=-1, cigar_str="16M", NM=1, MD="",
+                        ref_seq=ref_span)
+        data = self._write([("rv", read, m)])
+        recs = list(CramReader(data, reference={"chr1": self.REF}))
+        # the writer stores the ref-forward (revcomp'd) read
+        assert recs[0].seq == read.translate(comp)[::-1]
+        assert recs[0].flag == 16
