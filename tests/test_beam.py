@@ -85,3 +85,59 @@ class TestDeviceBeam:
             seqdist, scores, beam_width=8, scale=1.5, offset=0.2)
         np.testing.assert_array_equal(
             np.asarray(dev["sequence"]), host["sequence"])
+
+
+class TestQstringIndependentOracle:
+    """Second, independently written f64 oracle for the beam qstring
+    contract (round-4 VERDICT item 10): per-frame softmax confidence in
+    f64 straight from the raw scores — no shared code with ops.beam or
+    ops.beam_device (koi qstring role: bonito/crf/basecall.py:36-44)."""
+
+    @staticmethod
+    def _qstring_f64(scores, scale, offset, qscale, qbias):
+        s = np.asarray(scores, np.float64) * scale + offset
+        N, T = s.shape[:2]
+        flat = s.reshape(N, T, -1)
+        m = flat.max(-1, keepdims=True)
+        p = np.exp(flat - m)
+        p /= p.sum(-1, keepdims=True)
+        conf = p.max(-1)
+        q = -10.0 * np.log10(np.clip(1.0 - conf, 1e-4, 1.0)) * qscale + qbias
+        return np.round(q) + 33.0
+
+    @pytest.mark.parametrize("scale,offset,qscale,qbias", [
+        (1.0, 0.0, 1.0, 0.0),
+        (0.9, 0.1, 1.05, 0.2),
+    ])
+    def test_device_beam_qstring_matches_f64_oracle(
+            self, seqdist, scale, offset, qscale, qbias):
+        from bonito_tpu.ops.beam_device import beam_search_device
+        key = jax.random.PRNGKey(7)
+        scores = 4.0 * jax.random.normal(
+            key, (3, 40, seqdist.n_score()), jnp.float32)
+        out = beam_search_device(
+            seqdist, scores, beam_width=8, scale=scale, offset=offset,
+            qscale=qscale, qbias=qbias)
+        want = self._qstring_f64(scores, scale, offset, qscale, qbias)
+        got = np.asarray(out["qstring"], np.int32)
+        moves = np.asarray(out["moves"]).astype(bool)
+        assert moves.any()
+        diff = np.abs(got[moves] - want[moves])
+        # f32 device softmax vs f64 numpy can flip round() at a .5
+        # boundary on isolated frames; the contract is exactness
+        # everywhere else
+        assert (diff <= 1).all()
+        assert (diff == 0).mean() > 0.97, (diff == 0).mean()
+
+    def test_host_beam_qstring_matches_f64_oracle(self, seqdist):
+        from bonito_tpu.ops.beam import beam_search_host
+        rng = np.random.default_rng(8)
+        scores = (4.0 * rng.normal(size=(2, 30, seqdist.n_score()))
+                  ).astype(np.float32)
+        out = beam_search_host(scores, seqdist, beam_width=8)
+        want = self._qstring_f64(scores, 1.0, 0.0, 1.0, 0.0)
+        moves = out["moves"].astype(bool)
+        assert moves.any()
+        diff = np.abs(out["qstring"][moves].astype(np.int32) - want[moves])
+        assert (diff <= 1).all()
+        assert (diff == 0).mean() > 0.97
