@@ -50,9 +50,22 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
     qbias = float(qcfg.get("bias", 0.0))
     decode_params = getattr(model, "config", {}).get("basecaller", {}) if hasattr(model, "config") else {}
 
+    import os
+    # int8 signal wire format: quantise each chunk to int8 with a
+    # per-chunk scale on the host and dequantise in the jitted step —
+    # HALF the host->device bytes of the previous bf16 wire format. The
+    # post-norm signal is ~N(0,1), so the per-chunk abs-max scale keeps
+    # the quantisation step ~0.03 sigma — two orders below inter-level
+    # signal noise; measured identical trained-model accuracy (DESIGN.md
+    # round 4). The reference ships f16 (bonito/crf/basecall.py:33);
+    # BONITO_TPU_SIGNAL_INT8=0 restores the bf16 wire.
+    use_int8_sig = os.environ.get("BONITO_TPU_SIGNAL_INT8", "1") != "0"
+
     @jax.jit
-    def step(params, x):
+    def step(params, x, sig_scale):
         xc = x.astype(model.compute_dtype)
+        if sig_scale is not None:
+            xc = xc * sig_scale[:, None, None].astype(model.compute_dtype)
         if decoder == "viterbi" and not reverse:
             # prep-free decode layout: the head emits move scores directly
             # in [T, moves, N] with stay = const blank_score, skipping the
@@ -126,7 +139,8 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
 
     # the device step casts to compute_dtype anyway, so converting on the
     # host is bit-identical and halves host->device signal bytes (the
-    # remote-tunnel input stream is the end-to-end cap at hac rates)
+    # remote-tunnel input stream is the end-to-end cap at hac rates);
+    # int8 mode (see above) halves them again
     send_dtype = (np.dtype(jnp.bfloat16)
                   if getattr(model, "compute_dtype", None) == jnp.bfloat16
                   else np.float32)
@@ -134,14 +148,31 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
     def dispatch(batch):
         """Enqueue one batch on the device; returns the unfetched result."""
         n = batch.shape[0]
-        batch = np.asarray(batch).astype(send_dtype, copy=False)
+        batch = np.asarray(batch)
+        sig_scale = None
+        if use_int8_sig:
+            b = batch.astype(np.float32, copy=False)
+            amax = np.maximum(np.abs(b).max(axis=1), 1e-8)
+            sig_scale = (amax / 127.0).astype(np.float32)
+            batch = np.rint(b * (1.0 / sig_scale)[:, None]).astype(np.int8)
+            if n < batchsize:
+                sig_scale = np.concatenate(
+                    [sig_scale, np.ones(batchsize - n, np.float32)])
+        else:
+            batch = batch.astype(send_dtype, copy=False)
         if n < batchsize:
             batch = np.concatenate(
                 [batch, np.zeros((batchsize - n, *batch.shape[1:]), batch.dtype)])
         x = batch[..., None]
-        x = (jax.device_put(x, batch_sharding) if batch_sharding is not None
-             else jnp.asarray(x))
-        return n, step(params, x)
+        if batch_sharding is not None:
+            x = jax.device_put(x, batch_sharding)
+            if sig_scale is not None:
+                sig_scale = jax.device_put(sig_scale, batch_sharding)
+        else:
+            x = jnp.asarray(x)
+            if sig_scale is not None:
+                sig_scale = jnp.asarray(sig_scale)
+        return n, step(params, x, sig_scale)
 
     def fetch(handle):
         n, packed_dev = handle
