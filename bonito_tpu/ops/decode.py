@@ -178,7 +178,11 @@ def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
         from bonito_tpu.ops import decode_pallas
         if decode_pallas.supported_tcn(seqdist, moves_tcn, blank_score):
             sub = _sub_batch(seqdist.n_states)
-            if N > sub:
+            # N a multiple of the per-program width runs natively as
+            # grid sub-blocks (no lane-axis slicing of the move tensor —
+            # that HBM copy cost ~8 ms/batch at hac batch 256); only
+            # ragged widths fall back to dispatcher-level slicing
+            if N > sub and N % sub != 0:
                 parts = [
                     decode_pallas.viterbi_decode_tcn(
                         seqdist,

@@ -182,7 +182,13 @@ def _bwd_kernel(nb, R, K, stay_ref, moves_ref, min_ref, choice_ref, c_ref,
 
 def _fwd_kernel_tcn(nb, R, K, T, blank, moves_ref, min_out, choice_out,
                     c_out, a_out, amax_out, a_ref, c_ref, amax_ref):
-    t = pl.program_id(0)
+    # grid (NS, G): axis 0 walks batch sub-blocks (the kernels' VMEM
+    # working set caps N per program at ~S*N = 1024*128), axis 1 time.
+    # Scratch re-initialises at t==0 for every sub-block; this replaces
+    # the old dispatcher-level lane-axis slicing of the [T, Cm, N] move
+    # tensor, which cost a full HBM round-trip per sub-batch (measured:
+    # decode 18.4 -> ~26 ms per 128 rows at batch 256).
+    t = pl.program_id(1)
     S, N = a_ref.shape
     P_stay = float(np.exp(blank))
 
@@ -231,7 +237,7 @@ def _fwd_kernel_tcn(nb, R, K, T, blank, moves_ref, min_out, choice_out,
     c_ref[...] = c
     amax_ref[...] = a_max
 
-    @pl.when(t == pl.num_programs(0) - 1)
+    @pl.when(t == pl.num_programs(1) - 1)
     def _():
         a_out[...] = A
         amax_out[...] = a_max
@@ -240,7 +246,7 @@ def _fwd_kernel_tcn(nb, R, K, T, blank, moves_ref, min_out, choice_out,
 def _bwd_kernel_tcn(nb, R, K, Tlim, blank, moves_ref, min_ref, choice_ref,
                     c_ref, end_ref, lz_ref, emit_out, b_ref, d_ref,
                     state_ref):
-    t = pl.program_id(0)
+    t = pl.program_id(1)
     S, N = b_ref.shape
     P_stay = float(np.exp(blank))
 
@@ -257,7 +263,7 @@ def _bwd_kernel_tcn(nb, R, K, Tlim, blank, moves_ref, min_ref, choice_ref,
     brow = jax.lax.broadcasted_iota(
         jnp.int32, (nb, N), 0).astype(jnp.float32)
 
-    G = pl.num_programs(0)
+    G = pl.num_programs(1)
     for k in range(K - 1, -1, -1):
         moves = moves_ref[k].astype(jnp.float32).reshape(nb, nb, R, N)
         P_move = jnp.exp(moves)
@@ -650,7 +656,18 @@ def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
     T, Cm, N = moves_tcn.shape
     blank = float(blank_score)
 
-    K = block_k or _block_k(S, N, nb)
+    # per-program batch width: the kernels' VMEM plane is ~S*Nb
+    # (hac-validated at 1024x128); wider batches run as extra grid
+    # sub-blocks (axis 0) over the SAME HBM arrays — no lane-axis
+    # slicing of the 3.5 GB move tensor (that copy cost ~8 ms/batch-256)
+    import os
+    env = os.environ.get("BONITO_TPU_DECODE_SUB_BATCH")
+    Nb = int(env) if env else max(128, min(1024, 128 * 1024 // max(S, 1)))
+    if N % Nb:
+        Nb = N  # ragged widths take one program (dispatcher pre-slices)
+    NS = N // Nb
+
+    K = block_k or _block_k(S, Nb, nb)
     pad = (-T) % K
     if pad:
         moves_tcn = jnp.concatenate(
@@ -662,16 +679,16 @@ def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
 
     min_stack, choices, c_stack, A_T, amax_T = pl.pallas_call(
         partial(_fwd_kernel_tcn, nb, R, K, T, blank),
-        grid=(G,),
+        grid=(NS, G),
         in_specs=[
-            pl.BlockSpec((K, nb * nb, R, N), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((K, nb * nb, R, Nb), lambda s, g: (g, 0, 0, s)),
         ],
         out_specs=[
-            pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
-            pl.BlockSpec((K, S, N), lambda g: (g, 0, 0)),
-            pl.BlockSpec((K, 8, N), lambda g: (g, 0, 0)),
-            pl.BlockSpec((S, N), lambda g: (0, 0)),
-            pl.BlockSpec((S, N), lambda g: (0, 0)),
+            pl.BlockSpec((K, S, Nb), lambda s, g: (g, 0, s)),
+            pl.BlockSpec((K, S, Nb), lambda s, g: (g, 0, s)),
+            pl.BlockSpec((K, 8, Nb), lambda s, g: (g, 0, s)),
+            pl.BlockSpec((S, Nb), lambda s, g: (0, s)),
+            pl.BlockSpec((S, Nb), lambda s, g: (0, s)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, S, N), jnp.float32),
@@ -681,9 +698,9 @@ def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
             jax.ShapeDtypeStruct((S, N), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((S, N), jnp.float32),
-            pltpu.VMEM((8, N), jnp.float32),
-            pltpu.VMEM((S, N), jnp.float32),
+            pltpu.VMEM((S, Nb), jnp.float32),
+            pltpu.VMEM((8, Nb), jnp.float32),
+            pltpu.VMEM((S, Nb), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -698,21 +715,22 @@ def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
 
     emit = pl.pallas_call(
         partial(_bwd_kernel_tcn, nb, R, K, T, blank),
-        grid=(G,),
+        grid=(NS, G),
         in_specs=[
-            pl.BlockSpec((K, nb * nb, R, N), lambda g: (G - 1 - g, 0, 0, 0)),
-            pl.BlockSpec((K, S, N), lambda g: (G - 1 - g, 0, 0)),
-            pl.BlockSpec((K, S, N), lambda g: (G - 1 - g, 0, 0)),
-            pl.BlockSpec((K, 8, N), lambda g: (G - 1 - g, 0, 0)),
-            pl.BlockSpec((S, N), lambda g: (0, 0)),
-            pl.BlockSpec((8, N), lambda g: (0, 0)),
+            pl.BlockSpec((K, nb * nb, R, Nb),
+                         lambda s, g: (G - 1 - g, 0, 0, s)),
+            pl.BlockSpec((K, S, Nb), lambda s, g: (G - 1 - g, 0, s)),
+            pl.BlockSpec((K, S, Nb), lambda s, g: (G - 1 - g, 0, s)),
+            pl.BlockSpec((K, 8, Nb), lambda s, g: (G - 1 - g, 0, s)),
+            pl.BlockSpec((S, Nb), lambda s, g: (0, s)),
+            pl.BlockSpec((8, Nb), lambda s, g: (0, s)),
         ],
-        out_specs=pl.BlockSpec((K, 8, N), lambda g: (G - 1 - g, 0, 0)),
+        out_specs=pl.BlockSpec((K, 8, Nb), lambda s, g: (G - 1 - g, 0, s)),
         out_shape=jax.ShapeDtypeStruct((Tp, 8, N), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((S, N), jnp.float32),
-            pltpu.VMEM((8, N), jnp.float32),
-            pltpu.VMEM((S, N), jnp.float32),
+            pltpu.VMEM((S, Nb), jnp.float32),
+            pltpu.VMEM((8, Nb), jnp.float32),
+            pltpu.VMEM((S, Nb), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -57,11 +57,15 @@ def main():
     results = {}
 
     def run(label, m):
-        mv, blank = jax.jit(m.forward_tcn)(m.params,
-                                           x.astype(jnp.bfloat16))
-        out = viterbi_decode_tcn(m.seqdist, mv, blank)
-        seqs = ["".join("NACGT"[c] for c in s[s != 0])
-                for s in np.asarray(out["sequence"])]
+        @jax.jit
+        def step(params, xx):
+            # blank is a static python float only when forward_tcn runs
+            # inside the same trace as the decode
+            mv, blank = m.forward_tcn(params, xx)
+            return viterbi_decode_tcn(m.seqdist, mv, blank)["sequence"]
+
+        seq = np.asarray(step(m.params, x.astype(jnp.bfloat16)))
+        seqs = ["".join("NACGT"[c] for c in s[s != 0]) for s in seq]
         accs = [accuracy(r, s) if s else 0.0 for r, s in zip(refs, seqs)]
         print(f"{label:44s} mean {np.mean(accs):6.2f}% "
               f"median {np.median(accs):6.2f}%", flush=True)

@@ -109,6 +109,28 @@ class TestTCNDecode:
             tcn_to_scores(m.seqdist, mv, blank), np.float32)
         np.testing.assert_allclose(rebuilt, full, rtol=1e-6, atol=1e-6)
 
+    def test_tcn_multi_sub_batch_grid(self, seqdist, monkeypatch):
+        """N wider than the per-program width runs as extra grid
+        sub-blocks over the SAME arrays (round 4 — replaces the
+        lane-axis slicing that cost an HBM round-trip per sub-batch);
+        every sub-block must decode exactly like a standalone launch."""
+        from bonito_tpu.ops.decode_pallas import viterbi_decode_tcn
+        nb, S = seqdist.n_base, seqdist.n_states
+        N, T = 16, 24
+        key = jax.random.PRNGKey(9)
+        mv = 3.0 * jax.random.normal(key, (T, S * nb, N), jnp.float32)
+        blank = 2.0
+        from bonito_tpu.ops.decode import tcn_to_scores, viterbi_decode_scan
+        monkeypatch.setenv("BONITO_TPU_DECODE_SUB_BATCH", "8")  # NS=2
+        out = viterbi_decode_tcn(seqdist, mv, blank, interpret=True)
+        ref = viterbi_decode_scan(seqdist, tcn_to_scores(seqdist, mv, blank))
+        for k in ("sequence", "moves"):
+            np.testing.assert_array_equal(
+                np.asarray(out[k]), np.asarray(ref[k]))
+        dq = (np.asarray(out["qstring"], np.int32)
+              - np.asarray(ref["qstring"], np.int32))
+        assert np.abs(dq).max() <= 1
+
     @pytest.mark.parametrize("T", [24, 25])
     def test_tcn_kernels_match_standard(self, seqdist, T):
         from bonito_tpu.ops.decode_pallas import (
