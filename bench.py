@@ -118,7 +118,11 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         from __graft_entry__ import _build_model
         model = _build_model()
         chunksize = chunksize or 9996
-        batchsize = batchsize or 128
+        # round-4 sweep on the fused int8 chain + grid-sub-batched
+        # decode: 128: 13.79, 256: 14.45+, 384: 15.65, 512: 14.27
+        # Msamples/s (batch must be a multiple of 128 — ragged widths
+        # pay the decode dispatcher's slicing fallback)
+        batchsize = batchsize or 384
         # the reference runs hac inference on koi's quantized LSTM kernels
         # by default; mirror that (BENCH_QUANT=0 to disable)
         os.environ.setdefault("BENCH_QUANT", "1")
