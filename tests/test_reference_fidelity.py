@@ -216,6 +216,34 @@ class TestReferenceConfigsBuild:
             assert model.seqdist.n_score() == expect["n_score"], name
             assert "".join(model.alphabet) == "NACGT"
 
+    @pytest.mark.parametrize("name", ALL_CONFIGS)
+    def test_quantize_smoke_every_config(self, name):
+        """--quantize must work (or no-op) on every reference TOML: the
+        int8 LSTM chain + structure-gated int8 head (round 4) walk the
+        real encoder trees here, so a structural assumption that only
+        holds for the programmatic builders would surface as a crash or
+        non-finite output."""
+        import numpy as np
+        config = _load_config(name)
+        # full-size builds are slow on CPU; shrink the state space but
+        # keep the layer structure exactly as the TOML declares it
+        config.get("global_norm", {}).setdefault("state_len", 3)
+        model = _our_model(config)
+        if not hasattr(model, "quantize"):
+            pytest.skip("conv-CTC family has no quantised path "
+                        "(reference parity: koi quantises LSTMs only)")
+        model.init(jax.random.PRNGKey(0))
+        model.quantize()
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 600, 1)), jnp.float32)
+        out = np.asarray(model.forward(x), np.float32)
+        assert np.isfinite(out).all(), name
+        if hasattr(model, "forward_tcn"):
+            tcn = model.forward_tcn(model.params, x)
+            if tcn is not None:
+                assert np.isfinite(
+                    np.asarray(tcn[0], np.float32)).all(), name
+
     @pytest.mark.parametrize("name", [
         "dna_r9.4.1@v3.toml", "dna_r9.4.1@v3.1.toml",
         "dna_r10.4.1@v4.0.toml", "dna_r10.4.1@v4.3.toml",
