@@ -193,6 +193,46 @@ def compute_hac_shipped_case():
     }
 
 
+GOLDEN_FAST = Path(__file__).parent / "golden" / "fast_shipped_shape.json"
+
+
+def compute_fast_shipped_case():
+    """Shipped fast-v4.3 geometry (96 features, state_len 3, stride 5 —
+    reference dna_r10.4.1_e8.2_400bps_fast@v4.3): fixed-seed decode via
+    the TCN route, completing the per-family shipped-shape golden set
+    (hac + sup + fast)."""
+    from bonito_tpu.models import get_config
+    from bonito_tpu.crf.model import Model
+    from bonito_tpu.ops.decode import to_str, viterbi_decode_tcn
+
+    model = Model(get_config("dna_r10.4.1_e8.2_400bps_fast@v4.3"))
+    model.init(jax.random.PRNGKey(77))
+    split = model.decode_head()
+    _, (crf_name, _), _ = split
+    model.params["encoder"][crf_name]["w"] = (
+        model.params["encoder"][crf_name]["w"] * 5)
+    rng = np.random.default_rng(77)
+    signal = rng.normal(size=(2, 1000)).astype(np.float32)
+    mv, blank = model.forward_tcn(model.params,
+                                  jnp.asarray(signal)[..., None])
+    out = viterbi_decode_tcn(model.seqdist, mv, blank)
+    n_moves = int(np.asarray(out["moves"]).sum())
+    assert 0 < n_moves < out["moves"].size, "degenerate fast golden case"
+    return {
+        "sequences": [to_str(s) for s in np.asarray(out["sequence"])],
+        "qstrings": [to_str(q, qstring=True)
+                     for q in np.asarray(out["qstring"])],
+    }
+
+
+class TestGoldenFastShippedShape:
+    def test_fast_shipped_decode_matches_golden(self):
+        got = compute_fast_shipped_case()
+        want = json.loads(GOLDEN_FAST.read_text())
+        assert got["sequences"] == want["sequences"]
+        assert got["qstrings"] == want["qstrings"]
+
+
 GOLDEN_SUP = Path(__file__).parent / "golden" / "sup_shipped_shape.json"
 
 
@@ -295,3 +335,5 @@ if __name__ == "__main__":
     print(f"wrote {GOLDEN_HAC}")
     GOLDEN_SUP.write_text(json.dumps(compute_sup_shipped_case(), indent=1))
     print(f"wrote {GOLDEN_SUP}")
+    GOLDEN_FAST.write_text(json.dumps(compute_fast_shipped_case(), indent=1))
+    print(f"wrote {GOLDEN_FAST}")
