@@ -98,9 +98,26 @@ def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
     inputs are handled on all paths, so mixed routing stays correct."""
     import jax
     from bonito_tpu.ops.lstm_pallas import (
-        lstm_pallas_int8, lstm_pallas_int8_fused, supported_int8_fused)
+        lstm_pallas_int8, lstm_pallas_int8_fused, lstm_pallas_fused,
+        supported_fused, supported_int8_fused)
     on_tpu = (jax.default_backend() == "tpu"
               and not os.environ.get("BONITO_TPU_NO_PALLAS"))
+    if (on_tpu and w_ih_q is not None and x.dtype != jnp.int8
+            and supported_fused(x, w_hh_q)
+            and os.environ.get("BONITO_TPU_SMALL_H_INT8", "0") == "0"):
+        # Small-H regime (fast, H=96): int8 measured SLOWER than the
+        # bf16 fused input-projection kernel (stack 30.9 vs 18.1 ms at
+        # batch 1024 — the step is xw-stream-bound, not matmul-bound,
+        # DESIGN.md "The fast model"). The shipped configs still say
+        # quantize=true (koi is faster quantised on GPUs), so honour the
+        # *checkpoint semantics* — dequantised int8 weights — but run
+        # the faster bf16 kernel. BONITO_TPU_SMALL_H_INT8=1 forces the
+        # int8 kernels for A/B.
+        w_ih_d = (w_ih_q.astype(jnp.float32) * ih_scales).astype(x.dtype)
+        w_hh_d = (w_hh_q.astype(jnp.float32) * scales * 127.0).astype(x.dtype)
+        return lstm_pallas_fused(
+            x, w_ih_d, w_hh_d, b, reverse=reverse,
+            block_k=int(os.environ.get("BONITO_TPU_LSTM_FUSED_K", 8)))
     if (on_tpu and w_ih_q is not None
             and os.environ.get("BONITO_TPU_LSTM_INT8_FUSED", "1") != "0"
             and supported_int8_fused(x, w_hh_q)):
