@@ -10,9 +10,14 @@ pysam and igv.
 Replaces the reference's pysam dependency (bonito/io.py:17,415-466).
 """
 
+import os
 import re
 import struct
 import zlib
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
 
 _BGZF_MAX = 65280  # uncompressed payload per block (htslib convention)
 
@@ -20,6 +25,10 @@ _EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 _NT16 = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_NT16_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _i in _NT16.items():
+    _NT16_LUT[ord(_c)] = _i
+    _NT16_LUT[ord(_c.lower())] = _i
 _CIGAR_OPS = {op: i for i, op in enumerate("MIDNSHP=X")}
 _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 
@@ -40,54 +49,117 @@ def _reg2bin(beg, end):
     return 0
 
 
-class BGZFWriter:
-    """Blocked-gzip writer with the BC extra-field and EOF marker."""
+def _deflate_block(payload, level):
+    """One BGZF member for an immutable <=64k payload."""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    comp = co.compress(payload) + co.flush()
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    bsize = len(comp) + 25 + 1  # fixed header(12) + extra(6) + footer(8)
+    return (
+        b"\x1f\x8b\x08\x04" + b"\x00" * 6 +
+        struct.pack("<HBBHH", 6, 66, 67, 2, bsize - 1) +
+        comp + struct.pack("<II", crc, len(payload))
+    )
 
-    def __init__(self, fd, level=6):
+
+class BGZFWriter:
+    """Blocked-gzip writer with the BC extra-field and EOF marker.
+
+    With threads > 0 blocks deflate on a small pool (zlib releases the
+    GIL) while the caller keeps encoding records — the same overlap
+    htslib gets from bgzf_mt; block order is preserved by draining the
+    future queue in submission order.
+    """
+
+    def __init__(self, fd, level=6, threads=None):
         self.fd = fd
         self.level = level
         self.buf = bytearray()
+        if threads is None:
+            threads = int(os.environ.get("BONITO_TPU_BGZF_THREADS", "2"))
+        self._pool = ThreadPoolExecutor(threads) if threads > 0 else None
+        self._pending = deque()
+        self._depth = 4 * max(threads, 1)
 
     def write(self, data):
         self.buf += data
         while len(self.buf) >= _BGZF_MAX:
-            self._flush_block(self.buf[:_BGZF_MAX])
+            self._emit_block(bytes(self.buf[:_BGZF_MAX]))
             del self.buf[:_BGZF_MAX]
 
-    def _flush_block(self, payload):
-        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
-        comp = co.compress(bytes(payload)) + co.flush()
-        crc = zlib.crc32(bytes(payload)) & 0xFFFFFFFF
-        bsize = len(comp) + 25 + 1  # fixed header(12) + extra(6) + footer(8)
-        block = (
-            b"\x1f\x8b\x08\x04" + b"\x00" * 6 +
-            struct.pack("<HBBHH", 6, 66, 67, 2, bsize - 1) +
-            comp + struct.pack("<II", crc, len(payload))
-        )
-        self.fd.write(block)
+    def _emit_block(self, payload):
+        if self._pool is None:
+            self.fd.write(_deflate_block(payload, self.level))
+            return
+        self._pending.append(
+            self._pool.submit(_deflate_block, payload, self.level))
+        while len(self._pending) > self._depth:
+            self.fd.write(self._pending.popleft().result())
 
     def close(self):
         if self.buf:
-            self._flush_block(self.buf)
+            self._emit_block(bytes(self.buf))
             self.buf = bytearray()
+        while self._pending:
+            self.fd.write(self._pending.popleft().result())
+        if self._pool is not None:
+            self._pool.shutdown()
         self.fd.write(_EOF)
         self.fd.flush()
 
 
 def _encode_seq(seq):
-    n = len(seq)
-    out = bytearray((n + 1) // 2)
-    for i, base in enumerate(seq):
-        code = _NT16.get(base.upper(), 15)
-        if i % 2 == 0:
-            out[i // 2] = code << 4
-        else:
-            out[i // 2] |= code
-    return bytes(out)
+    codes = _NT16_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
+    if codes.size % 2:
+        codes = np.append(codes, 0)
+    return ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
+
+
+_B_DTYPES = {"c": "<i1", "C": "<u1", "s": "<i2", "S": "<u2",
+             "i": "<i4", "I": "<u4", "f": "<f4"}
+
+
+def encode_array_tag(name, sub, values):
+    """Binary BAM B-array tag straight from an array (no text round-trip)."""
+    data = np.ascontiguousarray(values, dtype=np.dtype(_B_DTYPES[sub]))
+    return (name.encode()[:2] + b"B" + sub.encode()
+            + struct.pack("<i", data.size) + data.tobytes())
+
+
+class ArrayTag:
+    """A B-array SAM tag held as an array; renders to SAM text on str()
+    and straight to BAM binary via bam_bytes() (skipping the per-element
+    text round-trip, which dominates the writer for long mv: tags)."""
+
+    __slots__ = ("name", "sub", "values")
+
+    def __init__(self, name, sub, values):
+        self.name = name
+        self.sub = sub
+        self.values = np.asarray(values, dtype=np.dtype(_B_DTYPES[sub]))
+
+    def bam_bytes(self):
+        return encode_array_tag(self.name, self.sub, self.values)
+
+    def __str__(self):
+        vals = self.values
+        if (self.sub != "f" and vals.size
+                and 0 <= vals.min() and vals.max() <= 9):
+            body = np.empty(2 * vals.size, dtype=np.uint8)
+            body[0::2] = ord(",")
+            body[1::2] = vals.astype(np.uint8) + ord("0")
+            return f"{self.name}:B:{self.sub}{body.tobytes().decode()}"
+        return f"{self.name}:B:{self.sub}," + ",".join(
+            str(v) for v in vals.tolist())
 
 
 def _encode_tag(tag_str):
-    """'xx:T:value' SAM text tag -> binary BAM tag bytes."""
+    """'xx:T:value' SAM text tag (or ArrayTag / raw bytes) -> binary BAM
+    tag bytes."""
+    if isinstance(tag_str, bytes):
+        return tag_str
+    if isinstance(tag_str, ArrayTag):
+        return tag_str.bam_bytes()
     tag, typ, val = tag_str.split(":", 2)
     name = tag.encode()[:2]
     if typ == "i":
@@ -117,9 +189,9 @@ def _encode_cigar(cigar_str):
 class BAMWriter:
     """Minimal BAM writer: header once, then per-read records."""
 
-    def __init__(self, fd, header_text, refs, level=6):
+    def __init__(self, fd, header_text, refs, level=6, threads=None):
         """refs: [(name, length)] reference dictionary (empty if unaligned)."""
-        self.bgzf = BGZFWriter(fd, level=level)
+        self.bgzf = BGZFWriter(fd, level=level, threads=threads)
         self.ref_ids = {name: i for i, (name, _) in enumerate(refs)}
         text = header_text.encode()
         head = b"BAM\x01" + struct.pack("<i", len(text)) + text
@@ -136,7 +208,7 @@ class BAMWriter:
             seq = seq.translate(comp)[::-1]
             qstring = qstring[::-1]
         l_seq = len(seq)
-        qual = (bytes(q - 33 for q in qstring.encode())
+        qual = ((np.frombuffer(qstring.encode(), dtype=np.uint8) - 33).tobytes()
                 if qstring and qstring != "*" else b"\xff" * l_seq)
 
         if mapping is None:

@@ -549,7 +549,9 @@ class CramWriter:
     # -- record intake ------------------------------------------------------
 
     def write(self, read_id, seq, qstring, mapping=None, tags=None):
-        tags = list(tags or [])
+        # the CRAM tag machinery works on SAM text forms (TD lines slice
+        # "xx:T:"), so render ArrayTag and friends up front
+        tags = [str(t) for t in (tags or [])]
         if mapping is not None and mapping.strand == -1:
             comp = str.maketrans("ACGTUacgtu", "TGCAAtgcaa")
             seq = seq.translate(comp)[::-1]

@@ -20,6 +20,7 @@ from threading import Thread
 
 import numpy as np
 
+from bonito_tpu.bam import ArrayTag
 from bonito_tpu.util import mean_qscore_from_qstring
 
 __ont_bam_spec__ = "0.0.2"
@@ -130,7 +131,7 @@ def sam_record(read_id, sequence, qstring, mapping=None, tags=None):
             tags.append(f"NM:i:{mapping.NM}")
         if getattr(mapping, "MD", None):
             tags.append(f"MD:Z:{mapping.MD}")
-    return "\t".join(fields + tags)
+    return "\t".join(fields + [str(t) for t in tags])
 
 
 # ---------------------------------------------------------------------------
@@ -312,7 +313,7 @@ class CSVLogger:
 # ---------------------------------------------------------------------------
 
 def write_fastq(read_id, sequence, qstring, fd=sys.stdout, tags=None):
-    comment = " ".join(tags) if tags else ""
+    comment = " ".join(str(t) for t in tags) if tags else ""
     fd.write(f"@{read_id} {comment}\n{sequence}\n+\n{qstring}\n")
 
 
@@ -435,7 +436,9 @@ class Writer(Thread):
                 *(read.tagdata() if hasattr(read, "tagdata") else []),
             ]
             if res.get("moves") is not None and not self.fastq:
-                tags.append(f"mv:B:c,{encode_moves(res['moves'], res['stride'])}")
+                moves = np.asarray(res["moves"], dtype=np.int8)
+                tags.append(ArrayTag("mv", "c", np.concatenate(
+                    [np.int8([res["stride"]]), moves])))
             self.write(read, seq, qstring, mapping, tags)
             self._summary_logger().append(
                 summary_row(read, len(seq), mean_q,

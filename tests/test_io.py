@@ -52,6 +52,43 @@ class TestBamEncoding:
         assert _reg2bin(0, 1 << 14) == 4681
         assert _reg2bin(1 << 14, (1 << 14) + 1) == 4682
 
+    def test_array_tag_matches_text_encoding(self):
+        from bonito_tpu.bam import ArrayTag
+        rng = np.random.default_rng(7)
+        moves = rng.integers(0, 2, 5000).astype(np.int8)
+        tag = ArrayTag("mv", "c", np.concatenate([np.int8([6]), moves]))
+        # binary fast path == text form parsed through _encode_tag
+        assert tag.bam_bytes() == _encode_tag(str(tag))
+        # text form matches the encode_moves string contract
+        assert str(tag) == f"mv:B:c,{bio.encode_moves(moves, 6)}"
+        # wide values exercise the slow text path
+        wide = ArrayTag("xx", "s", np.array([12, -3, 400], dtype=np.int16))
+        assert str(wide) == "xx:B:s,12,-3,400"
+        assert wide.bam_bytes() == _encode_tag("xx:B:s,12,-3,400")
+
+    def test_seq_packing_vectorised_cases(self):
+        # odd length, lowercase, unknown base -> N(15)
+        assert _encode_seq("acgtn") == bytes([0x12, 0x48, 0xF0])
+        assert _encode_seq("AXA") == bytes([0x1F, 0x10])
+
+    def test_threaded_bgzf_identical_payload(self, tmp_path):
+        rng = np.random.default_rng(3)
+        payload = rng.integers(0, 256, 500_000).astype(np.uint8).tobytes()
+        outs = []
+        for threads in (0, 3):
+            path = tmp_path / f"t{threads}.bgzf"
+            from bonito_tpu.bam import BGZFWriter
+            with open(path, "wb") as fd:
+                w = BGZFWriter(fd, threads=threads)
+                # uneven write sizes to exercise block buffering
+                for off in range(0, len(payload), 77777):
+                    w.write(payload[off:off + 77777])
+                w.close()
+            outs.append(path.read_bytes())
+        assert gzip.decompress(outs[0]) == payload
+        # threaded and serial writers produce byte-identical streams
+        assert outs[0] == outs[1]
+
     def test_bgzf_eof_and_roundtrip(self, tmp_path):
         path = tmp_path / "t.bam"
         with open(path, "wb") as fd:
