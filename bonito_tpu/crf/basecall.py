@@ -60,6 +60,19 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
     # round 4). The reference ships f16 (bonito/crf/basecall.py:33);
     # BONITO_TPU_SIGNAL_INT8=0 restores the bf16 wire.
     use_int8_sig = os.environ.get("BONITO_TPU_SIGNAL_INT8", "1") != "0"
+    # fetch wire format: sequence (0..4, 3 bits) and moves (0/1) share one
+    # uint8 plane, so each decoded frame ships 2 bytes (code|move<<3, q)
+    # instead of 3 — the fetch leg of the tunnel carries 1/3 fewer bytes
+    # (BONITO_TPU_PACK_FETCH=0 restores the 3-plane wire for A/B)
+    pack_fetch = os.environ.get("BONITO_TPU_PACK_FETCH", "1") != "0"
+
+    def _pack_out(out):
+        seq = out["sequence"].astype(jnp.uint8)
+        mov = out["moves"].astype(jnp.uint8)
+        q = out["qstring"].astype(jnp.uint8)
+        if pack_fetch:
+            return jnp.stack([seq | (mov << 3), q])
+        return jnp.stack([seq, q, mov])
 
     @jax.jit
     def step(params, x, sig_scale):
@@ -86,18 +99,14 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
                 # fused-head kernels: the move tensor never touches HBM
                 out = viterbi_decode_head(
                     model.seqdist, head, qscale=qscale, qbias=qbias)
-                return jnp.stack(
-                    [out["sequence"], out["qstring"], out["moves"]]
-                ).astype(jnp.uint8)
+                return _pack_out(out)
             tcn = (model.forward_tcn(params, xc)
                    if hasattr(model, "forward_tcn") else None)
             if tcn is not None:
                 mv, blank = tcn
                 out = viterbi_decode_tcn(
                     model.seqdist, mv, blank, qscale=qscale, qbias=qbias)
-                return jnp.stack(
-                    [out["sequence"], out["qstring"], out["moves"]]
-                ).astype(jnp.uint8)
+                return _pack_out(out)
         scores = model.apply(params, xc)
         if reverse:
             scores = model.seqdist.reverse_complement(scores)
@@ -116,8 +125,7 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
             out = viterbi_decode(
                 model.seqdist, scores, qscale=qscale, qbias=qbias)
         # one packed array -> one device->host transfer per batch
-        return jnp.stack(
-            [out["sequence"], out["qstring"], out["moves"]]).astype(jnp.uint8)
+        return _pack_out(out)
 
     if mesh is not None:
         from bonito_tpu import parallel
@@ -177,6 +185,10 @@ def make_compute_fn(model, batchsize, chunksize, reverse=False, mesh=None,
     def fetch(handle):
         n, packed_dev = handle
         packed = np.asarray(packed_dev)
+        if pack_fetch:
+            return {"sequence": packed[0, :n] & 0x7,
+                    "qstring": packed[1, :n],
+                    "moves": packed[0, :n] >> 3}
         return {"sequence": packed[0, :n], "qstring": packed[1, :n],
                 "moves": packed[2, :n]}
 

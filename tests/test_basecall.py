@@ -108,6 +108,21 @@ class TestInt8SignalWire:
             a, b = np.asarray(out_i8[k]), np.asarray(out_bf[k])
             assert (a == b).mean() > 0.98, (k, (a == b).mean())
 
+    def test_packed_fetch_matches_three_plane_wire(self, model, reads,
+                                                   monkeypatch):
+        # sequence/moves share a byte on the fetch wire (code | move<<3);
+        # unpacked outputs must be identical to the 3-plane format
+        from bonito_tpu.crf.basecall import make_compute_fn
+        sig = np.asarray(reads[0].signal[:1000], np.float32)[None]
+
+        monkeypatch.setenv("BONITO_TPU_PACK_FETCH", "1")
+        out_p = make_compute_fn(model, 1, 1000)(sig)
+        monkeypatch.setenv("BONITO_TPU_PACK_FETCH", "0")
+        out_u = make_compute_fn(model, 1, 1000)(sig)
+
+        for k in ("sequence", "qstring", "moves"):
+            assert (np.asarray(out_p[k]) == np.asarray(out_u[k])).all(), k
+
     def test_int8_wire_ships_int8(self, model, reads, monkeypatch):
         from bonito_tpu.crf.basecall import make_compute_fn
         monkeypatch.setenv("BONITO_TPU_SIGNAL_INT8", "1")
