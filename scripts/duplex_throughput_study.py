@@ -68,7 +68,9 @@ def build(work):
 
 
 def main():
-    if not (WORK / "in.bam").exists():
+    pairs_file = WORK / "pairs.txt"
+    have = (sum(1 for _ in open(pairs_file)) - 1) if pairs_file.exists() else 0
+    if have != N_PAIRS:
         build(WORK)
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
