@@ -12,9 +12,22 @@ import gzip
 import struct
 from pathlib import Path
 
+import numpy as np
+
 from bonito_tpu.duplex import SeqRecord
 
 _SEQ_LUT = "=ACMGRSVTWYHKDBN"
+# nibble code -> base ascii, for vectorised unpacking
+_SEQ_BYTES = np.frombuffer(_SEQ_LUT.encode(), dtype=np.uint8)
+
+
+def _decode_seq(seq_bytes, l_seq):
+    """Packed-nibble BAM sequence bytes -> string (vectorised)."""
+    packed = np.frombuffer(seq_bytes, dtype=np.uint8)
+    codes = np.empty(2 * packed.size, dtype=np.uint8)
+    codes[0::2] = packed >> 4
+    codes[1::2] = packed & 0xF
+    return _SEQ_BYTES[codes[:l_seq]].tobytes().decode()
 
 
 def _parse_bam_records(data):
@@ -47,14 +60,9 @@ def _parse_bam_records(data):
         qual = rec[p:p + l_seq]
         p += l_seq
 
-        seq = []
-        for i in range(l_seq):
-            b = seq_bytes[i // 2]
-            code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-            seq.append(_SEQ_LUT[code])
-        seq = "".join(seq)
+        seq = _decode_seq(seq_bytes, l_seq)
         if qual and qual[0] != 0xFF:
-            qstring = bytes(q + 33 for q in qual).decode()
+            qstring = (np.frombuffer(qual, dtype=np.uint8) + 33).tobytes().decode()
         else:
             qstring = "*"
         # skip secondary/supplementary so the primary record wins

@@ -1,7 +1,13 @@
 """
 Conv-CTC basecalling pipeline: device forward (log-softmax posteriors),
-stitch in score space, then host-side multiprocess CTC decode
+stitch in score space, then host-side parallel CTC decode
 (reference shape: bonito/ctc/basecall.py:14-61).
+
+The device stage is double-buffered like the CRF driver (dispatch runs
+one batch ahead of the fetch) and every stage is instrumented for
+BONITO_TPU_PROFILE; the posterior fetch ships bf16 and converts to f32
+on the host (the decoders consume f32; log-probs in [-inf, 0] lose
+nothing that survives the model's own bf16 forward).
 """
 
 from functools import partial
@@ -13,13 +19,15 @@ import jax.numpy as jnp
 import os
 
 from bonito_tpu.pipeline import thread_iter, thread_map, process_map
+from bonito_tpu.profiling import instrument
 from bonito_tpu.util import chunk, stitch, batchify, unbatchify, mean_qscore_from_qstring
 
 
 def make_compute_fn(model, batchsize):
     @jax.jit
     def step(params, x):
-        return model.apply(params, x.astype(model.compute_dtype))
+        out = model.apply(params, x.astype(model.compute_dtype))
+        return out.astype(jnp.bfloat16)
 
     # the device step casts to compute_dtype anyway; converting on the
     # host is bit-identical and halves host->device signal bytes
@@ -27,15 +35,23 @@ def make_compute_fn(model, batchsize):
                   if getattr(model, "compute_dtype", None) == jnp.bfloat16
                   else np.float32)
 
-    def compute(batch):
+    def dispatch(batch):
         n = batch.shape[0]
         batch = np.asarray(batch).astype(send_dtype, copy=False)
         if n < batchsize:
             batch = np.concatenate(
                 [batch, np.zeros((batchsize - n, *batch.shape[1:]), batch.dtype)])
-        out = step(model.params, jnp.asarray(batch[..., None]))
-        return np.asarray(out, dtype=np.float32)[:n]
+        return n, step(model.params, jnp.asarray(batch[..., None]))
 
+    def fetch(handle):
+        n, out = handle
+        return np.asarray(out[:n]).astype(np.float32)
+
+    def compute(batch):
+        return fetch(dispatch(batch))
+
+    compute.dispatch = dispatch
+    compute.fetch = fetch
     return compute
 
 
@@ -46,12 +62,43 @@ def basecall(model, reads, beamsize=5, chunksize=0, overlap=0, batchsize=1,
 
     chunks = thread_iter(
         (read, chunk(np.asarray(read.signal, np.float32), chunksize, overlap))
-        for read in reads
+        for read in instrument("read", reads)
     )
-    scores = unbatchify(
-        (spans, compute(batch))
-        for spans, batch in thread_iter(batchify(chunks, batchsize))
-    )
+    batches = thread_iter(batchify(instrument("chunk", chunks),
+                                   batchsize=batchsize))
+
+    def device_stage(batches, depth=2):
+        """Keep ``depth`` batches in flight so the chip never idles on
+        the device->host posterior transfer (same shape as the CRF
+        driver's device stage)."""
+        import time
+        from collections import deque
+        from bonito_tpu.profiling import batch_timing
+        pending = deque()
+        t_end = None
+        for spans, batch in batches:
+            t0 = time.perf_counter()
+            gap = (t0 - t_end) if t_end is not None else 0.0
+            pending.append((spans, compute.dispatch(batch)))
+            t1 = time.perf_counter()
+            if len(pending) >= depth:
+                spans_done, handle = pending.popleft()
+                out = compute.fetch(handle)
+                t_end = time.perf_counter()
+                batch_timing(t1 - t0, t_end - t1, gap)
+                yield spans_done, out
+            else:
+                t_end = time.perf_counter()
+                batch_timing(t1 - t0, 0.0, gap)
+        while pending:
+            t1 = time.perf_counter()
+            spans_done, handle = pending.popleft()
+            out = compute.fetch(handle)
+            batch_timing(0.0, time.perf_counter() - t1, 0.0)
+            yield spans_done, out
+
+    scores = unbatchify(instrument(
+        "device", thread_iter(device_stage(instrument("batch", batches)))))
     scores = thread_iter(
         (read, {"scores": stitch(v, chunksize, overlap, len(read.signal),
                                  model.stride)})
@@ -61,11 +108,14 @@ def basecall(model, reads, beamsize=5, chunksize=0, overlap=0, batchsize=1,
         decode, decode_fn=model.decode, beamsize=beamsize, qscores=qscores,
         stride=model.stride)
     # worker processes fork after jax backend init, which can deadlock;
-    # default to threads (the decode hot loops are numpy) unless opted in.
+    # default to threads (the decode hot loops are numpy/native with the
+    # GIL released) unless opted in.
+    stitched = instrument("stitch", scores)
     if os.environ.get("BONITO_TPU_DECODE_PROCS"):
-        return process_map(decoder, scores,
+        return process_map(decoder, stitched,
                            n_proc=int(os.environ["BONITO_TPU_DECODE_PROCS"]))
-    return thread_map(decoder, scores, n_thread=4)
+    n_thread = int(os.environ.get("BONITO_TPU_DECODE_THREADS", "4"))
+    return thread_map(decoder, stitched, n_thread=n_thread)
 
 
 def decode(scores, decode_fn, beamsize=5, qscores=False, stride=1):
