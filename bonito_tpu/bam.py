@@ -154,10 +154,7 @@ class ArrayTag:
 
 
 def _encode_tag(tag_str):
-    """'xx:T:value' SAM text tag (or ArrayTag / raw bytes) -> binary BAM
-    tag bytes."""
-    if isinstance(tag_str, bytes):
-        return tag_str
+    """'xx:T:value' SAM text tag (or ArrayTag) -> binary BAM tag bytes."""
     if isinstance(tag_str, ArrayTag):
         return tag_str.bam_bytes()
     tag, typ, val = tag_str.split(":", 2)
@@ -208,8 +205,14 @@ class BAMWriter:
             seq = seq.translate(comp)[::-1]
             qstring = qstring[::-1]
         l_seq = len(seq)
-        qual = ((np.frombuffer(qstring.encode(), dtype=np.uint8) - 33).tobytes()
-                if qstring and qstring != "*" else b"\xff" * l_seq)
+        if qstring and qstring != "*":
+            q = np.frombuffer(qstring.encode(), dtype=np.uint8)
+            if q.size and q.min() < 33:
+                # fail loudly instead of wrapping below phred+33
+                raise ValueError(f"qstring char below '!' in read {read_id}")
+            qual = (q - 33).tobytes()
+        else:
+            qual = b"\xff" * l_seq
 
         if mapping is None:
             ref_id, pos, mapq, flag = -1, -1, 0, 4

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bonito_tpu.pipeline import thread_iter
+from bonito_tpu.pipeline import thread_iter, device_stage
 from bonito_tpu.profiling import instrument
 from bonito_tpu.util import chunk, stitch, batchify, unbatchify
 from bonito_tpu.ops.decode import beam_search, to_str
@@ -227,39 +227,7 @@ def basecall(model, reads, chunksize=4000, overlap=100, batchsize=32,
     batches = thread_iter(batchify(instrument("chunk", chunks),
                                    batchsize=batchsize))
 
-    def device_stage(batches, depth=2):
-        """Keep ``depth`` batches in flight: dispatch runs ahead of the
-        host fetch so the chip never idles on the device->host transfer."""
-        import time
-        from collections import deque
-        from bonito_tpu.profiling import batch_timing
-        pending = deque()
-        t_end = None
-        for spans, batch in batches:
-            t0 = time.perf_counter()
-            gap = (t0 - t_end) if t_end is not None else 0.0
-            pending.append((spans, compute.dispatch(batch)))
-            t1 = time.perf_counter()
-            if len(pending) >= depth:
-                spans_done, handle = pending.popleft()
-                out = compute.fetch(handle)
-                t_end = time.perf_counter()
-                batch_timing(t1 - t0, t_end - t1, gap)
-                yield spans_done, out
-            else:
-                t_end = time.perf_counter()
-                batch_timing(t1 - t0, 0.0, gap)
-        while pending:
-            # stream-end drain: record timings too (dispatch already
-            # happened, so only the fetch is attributable) or the last
-            # ``depth`` batches vanish from the BONITO_TPU_PROFILE report
-            t1 = time.perf_counter()
-            spans_done, handle = pending.popleft()
-            out = compute.fetch(handle)
-            batch_timing(0.0, time.perf_counter() - t1, 0.0)
-            yield spans_done, out
-
-    scores = thread_iter(device_stage(instrument("batch", batches)))
+    scores = thread_iter(device_stage(compute, instrument("batch", batches)))
 
     results = thread_iter(
         (read, stitch_results(attrs, end - start, chunksize, overlap,

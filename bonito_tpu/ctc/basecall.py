@@ -18,16 +18,24 @@ import jax.numpy as jnp
 
 import os
 
-from bonito_tpu.pipeline import thread_iter, thread_map, process_map
+from bonito_tpu.pipeline import (thread_iter, thread_map, process_map,
+                                 device_stage)
 from bonito_tpu.profiling import instrument
 from bonito_tpu.util import chunk, stitch, batchify, unbatchify, mean_qscore_from_qstring
 
 
 def make_compute_fn(model, batchsize):
+    # ship posteriors at the model's own compute precision: for bf16
+    # models the cast is free information-wise and halves fetch bytes;
+    # f32 models (e.g. evaluate loads with half=False) keep f32
+    wire_dtype = (jnp.bfloat16
+                  if getattr(model, "compute_dtype", None) == jnp.bfloat16
+                  else jnp.float32)
+
     @jax.jit
     def step(params, x):
         out = model.apply(params, x.astype(model.compute_dtype))
-        return out.astype(jnp.bfloat16)
+        return out.astype(wire_dtype)
 
     # the device step casts to compute_dtype anyway; converting on the
     # host is bit-identical and halves host->device signal bytes
@@ -67,38 +75,9 @@ def basecall(model, reads, beamsize=5, chunksize=0, overlap=0, batchsize=1,
     batches = thread_iter(batchify(instrument("chunk", chunks),
                                    batchsize=batchsize))
 
-    def device_stage(batches, depth=2):
-        """Keep ``depth`` batches in flight so the chip never idles on
-        the device->host posterior transfer (same shape as the CRF
-        driver's device stage)."""
-        import time
-        from collections import deque
-        from bonito_tpu.profiling import batch_timing
-        pending = deque()
-        t_end = None
-        for spans, batch in batches:
-            t0 = time.perf_counter()
-            gap = (t0 - t_end) if t_end is not None else 0.0
-            pending.append((spans, compute.dispatch(batch)))
-            t1 = time.perf_counter()
-            if len(pending) >= depth:
-                spans_done, handle = pending.popleft()
-                out = compute.fetch(handle)
-                t_end = time.perf_counter()
-                batch_timing(t1 - t0, t_end - t1, gap)
-                yield spans_done, out
-            else:
-                t_end = time.perf_counter()
-                batch_timing(t1 - t0, 0.0, gap)
-        while pending:
-            t1 = time.perf_counter()
-            spans_done, handle = pending.popleft()
-            out = compute.fetch(handle)
-            batch_timing(0.0, time.perf_counter() - t1, 0.0)
-            yield spans_done, out
-
     scores = unbatchify(instrument(
-        "device", thread_iter(device_stage(instrument("batch", batches)))))
+        "device",
+        thread_iter(device_stage(compute, instrument("batch", batches)))))
     scores = thread_iter(
         (read, {"scores": stitch(v, chunksize, overlap, len(read.signal),
                                  model.stride)})

@@ -372,3 +372,40 @@ class _item_call:
 
     def __call__(self, kv):
         return self.fn(*kv)
+
+
+def device_stage(compute, batches, depth=2):
+    """Double-buffered device stage: keep ``depth`` batches in flight so
+    dispatch runs ahead of the host fetch and the chip never idles on
+    the device->host transfer. ``compute`` must expose ``.dispatch`` /
+    ``.fetch``; per-batch timings feed the BONITO_TPU_PROFILE report
+    (shared by the CRF and CTC basecall drivers)."""
+    import time
+    from collections import deque
+    from bonito_tpu.profiling import batch_timing
+
+    pending = deque()
+    t_end = None
+    for spans, batch in batches:
+        t0 = time.perf_counter()
+        gap = (t0 - t_end) if t_end is not None else 0.0
+        pending.append((spans, compute.dispatch(batch)))
+        t1 = time.perf_counter()
+        if len(pending) >= depth:
+            spans_done, handle = pending.popleft()
+            out = compute.fetch(handle)
+            t_end = time.perf_counter()
+            batch_timing(t1 - t0, t_end - t1, gap)
+            yield spans_done, out
+        else:
+            t_end = time.perf_counter()
+            batch_timing(t1 - t0, 0.0, gap)
+    while pending:
+        # stream-end drain: only the fetch is attributable (dispatch
+        # already happened), but record it or the last ``depth`` batches
+        # vanish from the profile report
+        t1 = time.perf_counter()
+        spans_done, handle = pending.popleft()
+        out = compute.fetch(handle)
+        batch_timing(0.0, time.perf_counter() - t1, 0.0)
+        yield spans_done, out

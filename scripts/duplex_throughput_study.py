@@ -68,10 +68,13 @@ def build(work):
 
 
 def main():
-    pairs_file = WORK / "pairs.txt"
-    have = (sum(1 for _ in open(pairs_file)) - 1) if pairs_file.exists() else 0
-    if have != N_PAIRS:
+    # cache key covers both knobs so a changed strand length rebuilds
+    stamp = WORK / f"fixture_{N_PAIRS}_{STRAND}.ok"
+    if not stamp.exists():
         build(WORK)
+        for old in WORK.glob("fixture_*.ok"):
+            old.unlink()
+        stamp.touch()
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     t0 = time.perf_counter()
