@@ -345,8 +345,28 @@ bool map_query(const Index& idx, const std::string& query_raw, Mapping& out) {
             }
             if (score[i] > local_best) { local_best = score[i]; best_i = i; }
         }
+        // distinct same-strand runner-up: the best chain ending outside
+        // the winning chain's reference neighbourhood. Without this a
+        // read from a repeated segment scores two equal chains but only
+        // the cross-strand best fed second_s, so mapq stayed high for
+        // multi-mapping reads (minimap2 collapses it toward 0).
+        int32_t local_second = 0;
+        if (best_i >= 0) {
+            int64_t rb_lo = INT64_MAX, rb_hi = INT64_MIN;
+            for (int i = best_i; i >= 0; i = parent[i]) {
+                rb_lo = std::min(rb_lo, anchors[i].r);
+                rb_hi = std::max(rb_hi, anchors[i].r + k);
+            }
+            int64_t margin = (int64_t)query.size();
+            for (int i = 0; i < n; i++) {
+                if (anchors[i].r >= rb_lo - margin &&
+                    anchors[i].r <= rb_hi + margin)
+                    continue;
+                if (score[i] > local_second) local_second = score[i];
+            }
+        }
         if (local_best > best_s) {
-            second_s = best_s;
+            second_s = std::max(best_s, local_second);
             best_s = local_best;
             best_strand = strand;
             best_chain.clear();

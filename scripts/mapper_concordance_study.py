@@ -159,6 +159,44 @@ def main():
     import os as _os
     _os.unlink(fasta)
 
+    # --- ambiguous placement (repeats) -----------------------------------
+    # a 25 kb segment duplicated into two contigs: reads sampled inside
+    # the repeat have two equally-good placements, so mapq must collapse
+    # (minimap2 contract: mapq from best/second-best chain separation);
+    # reads from unique flanks must keep high mapq
+    rng2 = np.random.default_rng(23)
+    repeat = rand_seq(rng2, 25_000)
+    ctg_a = rand_seq(rng2, 60_000) + repeat + rand_seq(rng2, 60_000)
+    ctg_b = rand_seq(rng2, 40_000) + repeat + rand_seq(rng2, 80_000)
+    fasta2 = tempfile.mktemp(suffix=".fasta")
+    with open(fasta2, "w") as f:
+        f.write(f">ra\n{ctg_a}\n>rb\n{ctg_b}\n")
+    amb_aligner = Aligner(fasta2)
+    amb_q, uniq_q = [], []
+    for i in range(80):
+        length = int(rng2.integers(1500, 5000))
+        if i % 2 == 0:  # inside the repeat (both copies match)
+            start = 60_000 + int(rng2.integers(0, 25_000 - length))
+            frag = ctg_a[start:start + length]
+            bucket = amb_q
+        else:           # unique left flank of ctg_a
+            start = int(rng2.integers(0, 60_000 - length))
+            frag = ctg_a[start:start + length]
+            bucket = uniq_q
+        read = mutate(rng2, frag, 0.05, 0.02)
+        if i % 4 >= 2:
+            read = revcomp(read)
+        h = amb_aligner.map(read)
+        bucket.append(h.mapq if h is not None else -1)
+    amb = np.array(amb_q)
+    unq = np.array(uniq_q)
+    print(f"\nrepeat ambiguity: in-repeat reads mapq "
+          f"median={np.median(amb[amb >= 0]):.0f} max={amb.max():.0f} "
+          f"(n={len(amb)}); unique-flank reads mapq "
+          f"median={np.median(unq[unq >= 0]):.0f} min={unq[unq >= 0].min():.0f}"
+          f" (n={len(unq)})", flush=True)
+    _os.unlink(fasta2)
+
 
 if __name__ == "__main__":
     main()

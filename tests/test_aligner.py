@@ -198,3 +198,37 @@ class TestMapperConcordance:
             ok += covers_one and clipped
         # study: 59/60 across a bigger sweep
         assert ok >= total - 2, (ok, total)
+
+    def test_repeat_ambiguity_collapses_mapq(self, tmp_path):
+        """A read from a segment duplicated on two contigs has two
+        equally good placements, so mapq must collapse toward 0, while
+        unique-flank reads keep mapq >= 30 (minimap2's best/second-best
+        contract; study: in-repeat median mapq 0, unique flank 39-40)."""
+        from bonito_tpu.aligner import Aligner
+        rng = np.random.default_rng(23)
+        repeat = rand_seq(rng, 8000)
+        ctg_a = rand_seq(rng, 12000) + repeat + rand_seq(rng, 12000)
+        ctg_b = rand_seq(rng, 6000) + repeat + rand_seq(rng, 15000)
+        path = tmp_path / "rep.fasta"
+        with open(path, "w") as f:
+            f.write(f">ra\n{ctg_a}\n>rb\n{ctg_b}\n")
+        aligner = Aligner(path)
+
+        amb, unq = [], []
+        for i in range(16):
+            length = int(rng.integers(1500, 4000))
+            if i % 2 == 0:
+                start = 12000 + int(rng.integers(0, 8000 - length))
+                bucket = amb
+            else:
+                start = int(rng.integers(0, 12000 - length))
+                bucket = unq
+            read = mutate(rng, ctg_a[start:start + length],
+                          sub_rate=0.05, indel_rate=0.02)
+            if i % 4 >= 2:
+                read = revcomp(read)
+            h = aligner.map(read)
+            assert h is not None
+            bucket.append(h.mapq)
+        assert max(amb) <= 3, amb
+        assert min(unq) >= 30, unq
