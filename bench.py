@@ -82,8 +82,13 @@ def flops_per_sample(kind, quant=False):
     if quant:
         # round 4: quantize() also int8s the CRF head (LSTM->head chain,
         # bounded h) — charge it at the int8 peak so the roofline stays
-        # honest about executed precision
-        return {"bf16": conv, "int8": (lstm + head) / stride}
+        # honest about executed precision. The head gate is env-switched
+        # (BONITO_TPU_INT8_HEAD=0 runs it bf16), so charge whichever
+        # precision actually executes.
+        int8_head = os.environ.get("BONITO_TPU_INT8_HEAD", "1") != "0"
+        if int8_head:
+            return {"bf16": conv, "int8": (lstm + head) / stride}
+        return {"bf16": conv + head / stride, "int8": lstm / stride}
     return {"bf16": (lstm + head) / stride + conv, "int8": 0.0}
 
 

@@ -483,6 +483,15 @@ def _features_from_record(rec, use_ref=False):
             if with_ref:
                 frag = rec.seq[rpos - 1:rpos - 1 + n]
                 ref_frag = rec.ref[refpos:refpos + n]
+                if len(ref_frag) < len(frag):
+                    # a short rec.ref would silently zip-truncate here
+                    # and the decoder would fabricate reference bases
+                    # for the uncovered positions — corrupt output, so
+                    # fail loudly at write time instead
+                    raise ValueError(
+                        f"rec.ref shorter than the CIGAR's reference "
+                        f"footprint for {rec.name} (need {refpos + n}, "
+                        f"have {len(rec.ref)})")
                 for i, (a, b) in enumerate(zip(frag, ref_frag)):
                     if a == b:
                         continue

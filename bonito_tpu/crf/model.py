@@ -130,14 +130,27 @@ class SeqdistModel:
         # head also chains: the head weights go int8 too (static 127
         # activation scale is exact only for a bounded LSTM h, which is
         # why this is structure-gated here and not in the generic walk).
+        # value-preserving glue that may sit between producer/consumer
+        # without breaking the int8 handoff (the chained h tensor passes
+        # through unchanged — a positional zip would miss the pair)
+        glue = tuple(t for t in (getattr(nn, "Permute", None),
+                                 getattr(nn, "MakeContiguous", None),
+                                 getattr(nn, "Dropout", None)) if t)
+
         def mark_chains(layer, params):
             items = [(n, s) for n, s in layer.sublayer_items()
                      if s is not None]
-            for (_, a), (nb2, b2) in zip(items, items[1:]):
-                if isinstance(a, nn.LSTM) and isinstance(b2, nn.LSTM):
+            for i, (_, a) in enumerate(items):
+                if not isinstance(a, nn.LSTM):
+                    continue
+                nxt = next(((n2, s2) for n2, s2 in items[i + 1:]
+                            if not isinstance(s2, glue)), None)
+                if nxt is None:
+                    continue
+                nb2, b2 = nxt
+                if isinstance(b2, nn.LSTM):
                     a.int8_out = True
-                elif (isinstance(a, nn.LSTM)
-                      and isinstance(b2, nn.LinearCRFEncoder)
+                elif (isinstance(b2, nn.LinearCRFEncoder)
                       and isinstance(params.get(nb2), dict)):
                     newp = b2.quantize_head_params(params[nb2])
                     if "w_q" in newp:

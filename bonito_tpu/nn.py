@@ -630,6 +630,10 @@ class LinearCRFEncoder(Layer):
     def project_scores(self, params, x):
         """The head matmul (+bias), int8 when quantised. ``x`` may be a
         chained int8 h (scale 1/127) or the compute dtype."""
+        # result dtype follows the incoming activations: a chained int8
+        # h only occurs on the bf16 TPU path, while the f32 oracle path
+        # must keep f32 scores (not a hardcoded bf16 downgrade)
+        out_dt = jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype
         if "w_q" in params:
             if x.dtype == jnp.int8:
                 x_q = x
@@ -643,9 +647,9 @@ class LinearCRFEncoder(Layer):
             scores = acc.astype(jnp.float32) * (params["w_s"] / 127.0)
             if self.bias:
                 scores = scores + params["b"].astype(jnp.float32)
-            return scores.astype(jnp.bfloat16)
+            return scores.astype(out_dt)
         if x.dtype == jnp.int8:
-            x = (x.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
+            x = (x.astype(jnp.float32) * (1.0 / 127.0)).astype(out_dt)
         scores = x @ params["w"].astype(x.dtype)
         if self.bias:
             scores = scores + params["b"].astype(x.dtype)

@@ -73,11 +73,13 @@ def lstm(x, w_ih, w_hh, b, reverse=False):
         # 26.4 -> 18.1 ms at batch 1024 (measured, v5e). For large H
         # (hac, 1024) the serial recurrence matmul dominates and the
         # standalone XLA projection overlaps better — keep it there.
-        if (supported_fused(x, w_hh)
+        # resolve block_k BEFORE the gate: its VMEM budget must count
+        # the kernel-body temporaries at the block size that will run
+        fused_k = int(os.environ.get("BONITO_TPU_LSTM_FUSED_K", 8))
+        if (supported_fused(x, w_hh, block_k=fused_k)
                 and os.environ.get("BONITO_TPU_LSTM_FUSED", "1") != "0"):
             return lstm_pallas_fused(
-                x, w_ih, w_hh, b, reverse=reverse,
-                block_k=int(os.environ.get("BONITO_TPU_LSTM_FUSED_K", 8)))
+                x, w_ih, w_hh, b, reverse=reverse, block_k=fused_k)
         if supported(x, w_hh):  # includes TPU-backend gate
             return lstm_pallas(x, w_ih, w_hh, b, reverse=reverse)
     except ImportError:
@@ -102,8 +104,9 @@ def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
         supported_fused, supported_int8_fused)
     on_tpu = (jax.default_backend() == "tpu"
               and not os.environ.get("BONITO_TPU_NO_PALLAS"))
+    small_h_k = int(os.environ.get("BONITO_TPU_LSTM_FUSED_K", 8))
     if (on_tpu and w_ih_q is not None and x.dtype != jnp.int8
-            and supported_fused(x, w_hh_q)
+            and supported_fused(x, w_hh_q, block_k=small_h_k)
             and os.environ.get("BONITO_TPU_SMALL_H_INT8", "0") == "0"):
         # Small-H regime (fast, H=96): int8 measured SLOWER than the
         # bf16 fused input-projection kernel (stack 30.9 vs 18.1 ms at
@@ -116,11 +119,11 @@ def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
         w_ih_d = (w_ih_q.astype(jnp.float32) * ih_scales).astype(x.dtype)
         w_hh_d = (w_hh_q.astype(jnp.float32) * scales * 127.0).astype(x.dtype)
         return lstm_pallas_fused(
-            x, w_ih_d, w_hh_d, b, reverse=reverse,
-            block_k=int(os.environ.get("BONITO_TPU_LSTM_FUSED_K", 8)))
+            x, w_ih_d, w_hh_d, b, reverse=reverse, block_k=small_h_k)
+    int8_fused_k = int(os.environ.get("BONITO_TPU_LSTM_INT8_FUSED_K", 2))
     if (on_tpu and w_ih_q is not None
             and os.environ.get("BONITO_TPU_LSTM_INT8_FUSED", "1") != "0"
-            and supported_int8_fused(x, w_hh_q)):
+            and supported_int8_fused(x, w_hh_q, block_k=int8_fused_k)):
         # Fused int8 route: the projection runs in-kernel from an int8
         # input stream — no [T, N, 4H] gate tensor in HBM and no XLA
         # abs-max/quantise passes between chained layers (measured: the
@@ -134,10 +137,9 @@ def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
             xq = jnp.round(xf / sx).astype(jnp.int8)
         # K=2 measured best at hac shapes (67.2 / 75.9 / 86.0 ms for the
         # 5-layer stack at K=2/4/8; the old two-stage route: 73.4)
-        block_k = int(os.environ.get("BONITO_TPU_LSTM_INT8_FUSED_K", 2))
         return lstm_pallas_int8_fused(
             xq, w_ih_q, w_hh_q, ih_scales * sx, scales, b,
-            reverse=reverse, block_k=block_k, out_int8=out_int8)
+            reverse=reverse, block_k=int8_fused_k, out_int8=out_int8)
     if x.dtype == jnp.int8:
         x = (x.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
     if on_tpu:
