@@ -417,3 +417,23 @@ class TestLSTMInt8FullCell:
         assert "w_ih_q" in lp and "w_ih" not in lp
         out = np.asarray(m.forward(jnp.ones((1, 100, 1))), np.float32)
         assert np.abs(out - ref).mean() < 0.15
+
+
+class TestVmemGateBlockK:
+    def test_gates_scale_budget_with_block_k(self):
+        """The support gates must size their VMEM budgets at the block_k
+        the kernel will actually run (review fix: an env-supplied K could
+        pass a gate evaluated at the default K and then fail Mosaic)."""
+        from bonito_tpu.ops.lstm_pallas import (supported_fused,
+                                                supported_int8_fused)
+        # hac-shaped int8 fused: fine at the default K=2, over budget at
+        # a huge K (the xw temporaries alone exceed 90 MB)
+        x = jnp.zeros((384, 1666, 1024), jnp.int8)
+        w = jnp.zeros((1024, 4096), jnp.int8)
+        assert supported_int8_fused(x, w, require_tpu=False, block_k=2)
+        assert not supported_int8_fused(x, w, require_tpu=False, block_k=64)
+        # fast-shaped bf16 fused: same monotonicity
+        xf = jnp.zeros((1024, 1200, 96), jnp.bfloat16)
+        wf = jnp.zeros((96, 384), jnp.bfloat16)
+        assert supported_fused(xf, wf, require_tpu=False, block_k=8)
+        assert not supported_fused(xf, wf, require_tpu=False, block_k=4096)
