@@ -270,3 +270,44 @@ class TestPod5BasecallCLI:
         truth = decode_ref(true_bases, trained_model.alphabet)
         d, _ = edit_align(called, truth)
         assert d <= 0.2 * len(truth), (d, len(called), len(truth))
+
+
+class TestCorruptInputResilience:
+    def test_corrupt_fast5_warns_and_continues(self, tmp_path, capfd):
+        """A garbage .fast5 among good files must produce a warning and
+        be skipped, not kill the read stream (reference behavior:
+        bonito/fast5.py:98-100 warns and continues)."""
+        import h5py
+        from bonito_tpu.fast5 import get_reads
+
+        rdir = tmp_path / "reads"
+        rdir.mkdir()
+        rng = np.random.default_rng(3)
+        with h5py.File(rdir / "good.fast5", "w") as f:
+            for i in range(3):
+                g = f.create_group(f"read_ok{i}")
+                raw = g.create_group("Raw")
+                raw.create_dataset(
+                    "Signal", data=rng.integers(0, 100, 4000).astype(np.int16))
+                raw.attrs["read_id"] = f"ok{i}"
+                raw.attrs["read_number"] = i
+                raw.attrs["start_mux"] = 1
+                raw.attrs["start_time"] = 0
+                ch = g.create_group("channel_id")
+                ch.attrs["channel_number"] = "1"
+                ch.attrs["digitisation"] = 8192.0
+                ch.attrs["offset"] = 0.0
+                ch.attrs["range"] = 81.92
+                ch.attrs["sampling_rate"] = 5000.0
+                tr = g.create_group("tracking_id")
+                tr.attrs["run_id"] = "r"
+                tr.attrs["exp_start_time"] = "2026-01-01T00:00:00Z"
+                tr.attrs["flow_cell_id"] = "FC"
+                tr.attrs["device_id"] = "D"
+                tr.attrs["sample_id"] = "S"
+        (rdir / "corrupt.fast5").write_bytes(b"\x89HDF-not-really" * 64)
+
+        reads = list(get_reads(rdir, n_proc=0))
+        assert sorted(r.read_id for r in reads) == ["ok0", "ok1", "ok2"]
+        err = capfd.readouterr().err
+        assert "warning" in err and "corrupt.fast5" in err
