@@ -117,7 +117,11 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         model = Model(get_config("dna_r10.4.1_e8.2_400bps_fast@v4.3"))
         model.init(jax.random.PRNGKey(0))
         chunksize = chunksize or 6000
-        batchsize = batchsize or 1024
+        # round-4b batch sweep (same-session A/B): 1024: 219.9, 2048:
+        # 226.7 (+3%; cross-session 227.4/210.2/213.1 at 2048/4096/3072)
+        # — per-program overhead amortises up to 2048, HBM pressure wins
+        # past it
+        batchsize = batchsize or 2048
         # fast takes the fused input-projection kernel (K=8 measured
         # best; BONITO_TPU_LSTM_FUSED_K overrides). The non-fused
         # fallback wants K=4 at these tiny shapes:
