@@ -491,7 +491,9 @@ def _block_k_fused(S, N, nb, U, H):
     pinned = U * (nb * S) * H * 2 + U * (nb * S) * eff_n * 4
     avail = (80 << 20) - 14 * plane * 4 - pinned
     per_k = 2 * (H * eff_n * 2 + U * (plane * 4 + plane * 2 + 8 * eff_n * 4))
-    return max(1, min(2, avail // max(per_k, 1)))
+    if avail < per_k:
+        return 0   # even K=1 does not fit — caller must reject
+    return max(1, min(2, avail // per_k))
 
 
 def supported_tcn_fused(seqdist, h_tcn, wT, blank_score, require_tpu=True):
@@ -503,6 +505,10 @@ def supported_tcn_fused(seqdist, h_tcn, wT, blank_score, require_tpu=True):
         blank_score is not None
         and seqdist.n_base == 4 and S % 8 == 0 and R % 8 == 0 and N % 8 == 0
         and Cm == S * seqdist.n_base and Hw == H and H % 8 == 0
+        # VMEM budget: pinned wT/bias + body planes must leave room for
+        # at least one double-buffered h/output frame (CLAUDE.md rule:
+        # gates count lane padding and kernel-body temporaries)
+        and _block_k_fused(S, N, seqdist.n_base, U, H) >= 1
         and (on_tpu() or not require_tpu)
     )
 
@@ -532,10 +538,17 @@ def viterbi_decode_tcn_fused(seqdist, h_tcn, wT, bias, blank_score,
 
     if bias is None:
         bias = jnp.zeros((U, Cm), jnp.float32)
+    # NOTE: materialising N lane-copies of the [U, Cm] bias costs VMEM
+    # pin ([U, Cm, N] f32 — ~4 MB at hac shapes) that a [U, Cm, 1]
+    # block + in-kernel lane broadcast would avoid; left as-is because
+    # the fused-head route is default only for the small fast state
+    # space (Cm=256, pin ~2 MB) where _block_k_fused has headroom.
     bias_bc = jnp.broadcast_to(
         bias.astype(jnp.float32)[:, :, None], (U, Cm, N))
 
-    K = _block_k_fused(S, N, nb, U, H)
+    # 0 means over-budget; the supported_tcn_fused gate rejects that
+    # case — direct callers (interpret-mode tests) still get K=1
+    K = _block_k_fused(S, N, nb, U, H) or 1
     pad = (-Th) % K
     if pad:
         h_tcn = jnp.concatenate(
@@ -659,15 +672,20 @@ def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
     # per-program batch width: the kernels' VMEM plane is ~S*Nb
     # (hac-validated at 1024x128); wider batches run as extra grid
     # sub-blocks (axis 0) over the SAME HBM arrays — no lane-axis
-    # slicing of the 3.5 GB move tensor (that copy cost ~8 ms/batch-256)
-    import os
-    env = os.environ.get("BONITO_TPU_DECODE_SUB_BATCH")
-    Nb = int(env) if env else max(128, min(1024, 128 * 1024 // max(S, 1)))
+    # slicing of the 3.5 GB move tensor (that copy cost ~8 ms/batch-256).
+    # The width formula is shared with the dispatcher's routing gate
+    # (ops/decode.py::_sub_batch) so the two cannot drift apart.
+    from bonito_tpu.ops.decode import _sub_batch
+    Nb = _sub_batch(S)
     if N % Nb:
         Nb = N  # ragged widths take one program (dispatcher pre-slices)
     NS = N // Nb
 
     K = block_k or _block_k(S, Nb, nb)
+    # prefer a K that divides T: the T-pad path below concatenates onto
+    # the full move tensor — an HBM copy of the decode's largest array
+    if T % K:
+        K = next((k for k in range(K, 0, -1) if T % k == 0), K)
     pad = (-T) % K
     if pad:
         moves_tcn = jnp.concatenate(

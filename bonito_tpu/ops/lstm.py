@@ -157,7 +157,8 @@ def lstm_train(x, w_ih, w_hh, b, reverse=False):
     import jax
     if (not os.environ.get("BONITO_TPU_NO_PALLAS")
             and jax.default_backend() == "tpu"):
-        from bonito_tpu.ops.lstm_pallas import lstm_pallas_train, supported
-        if supported(x, w_hh):
+        from bonito_tpu.ops.lstm_pallas import (lstm_pallas_train,
+                                                supported_train)
+        if supported_train(x, w_hh):
             return lstm_pallas_train(x, w_ih, w_hh, b, reverse=reverse)
     return lstm_scan(x, w_ih, w_hh, b, reverse=reverse)

@@ -226,10 +226,7 @@ def _lstm_train_bwd_kernel(a_ref, c_ref, cprev_ref, g_ref,
     dc_ref[...] = dc * f
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _lstm_rec(xw, w_hh, reverse=False, interpret=False):
     """Recurrence over precomputed gate inputs xw [T, N, 4H] (time-major).
     Returns hidden states [T, N, H]."""
@@ -265,6 +262,8 @@ def _lstm_rec_fwd_impl(xw, w_hh, reverse, interpret):
             pltpu.VMEM((N, H), jnp.float32),
             pltpu.VMEM((N, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xw, w_hh)
     return h, c, acts
@@ -308,6 +307,8 @@ def _lstm_rec_bwd(reverse, interpret, res, gout):
             pltpu.VMEM((N, H), jnp.float32),
             pltpu.VMEM((N, H), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(acts, c, c, gout, w_hh)
 
@@ -718,6 +719,32 @@ def supported_fused(x, w_hh, require_tpu=True, block_k=8):
     stream = 2 * block_k * N * (C + H) * itemsize
     weights = (C + H) * 4 * H * itemsize + 4 * H * 4
     return xw_bytes + stream + weights + 2 * N * H * 4 < 90 * 1024 * 1024
+
+
+def supported_train(x, w_hh, require_tpu=True):
+    """Gate for the BPTT train kernels, modelled at their REAL shapes:
+    raw (un-lane-padded) H, the extra c/acts output streams on the
+    forward and the 5-input backward, under the kernels' explicit
+    100 MB vmem_limit. (The inference ``supported`` gate models the
+    lane-padded inference kernel, which the train path never runs.)"""
+    import jax
+    if require_tpu and jax.default_backend() != "tpu":
+        return False
+    N, T, C = x.shape
+    H = w_hh.shape[0]
+    if H % 8 != 0:
+        return False
+    eff = lambda d: -(-d // 128) * 128
+    G = 4 * H
+    itemsize = 2 if x.dtype in (jnp.bfloat16, jnp.float16) else 4
+    whh = H * G * itemsize
+    # double-buffered per-step streams; fwd: xw in + h/c/acts out,
+    # bwd: acts + 2*c + gout in + dgates out
+    fwd = 2 * N * (eff(G) * itemsize + eff(H) * itemsize
+                   + eff(H) * 2 + eff(G) * 2)
+    bwd = 2 * N * (2 * eff(G) * 2 + 3 * eff(H) * 2)
+    scratch = 2 * N * eff(H) * 4
+    return whh + max(fwd, bwd) + scratch < 90 * 1024 * 1024
 
 
 def supported(x, w_hh, require_tpu=True):
