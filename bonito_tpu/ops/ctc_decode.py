@@ -11,6 +11,7 @@ the model's argmax itself could run on device but these models are small
 and CPU-decodable by design.
 """
 
+import os
 from collections import defaultdict
 from math import log
 
@@ -47,7 +48,22 @@ def greedy_ctc(probs, alphabet, qscores=False, qscale=1.0, qbias=0.0):
     return seq + quals, path
 
 
-def beam_search_ctc(probs, alphabet, beamsize=5, threshold=1e-3):
+def blank_collapse(probs, thr):
+    """Frame-keep mask dropping all but the FIRST frame of each
+    consecutive run where the blank posterior exceeds ``thr`` ("Blank
+    Collapse", arXiv:2210.17017): pure-blank frames cannot change beam
+    prefixes, but one blank per run is kept so repeated labels still
+    separate. Returns (kept_probs, kept_frame_indices)."""
+    blank_high = probs[:, 0] > thr
+    keep = ~blank_high
+    keep[0] = True
+    keep[1:] |= ~blank_high[:-1]   # first frame of each high-blank run
+    idx = np.nonzero(keep)[0]
+    return probs[idx], idx
+
+
+def beam_search_ctc(probs, alphabet, beamsize=5, threshold=1e-3,
+                    collapse=None):
     """
     CTC prefix beam search over posteriors [T, C] (the reference's Rust
     fast-ctc-decode beam_search). Returns (seq, path) with path = frame
@@ -55,7 +71,23 @@ def beam_search_ctc(probs, alphabet, beamsize=5, threshold=1e-3):
 
     Dispatches to the native C++ implementation (native/ctc/ctcbeam.cpp,
     ~70x the pure-Python path below, which remains the test oracle).
+
+    ``collapse``: blank-posterior threshold for blank-collapse frame
+    dropping (0/None = off, the reference-parity default; env
+    BONITO_TPU_CTC_BLANK_COLLAPSE supplies it, e.g. 0.999). On peaky
+    trained models most frames are confident blanks, so this cuts the
+    host beam's work severalfold with the returned path remapped to
+    original frame indices.
     """
+    if collapse is None:
+        env = os.environ.get("BONITO_TPU_CTC_BLANK_COLLAPSE")
+        collapse = float(env) if env else 0.0
+    if collapse:
+        probs_c, kept = blank_collapse(np.asarray(probs), float(collapse))
+        seq, path = beam_search_ctc(probs_c, alphabet, beamsize, threshold,
+                                    collapse=0.0)
+        path = kept[np.asarray(path, np.int64)] if len(path) else path
+        return seq, path
     native_result = _beam_search_native(probs, alphabet, beamsize, threshold)
     if native_result is not None:
         return native_result

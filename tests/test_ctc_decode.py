@@ -177,3 +177,40 @@ class TestConvCTCBasecallPipeline:
             assert set(res["sequence"]) <= set("ACGT")
             assert len(res["qstring"]) == len(res["sequence"]) > 0
             assert np.isfinite(res["mean_qscore"])
+
+
+class TestBlankCollapse:
+    def test_collapsed_beam_matches_full_on_peaky_posteriors(self):
+        """Blank collapse (arXiv:2210.17017, opt-in): dropping all but
+        the first frame of confident-blank runs must not change the
+        beam's sequence or emission frames on peaky (trained-model-like)
+        posteriors."""
+        from bonito_tpu.ops.ctc_decode import beam_search_ctc, blank_collapse
+        rng = np.random.default_rng(0)
+        T, C = 6000, 5
+        probs = np.zeros((T, C), np.float32)
+        emit = rng.random(T) < 0.12
+        labels = rng.integers(1, C, T)
+        conf = np.where(emit, rng.uniform(0.9, 0.99, T),
+                        rng.uniform(0.995, 0.99995, T)).astype(np.float32)
+        probs[np.arange(T), np.where(emit, labels, 0)] = conf
+        probs += (1 - conf[:, None]) / 4 * (probs == 0)
+        probs /= probs.sum(1, keepdims=True)
+
+        s0, p0 = beam_search_ctc(probs, "NACGT", 5, collapse=0.0)
+        s1, p1 = beam_search_ctc(probs, "NACGT", 5, collapse=0.99)
+        kept = blank_collapse(probs, 0.99)[1]
+        assert len(kept) < T // 2          # it actually collapsed
+        assert s1 == s0
+        assert np.array_equal(np.asarray(p0), np.asarray(p1))
+
+    def test_repeat_separation_survives_collapse(self):
+        # A-blank-A must stay "AA" when the separating blank run collapses
+        from bonito_tpu.ops.ctc_decode import beam_search_ctc
+        probs = np.full((7, 5), 0.0025, np.float32)
+        for t, c in enumerate([1, 0, 0, 0, 1, 0, 0]):
+            probs[t, c] = 0.99
+        probs /= probs.sum(1, keepdims=True)
+        s0, _ = beam_search_ctc(probs, "NACGT", 3, collapse=0.0)
+        s1, _ = beam_search_ctc(probs, "NACGT", 3, collapse=0.9)
+        assert s0 == s1 == "AA"
