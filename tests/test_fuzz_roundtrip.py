@@ -135,3 +135,25 @@ class TestCramFuzz:
         for rec, (name, seq) in zip(recs, want):
             assert rec.name == name
             assert rec.seq == seq
+
+
+class TestPod5Fuzz:
+    def test_ragged_signals_roundtrip(self, tmp_path):
+        """Random ragged signal lengths (incl. 1-sample and VBZ-batch-
+        boundary sizes) through write_pod5 -> Pod5File; signals must
+        round-trip exactly through the VBZ codec and Arrow container."""
+        import uuid
+        from bonito_tpu.pod5 import write_pod5, Pod5File
+        rng = np.random.default_rng(11)
+        lens = [1, 7, 127, 128, 129, 4096, 20480 - 1, 20480, 20480 + 1,
+                int(rng.integers(2, 60000))]
+        reads = [{
+            "read_id": str(uuid.UUID(int=i + 1)),
+            "signal": rng.integers(-2000, 2000, size=n).astype(np.int16),
+        } for i, n in enumerate(lens)]
+        write_pod5(tmp_path / "fz.pod5", reads)
+        p5 = Pod5File(tmp_path / "fz.pod5")
+        assert p5.num_reads() == len(reads)
+        for r in reads:
+            sig = p5.get_signal(uuid.UUID(r["read_id"]).bytes)
+            assert np.array_equal(sig, r["signal"]), len(r["signal"])
