@@ -54,18 +54,22 @@ def run(epochs, tag):
 
 
 def main():
+    import re
     if not (WORK / "data" / "chunks.npy").exists():
         build(WORK / "data")
-    t1 = run(1, "a")
     t3 = run(3, "b")
     train_chunks = N_CHUNKS - 256
-    extra = 2 * train_chunks * CHUNK_LEN
-    rate = extra / (t3 - t1)
-    print(f"1 epoch: {t1:.1f} s; 3 epochs: {t3:.1f} s; "
-          f"marginal {rate/1e6:.2f} Msamples/s per epoch "
+    # per-epoch walls from the trainer's own "[epoch N] ... (Ns)" lines:
+    # epoch 1 carries the in-epoch compile, the last epoch is steady.
+    # (A marginal 1-vs-3-run protocol fails here — per-process compile
+    # time varies by more than an epoch costs.)
+    log = (WORK / "run_b.log").read_text()
+    epochs = [int(s) for s in re.findall(r"\[epoch \d+\].*\((\d+)s\)", log)]
+    steady = epochs[-1]
+    rate = train_chunks * CHUNK_LEN / steady
+    print(f"3-epoch wall {t3:.1f} s; per-epoch {epochs} s; steady epoch "
+          f"{steady} s = {rate/1e6:.2f} Msamples/s "
           f"({train_chunks} chunks x {CHUNK_LEN}; bare step 3.14)")
-    for line in (WORK / "run_b.log").read_text().splitlines()[-6:]:
-        print("   ", line)
 
 
 if __name__ == "__main__":
