@@ -150,3 +150,23 @@ class TestFooter:
         p5.write_pod5(path, reads)
         f = p5.Pod5File(path)
         assert list(f.read_ids()) == [str(_uuid.UUID(int=7))]
+
+
+class TestCorruptPod5Resilience:
+    def test_corrupt_pod5_warns_and_continues(self, tmp_path, capfd):
+        """A garbage .pod5 among good files is warned about and skipped;
+        the good reads still stream (same contract as the fast5 reader)."""
+        import uuid as _uuid
+        rng = np.random.default_rng(3)
+        reads = [{
+            "read_id": str(_uuid.UUID(int=i + 1)),
+            "signal": rng.integers(0, 500, size=3000).astype(np.int16),
+        } for i in range(3)]
+        write_pod5(tmp_path / "good.pod5", reads)
+        (tmp_path / "corrupt.pod5").write_bytes(b"definitely not arrow" * 32)
+
+        out = list(get_reads(str(tmp_path), n_proc=0))
+        assert sorted(r.read_id for r in out) == sorted(
+            r["read_id"] for r in reads)
+        err = capfd.readouterr().err
+        assert "warning" in err and "corrupt.pod5" in err
