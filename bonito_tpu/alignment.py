@@ -17,7 +17,10 @@ import numpy as np
 from bonito_tpu import native
 
 MAX_CIGAR = 1 << 16
-MAX_CELLS = 1 << 28  # 256M DP cells ≈ 1GB int32 matrix cap
+MAX_CELLS = 1 << 28  # 256M DP cells; peak RSS ~3-4 GB (the native
+# SW allocates H/E/F int32 matrices of this size and the numpy
+# fallback adds a sub matrix) — size the cap for the multi-matrix
+# footprint, not one matrix
 
 
 @dataclass
@@ -58,7 +61,7 @@ def smith_waterman(query, ref, match=5, mismatch=-4, gap_open=8, gap_extend=4):
         )
         if n < 0:
             return None
-        cigar = "".join(f"{lens[i]}{chr(ops.raw[i])}" for i in range(n))
+        cigar = _cigar_string(ops.raw, lens, n)
         return SWResult(score.value, cigar, bq.value, eq.value, br.value, er.value)
     return _sw_numpy(query, ref, match, mismatch, gap_open, gap_extend)
 
@@ -107,7 +110,7 @@ def edit_align(query, ref):
                          ops, lens, MAX_CIGAR)
         if n < 0:
             return None
-        cigar = "".join(f"{lens[i]}{chr(ops.raw[i])}" for i in range(n))
+        cigar = _cigar_string(ops.raw, lens, n)
         return dist.value, cigar
     return _nw_numpy(query, ref)
 

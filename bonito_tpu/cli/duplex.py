@@ -59,6 +59,13 @@ def main(args):
             c = bam.get_record(cid)
         except KeyError:
             return None
+        if "*" in (t.qstring, c.qstring):
+            # consensus is qscore-weighted; a record without base
+            # qualities cannot participate — skip the pair instead of
+            # crashing the whole run in adj_qscores
+            sys.stderr.write(f"> warning: pair {tid}/{cid} skipped "
+                             f"(missing base qualities)\n")
+            return None
         return call_basespace_duplex(
             SeqRecord(t.read_id, t.sequence, t.qstring),
             SeqRecord(c.read_id, c.sequence, c.qstring))

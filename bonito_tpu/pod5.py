@@ -24,7 +24,7 @@ the framing-magic scan remains as a fallback for footerless files.
 import ctypes
 import sys
 import uuid
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from glob import glob
 from pathlib import Path
 
@@ -79,8 +79,14 @@ def vbz_decompress(data, sample_count):
 
 
 def _svb16_encode_py(signal):
-    deltas = np.diff(np.concatenate([[0], signal.astype(np.int64)]))
-    zz = ((deltas << 1) ^ (deltas >> 63)).astype(np.uint16)
+    # deltas wrap in int16 and the zigzag is 16-bit, matching the native
+    # codec (native/vbz/vbz.cpp) — a 64-bit zigzag truncated to uint16
+    # silently corrupts any |delta| > 32767 and every sample after it
+    with np.errstate(over="ignore"):
+        deltas = np.diff(np.concatenate(
+            [np.int16([0]), signal.astype(np.int16)]).astype(np.int16))
+    zz = (((deltas.astype(np.int16) << 1) ^ (deltas >> 15))
+          .astype(np.uint16))
     n = len(zz)
     keys = np.zeros((n + 7) // 8, np.uint8)
     data = bytearray()
@@ -311,7 +317,13 @@ class Pod5File:
             self._sig_rows.setdefault(bytes(rid), []).append(i)
         self._samples = self.signal.column("samples").to_pylist()
         self._sig_col = self.signal.column("signal")
-        self._compressed = not str(self._sig_col.type).startswith("large_list")
+        # positive detection: vbz chunks are stored as (large_)binary;
+        # any list-of-int16 layout is uncompressed (a negative
+        # startswith("large_list") check misread plain list<int16> as
+        # compressed and fed raw samples to zstd)
+        sig_type = str(self._sig_col.type)
+        self._compressed = "binary" in sig_type
+        self._run_info_cache = {}
 
     def read_ids(self):
         return [str(uuid.UUID(bytes=bytes(b)))
@@ -339,6 +351,9 @@ class Pod5File:
         acquisition_id string)."""
         if self.run_info is None or key is None:
             return {}
+        if key in self._run_info_cache:
+            return self._run_info_cache[key]
+        orig_key = key
         if isinstance(key, str):
             if "acquisition_id" not in self.run_info.schema.names:
                 return {}
@@ -346,11 +361,17 @@ class Pod5File:
             try:
                 key = ids.index(key)
             except ValueError:
+                self._run_info_cache[orig_key] = {}
                 return {}
         if key >= self.run_info.num_rows:
             return {}
-        return {name: self.run_info.column(name)[key].as_py()
-                for name in self.run_info.schema.names}
+        row = {name: self.run_info.column(name)[key].as_py()
+               for name in self.run_info.schema.names}
+        # cache per acquisition id / index: get_read_groups resolves one
+        # of O(num_runs) rows for EVERY read, and the column
+        # rematerialisation was O(num_reads * num_runs)
+        self._run_info_cache[orig_key] = row
+        return row
 
     def _col(self, name, row, default=None):
         if name in self.reads.schema.names:
@@ -396,9 +417,54 @@ class Read(BaseRead):
         self.duration = len(raw) / self.sample_rate
         scaled = np.array(scale * (raw + offset), dtype=np.float32)
         if self.exp_start_time:
-            self.start_time = self.exp_start_time
+            # per-read start = acquisition start + start_sample/rate,
+            # like the reference (bonito/pod5.py:48-50) and the fast5
+            # backend here — not the bare acquisition time
+            from bonito_tpu.fast5 import _parse_time
+            try:
+                start_dt = (_parse_time(self.exp_start_time.replace("Z", ""))
+                            + timedelta(seconds=float(self.start)))
+                if start_dt.tzinfo is None:
+                    start_dt = start_dt.replace(tzinfo=timezone.utc)
+                self.start_time = start_dt.astimezone(
+                    timezone.utc).isoformat(timespec="milliseconds")
+            except (ValueError, TypeError):
+                self.start_time = self.exp_start_time
         apply_standardisation(self, scaled, scaling_strategy, norm_params,
                               do_trim=do_trim)
+
+
+
+def _num_reads_fast(path):
+    """Reads-table row count WITHOUT loading the signal data: resolve the
+    footer from the file tail and open only the (small) reads table.
+    Falls back to a full parse for footerless files. Used by the reader's
+    feeder thread, which previously paid a whole-file read+parse per file
+    just to size the work items."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    p = Path(path)
+    size = p.stat().st_size
+    with open(p, "rb") as f:
+        if f.read(len(_SIGNATURE)) != _SIGNATURE:
+            raise ValueError(f"{path} is not a pod5 file (bad signature)")
+        tail_len = min(size, 1 << 16)
+        f.seek(size - tail_len)
+        tail = f.read(tail_len)
+        try:
+            footer = parse_footer(tail)   # suffix-safe: indexes from the end
+        except Exception:
+            footer = None
+        if footer and footer["contents"]:
+            for ef in footer["contents"]:
+                if ef["content_type"] == CONTENT_READS:
+                    f.seek(ef["offset"])
+                    buf = f.read(ef["length"])
+                    reader = pa.ipc.open_file(pa.BufferReader(buf))
+                    return sum(reader.get_batch(i).num_rows
+                               for i in range(reader.num_record_batches))
+    return Pod5File(path).num_reads()
 
 
 def _files(directory, recursive=False):
@@ -489,7 +555,7 @@ def get_reads(directory, read_ids=None, skip=False, max_read_size=0,
         thread; workers cache the parsed file (_p5_cached)."""
         for f in files:
             try:
-                n = Pod5File(f).num_reads()
+                n = _num_reads_fast(f)
             except Exception as e:
                 sys.stderr.write(f"> warning: {f} - {e}\n")
                 continue

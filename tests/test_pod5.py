@@ -170,3 +170,33 @@ class TestCorruptPod5Resilience:
             r["read_id"] for r in reads)
         err = capfd.readouterr().err
         assert "warning" in err and "corrupt.pod5" in err
+
+
+class TestSvb16PythonFallback:
+    def test_extreme_deltas_roundtrip_and_match_native(self):
+        """The Python svb16 fallback previously zigzagged deltas in
+        64-bit and truncated to uint16, silently corrupting any
+        |delta| > 32767 and shifting every later sample. The fixed
+        encoder must round-trip extremes and be byte-identical to the
+        native codec."""
+        import ctypes
+        from bonito_tpu import native
+        from bonito_tpu.pod5 import _svb16_encode_py, _svb16_decode_py
+
+        sig = np.array([32767, -32768, 100, -30000, 30000], np.int16)
+        assert np.array_equal(
+            _svb16_decode_py(_svb16_encode_py(sig), len(sig)), sig)
+
+        rng = np.random.default_rng(0)
+        big = rng.integers(-32768, 32768, 4000).astype(np.int16)
+        assert np.array_equal(
+            _svb16_decode_py(_svb16_encode_py(big), len(big)), big)
+        lib = native.load("vbz")
+        if lib is not None:
+            out = np.empty(2 * len(big) + (len(big) + 7) // 8 + 16,
+                           np.uint8)
+            n = lib.svb16_encode_dz(
+                big.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                len(big),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            assert out[:n].tobytes() == _svb16_encode_py(big)

@@ -208,3 +208,27 @@ class TestStitchProperties:
         assert [k for k, _ in out] == [k for k, _ in items]
         for (k, orig), (k2, back) in zip(items, out):
             np.testing.assert_array_equal(np.asarray(back), orig)
+
+
+class TestSwToSam:
+    def test_clips_and_leading_ops(self):
+        """sw_to_sam (parasail_to_sam's role, reference
+        bonito/util.py:313-343) was previously uncalled and untested:
+        pin the soft-clip arithmetic for plain, leading-I and leading-D
+        local alignments."""
+        from bonito_tpu.alignment import SWResult, sw_to_sam
+        # plain match with clipped ends
+        r = SWResult(10, "5=", beg_query=2, end_query=7, beg_ref=100,
+                     end_ref=105)
+        rstart, cig = sw_to_sam(r, "A" * 10)
+        assert (rstart, cig) == (100, "2S5=3S")
+        # leading insertion folds into the left clip
+        r = SWResult(10, "2I5=", beg_query=1, end_query=8, beg_ref=50,
+                     end_ref=55)
+        rstart, cig = sw_to_sam(r, "A" * 8)
+        assert (rstart, cig) == (50, "3S5=")
+        # leading deletion advances the ref start
+        r = SWResult(10, "2D5=", beg_query=0, end_query=5, beg_ref=50,
+                     end_ref=57)
+        rstart, cig = sw_to_sam(r, "A" * 5)
+        assert (rstart, cig) == (52, "5=")
