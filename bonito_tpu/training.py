@@ -105,22 +105,32 @@ def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None)
         data, targets, lengths = batch
 
         if grad_accum_split > 1:
-            def micro(carry, mb):
-                acc_grads, acc_losses = carry
-                (_, (losses, _)), grads = grad_fn(params, *mb)
-                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-                acc_losses = {k: acc_losses.get(k, 0.0) + v / grad_accum_split
-                              for k, v in losses.items()}
-                return (acc_grads, acc_losses), None
-
+            # first microbatch runs outside the scan to establish the
+            # carry pytree (losses/BN-update dicts have data-dependent
+            # keys; a scan carry must keep one structure throughout —
+            # starting from {} was a trace-time TypeError)
             split = lambda x: x.reshape(
-                grad_accum_split, x.shape[0] // grad_accum_split, *x.shape[1:])
-            zeros = jax.tree.map(jnp.zeros_like, params)
-            (grads, losses), _ = jax.lax.scan(
-                micro, (zeros, {}),
-                (split(data), split(targets), split(lengths)))
+                grad_accum_split, x.shape[0] // grad_accum_split,
+                *x.shape[1:])
+            mbs = (split(data), split(targets), split(lengths))
+            first = tuple(x[0] for x in mbs)
+            rest = tuple(x[1:] for x in mbs)
+            (_, (losses0, upd0)), grads0 = grad_fn(params, *first)
+            losses0 = {k: v / grad_accum_split for k, v in losses0.items()}
+
+            def micro(carry, mb):
+                acc_grads, acc_losses, _ = carry
+                (_, (losses, upd)), grads = grad_fn(params, *mb)
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_losses = {k: acc_losses[k] + losses[k] / grad_accum_split
+                              for k in acc_losses}
+                # keep the latest microbatch's BN running-stat updates
+                # (the non-accum path merges one batch's too)
+                return (acc_grads, acc_losses, upd), None
+
+            (grads, losses, updates_bn), _ = jax.lax.scan(
+                micro, (grads0, losses0, upd0), rest)
             grads = jax.tree.map(lambda g: g / grad_accum_split, grads)
-            updates_bn = {}
         else:
             (_, (losses, updates_bn)), grads = grad_fn(
                 params, data, targets, lengths)
@@ -238,7 +248,12 @@ class Trainer:
         t0 = time.perf_counter()
         chunks = 0
         smoothed_loss = None
-        step0 = (epoch - 1) * (self.steps_per_epoch or 0)
+        # steps RELATIVE to the resume point: the schedule itself offsets
+        # by start_step = last_epoch * steps_per_epoch (schedule.py), so
+        # an absolute step here would double-count completed epochs and
+        # collapse the LR to its floor on every resume (the reference's
+        # LambdaLR counter restarts at 0 on resume too)
+        step0 = (epoch - 1 - last_epoch) * (self.steps_per_epoch or 0)
         pending = None
 
         def materialize(record):
@@ -312,8 +327,17 @@ class Trainer:
                 and getattr(model, "decode_head", lambda: None)() is not None
             )
 
+            use_amp = self.use_amp
+
             @jax.jit
             def step(params, data, targets, lengths):
+                # match the train step's amp numerics (bf16 params+data):
+                # an f32 validation forward costs ~2x device time and
+                # measures numerics that match neither training nor the
+                # deployed bf16 model
+                if use_amp:
+                    params = nn.cast_tree(params, jnp.bfloat16)
+                    data = data.astype(jnp.bfloat16)
                 if use_tcn:
                     from bonito_tpu.ops.decode import viterbi_decode_tcn
                     mv, blank = model.forward_tcn(params, data)

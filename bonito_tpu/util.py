@@ -102,7 +102,9 @@ def mean_qscore_from_qstring(qstring):
     """Mean qscore of a phred+33 string (computed in error space)."""
     if len(qstring) == 0:
         return 0.0
-    qs = np.frombuffer(qstring.encode(), dtype=np.uint8).astype(np.float32) - 33
+    # f64 like the reference: f32 can flip borderline reads across the
+    # strict --min-qscore comparison and perturb summary columns
+    qs = np.frombuffer(qstring.encode(), dtype=np.uint8).astype(np.float64) - 33
     mean_err = np.exp(qs * (-np.log(10) / 10.0)).mean()
     return float(-10 * np.log10(max(mean_err, 1e-4)))
 
@@ -127,6 +129,10 @@ def chunk(signal, chunksize, overlap):
     signal = np.asarray(signal)
     if signal.ndim == 1:
         signal = signal[None, :]
+    if signal.shape[0] != 1:
+        # windows below are built from row 0 only; silently mixing a
+        # multi-row input would fabricate chunks from other rows
+        raise ValueError(f"chunk() takes one signal, got {signal.shape}")
     T = signal.shape[-1]
     if chunksize == 0:
         return signal[None, 0]
@@ -156,9 +162,14 @@ def stitch(chunks, chunksize, overlap, length, stride, reverse=False):
     strings diverge at chunk junctions — the keep-range table below
     reproduces it and is pinned by tests/test_util.py.
     """
+    if isinstance(chunks, dict):
+        # recurse per key, like the reference's stitcher: size(dict, 0)
+        # counted keys rather than chunks and indexed the dict with 0
+        return {k: stitch(v, chunksize, overlap, length, stride,
+                          reverse=reverse) for k, v in chunks.items()}
     n = size(chunks, 0)
     if n == 1:
-        return select_range(chunks, 0, 1)[0] if isinstance(chunks, dict) else chunks[0]
+        return chunks[0]
 
     cut = (overlap // 2) // stride
     body = (chunksize - overlap // 2) // stride
