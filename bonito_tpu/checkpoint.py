@@ -154,14 +154,25 @@ def _match_names(state, expected):
     exp_by_sfx = {}
     for k in keys:
         exp_by_sfx.setdefault(suffix(k), []).append(k)
+    import re
+
+    def natural(k):
+        # numeric-aware: 'encoder.2' < 'encoder.10' on BOTH sides, so a
+        # renamed scheme cannot cross-pair layers just because one side
+        # zero-pads indices (lexicographic sort did)
+        return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", k)]
+
     for sfx, exp_keys in exp_by_sfx.items():
         cands = state_by_sfx.get(sfx, [])
-        if len(cands) < len(exp_keys):
+        if len(cands) != len(exp_keys):
+            # a silent zip over mismatched counts permutes weights;
+            # refuse instead (the reference asserts shapes line up,
+            # bonito/util.py:239-248)
             raise KeyError(
-                f"checkpoint missing parameters matching *.{sfx} "
-                f"(need {len(exp_keys)}, found {len(cands)})")
-        ordered_exp = sorted(exp_keys)
-        ordered_cand = sorted(cands)
+                f"checkpoint parameters matching *.{sfx}: need "
+                f"{len(exp_keys)}, found {len(cands)}")
+        ordered_exp = sorted(exp_keys, key=natural)
+        ordered_cand = sorted(cands, key=natural)
         for e, c in zip(ordered_exp, ordered_cand):
             remap[e] = c
     return remap
@@ -208,6 +219,23 @@ def import_torch_checkpoint(path, model):
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(np.ascontiguousarray(arr, np.float32))
+
+    # shape guard (the reference's match_names asserts the shape-sorted
+    # lists agree): every imported array must match the initialised
+    # model parameter it replaces, or the remap mispaired layers
+    have = getattr(model, "params", None)
+    if have:
+        def walk(exp_node, have_node, path):
+            for k, v in exp_node.items():
+                h = have_node.get(k) if isinstance(have_node, dict) else None
+                if isinstance(v, dict):
+                    if isinstance(h, dict):
+                        walk(v, h, f"{path}.{k}")
+                elif h is not None and tuple(v.shape) != tuple(h.shape):
+                    raise ValueError(
+                        f"checkpoint import shape mismatch at {path}.{k}: "
+                        f"{tuple(v.shape)} vs model {tuple(h.shape)}")
+        walk(params, have, "")
     return params
 
 

@@ -72,9 +72,18 @@ def main(args):
 
     sys.stderr.write(f"> loading model {args.model_directory}\n")
     try:
+        if args.weights in (None, "", 0, "0"):
+            weights = None   # reference semantics: 0/unset means latest
+        else:
+            try:
+                weights = int(args.weights)
+            except ValueError:
+                sys.stderr.write(f"> error: --weights takes an integer, "
+                                 f"got {args.weights!r}\n")
+                sys.exit(1)
         model = load_model(
             args.model_directory,
-            weights=int(args.weights) if args.weights else None,
+            weights=weights,
             chunksize=args.chunksize,
             overlap=args.overlap,
             batchsize=args.batchsize,
@@ -130,7 +139,7 @@ def main(args):
         do_trim=not args.no_trim,
         norm_params=(model.config.get("standardisation")
                      if model.config.get("scaling", {}).get("strategy") == "pa"
-                     else None),
+                     else model.config.get("normalisation")),
         scaling_strategy=model.config.get("scaling"),
         max_read_size=args.max_read_size,
         cancel=cancel,
@@ -207,7 +216,7 @@ def main(args):
 
     num_samples = sum(num_samples for read_id, num_samples in writer.log)
     sys.stderr.write("> completed reads: %s\n" % len(writer.log))
-    for reason, count in getattr(rejected, "items", dict().items)():
+    for reason, count in rejected.items():
         sys.stderr.write(f"> rejected reads: {count} ({reason})\n")
     sys.stderr.write("> duration: %s\n" % timedelta(seconds=np.round(duration)))
     sys.stderr.write("> samples per second %.1E\n" % (num_samples / duration))

@@ -114,7 +114,14 @@ def main(args):
                 "type", "linear_warmup_cosine_decay"))
             lr_scheduler_fn = builder(**sched_config)
 
-    chunks_per_epoch = args.chunks or len(train_loader.dataset)
+    ds = getattr(train_loader, "dataset", None)
+    chunks_per_epoch = args.chunks or (len(ds) if ds is not None else 0)
+    import jax as _jax
+    if _jax.process_count() > 1 and args.chunks:
+        # --chunks is the GLOBAL count but each host's loader holds only
+        # its share; the LR schedule must track the steps a host
+        # actually runs per epoch
+        chunks_per_epoch = args.chunks // _jax.process_count()
 
     trainer = Trainer(
         model, train_loader, valid_loader,

@@ -8,9 +8,12 @@ labels, A=1..T=4, 0-padded) and ``reference_lengths.npy`` [N]; an optional
 chunks are used. An optional ``indices.npy`` selects/orders rows. A dataset
 dir may instead ship a ``dataset.py`` plugin exposing a Loader class.
 
-Loaders are plain numpy batch iterators (no torch DataLoader): batches are
-assembled with memory-mapped reads + a per-epoch permutation, which is
-plenty to keep the device fed since the TPU step is the bottleneck.
+Loaders are plain numpy batch iterators (no torch DataLoader). The npy
+files are opened memory-mapped, then the selected host share is
+materialised up front (np.array) — shuffled per-batch fancy indexing
+over a raw mmap is seek-bound on disk, and the share is bounded by
+--chunks; the train CLI sustains 100% of the bare step rate with this
+loader (DESIGN.md "Train CLI end-to-end").
 """
 
 import importlib.util
@@ -84,8 +87,6 @@ class NumpyBatchLoader:
         for i in range(0, n - (n % self.batch_size if self.drop_last else 0),
                        self.batch_size):
             idx = np.sort(order[i:i + self.batch_size])
-            if len(idx) == 0:
-                break
             chunks = np.asarray(self.dataset.chunks[idx], dtype=np.float32)
             if chunks.ndim == 2:
                 chunks = chunks[..., None]
@@ -109,7 +110,13 @@ def load_numpy_datasets(limit=None, directory=None):
     def host_slice(x):
         import jax
         n = jax.process_count()
-        return x[jax.process_index()::n] if n > 1 else x
+        if n <= 1:
+            return x
+        # equal row counts on every host: a strided split can differ by
+        # one row across hosts, which desynchronises the per-epoch batch
+        # counts and hangs the jitted step's gradient psum collective
+        keep = (len(x) // n) * n
+        return x[:keep][jax.process_index()::n]
 
     indices = os.path.join(directory, "indices.npy")
     if os.path.exists(indices):
@@ -160,9 +167,17 @@ def load_script(directory, name="loader", suffix="dataset.py", **kwargs):
 
 
 def load_data(data: DataSettings, setup: ModelSetup, compute: ComputeSettings):
-    """Dispatch npy-dir vs dataset.py plugin -> (train_loader, valid_loader)."""
+    """Dispatch npy-dir vs dataset.py plugin -> (train_loader, valid_loader).
+    npy chunks win when both are present (reference dispatch order,
+    bonito/data.py:32-69); a directory with neither fails loudly."""
     directory = data.training_data
-    if (Path(directory) / "dataset.py").exists():
+    has_npy = (Path(directory) / "chunks.npy").exists()
+    has_plugin = (Path(directory) / "dataset.py").exists()
+    if not has_npy and not has_plugin:
+        raise FileNotFoundError(
+            f"no suitable training data in {directory}: expected "
+            f"chunks.npy/references.npy/reference_lengths.npy or dataset.py")
+    if not has_npy and has_plugin:
         loader = load_script(
             directory,
             n_pre_context_bases=setup.n_pre_context_bases,
