@@ -32,6 +32,12 @@ def _fmt_value(v):
         return repr(v)
     if isinstance(v, str):
         escaped = v.replace("\\", "\\\\").replace('"', '\\"')
+        # control characters must be escaped in TOML basic strings or
+        # the written config.toml is unparseable
+        escaped = "".join(
+            c if c >= " " or c == "\t" else f"\\u{ord(c):04X}"
+            for c in escaped)
+        escaped = escaped.replace("\t", "\\t")
         return f'"{escaped}"'
     if isinstance(v, (list, tuple)):
         return "[ " + ", ".join(_fmt_value(x) for x in v) + ",]" if v else "[]"

@@ -294,15 +294,24 @@ class Reverse(Layer):
         self.layer = Serial(sublayers) if isinstance(sublayers, list) else sublayers
 
     def init_params(self, key):
-        return self.layer.init_params(key)
+        # nest under "layer" to match sublayer_items()/the ctx path —
+        # an un-nested tree broke every path-walking mechanism
+        # (fuse_bn, BN-stat merge, quantize walk, sharding specs)
+        return {"layer": self.layer.init_params(key)}
 
     def apply(self, params, x, ctx=None):
         return jnp.flip(
-            self.layer.apply(params, jnp.flip(x, axis=1), _push_path(ctx, "layer")),
+            self.layer.apply(params["layer"], jnp.flip(x, axis=1),
+                             _push_path(ctx, "layer")),
             axis=1)
 
     def to_dict(self):
-        return self.layer.to_dict()
+        if isinstance(self.layer, Serial):
+            return self.layer.to_dict()
+        # non-serial wrapped layer: nest its full typed dict so
+        # from_dict round-trips (the reference wraps this case too,
+        # bonito/nn.py:184-188)
+        return {"sublayers": to_dict(self.layer)}
 
     def output_stride(self, stride):
         return self.layer.output_stride(stride)
@@ -453,7 +462,18 @@ class Convolution(Layer):
         if self.activation is not None:
             res["activation"] = self.activation.name
         if self.norm is not None:
-            res["norm"] = self.norm.name if type(self.norm).name in layers else to_dict(self.norm)
+            # collapse to the bare type name ONLY when the norm equals a
+            # default-constructed one (reference guard, bonito/nn.py:
+            # 256-259) — otherwise non-default eps/momentum/affine would
+            # silently reset on a from_dict round-trip
+            name = getattr(type(self.norm), "name", None)
+            norm_dict = to_dict(self.norm)
+            if name in layers:
+                default = to_dict(layers[name](self.norm.num_features)) \
+                    if hasattr(self.norm, "num_features") else None
+                res["norm"] = name if norm_dict == default else norm_dict
+            else:
+                res["norm"] = norm_dict
         return res
 
     def output_stride(self, stride):
@@ -694,6 +714,10 @@ def fuse_bn(layer, params):
         if isinstance(sub, Convolution) and isinstance(sub.norm, BatchNorm):
             p = _get_path(params, path)
             bn = p["norm"]
+            if "mean" not in bn or "var" not in bn:
+                # track_running_stats=False: nothing to fold — leave the
+                # batch-stat norm in place rather than KeyError-ing
+                continue
             inv = 1.0 / np.sqrt(np.asarray(bn["var"], dtype=np.float64) + sub.norm.eps)
             gamma = np.asarray(bn.get("scale", np.ones_like(inv)))
             beta = np.asarray(bn.get("bias", np.zeros_like(inv)))

@@ -31,7 +31,7 @@ def make_mesh(n_data=None, n_model=1, devices=None):
     n_total = len(devices)
     if n_data is None:
         n_data = n_total // n_model
-    assert n_data * n_model <= n_total, (
+    assert n_data >= 1 and n_data * n_model <= n_total, (
         f"mesh {n_data}x{n_model} needs more than {n_total} devices")
     devs = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, ("data", "model"))
@@ -66,11 +66,14 @@ def param_specs(model):
 
     def spec_for(layer, pname, arr):
         if isinstance(layer, nn.LinearCRFEncoder):
-            if pname == "w":
+            # quantized heads carry w_q (same [C_in, C_out] layout);
+            # without it a --quantize model silently replicated every
+            # head weight and lost the model axis entirely
+            if pname in ("w", "w_q"):
                 return P(None, "model")
-            if pname == "b":
+            if pname in ("b", "w_s"):
                 return P("model")
-        if isinstance(layer, nn.LSTM) and pname == "w_ih":
+        if isinstance(layer, nn.LSTM) and pname in ("w_ih", "w_ih_q"):
             return P("model", None)
         return P()
 

@@ -72,14 +72,25 @@ def linear_warmup_const_inverse_sqrt_decay(
     def build(steps_per_epoch, epochs, last_epoch=0):
         start_step = steps_per_epoch * last_epoch
         total_steps = steps_per_epoch * epochs
-        n_decay_epochs = epochs - decay_start_epoch - linear_cooldown_n_epochs
-        decay = inverse_sqrt_decay_schedule(decay_scale * n_decay_epochs)
+        # short runs: the decay phase may not exist (epochs <=
+        # decay_start + cooldown). Clamp the knots to stay sorted and
+        # the decay span non-negative — unsorted knots mis-route
+        # searchsorted and a negative span takes sqrt of a negative.
+        eff_decay_start = min(decay_start_epoch, epochs)
+        eff_cooldown = min(linear_cooldown_n_epochs,
+                           max(epochs - eff_decay_start, 0))
+        n_decay_epochs = max(epochs - eff_decay_start - eff_cooldown, 0)
+        decay = (inverse_sqrt_decay_schedule(decay_scale * n_decay_epochs)
+                 if n_decay_epochs > 0 else const_schedule(1.0))
+        knots = [
+            max(warmup_steps, 1) / total_steps,
+            eff_decay_start / epochs,
+            (epochs - eff_cooldown) / epochs,
+        ]
+        knots = [min(max(k, knots[i - 1] if i else 0.0), 1.0)
+                 for i, k in enumerate(knots)]
         func = piecewise_schedule(
-            [
-                warmup_steps / total_steps,
-                decay_start_epoch / epochs,
-                (epochs - linear_cooldown_n_epochs) / epochs,
-            ],
+            knots,
             [
                 linear_schedule(0.0, 1.0),
                 const_schedule(1.0),

@@ -206,3 +206,20 @@ class TestResumeLrOffset:
         # step i of the resumed run must equal absolute step 50 + i
         for i in range(10):
             assert resumed(0 * spe + i) == pytest.approx(fresh(50 + i))
+
+
+class TestScheduleEdgeCases:
+    def test_inverse_sqrt_short_run_and_zero_warmup(self):
+        """epochs shorter than decay_start+cooldown previously produced
+        unsorted knots (searchsorted mis-routing) and sqrt of a negative
+        span; warmup_steps=0 divided by zero at step 0."""
+        from bonito_tpu import schedule as s
+        fn = s.linear_warmup_const_inverse_sqrt_decay(
+            warmup_steps=0, decay_start_epoch=10,
+            linear_cooldown_n_epochs=2)(steps_per_epoch=10, epochs=5)
+        vals = [fn(i) for i in range(0, 50, 5)]
+        assert all(np.isfinite(vals)), vals
+        assert all(0.0 <= v <= 1.0 for v in vals), vals
+        fn2 = s.linear_warmup_const_inverse_sqrt_decay(
+            warmup_steps=0)(steps_per_epoch=10, epochs=20)
+        assert np.isfinite(fn2(0))
