@@ -9,7 +9,7 @@ are processed in blocks of 128 with one neighbour block on each side —
 every (query, key) pair within the band lies inside the 3-block window when
 left < B and right <= B. Scores are computed blockwise on the MXU with an
 exact in-band mask, so results equal the dense masked computation
-bit-for-bit (verified in tests/test_attention.py).
+bit-for-bit (verified in tests/test_transformer.py).
 """
 
 from functools import partial

@@ -157,10 +157,22 @@ def fused_supported_dims(window, head_dim, rotary_dim, block=128,
 
 def fused_supported(qkv, window, rotary_dim, block=128, require_tpu=True):
     N, T, three, H, D = qkv.shape
-    # Any T is fine: ragged lengths are zero-padded to a block multiple at
-    # entry with padded keys masked in-kernel (the reference sup config's
-    # chunksize 12000 gives T=1000 tokens, which previously fell back to
-    # the ~2.3x-slower XLA path and capped the whole CLI).
+    # Any MODERATE T is fine: ragged lengths are zero-padded to a block
+    # multiple at entry with padded keys masked in-kernel (the reference
+    # sup config's chunksize 12000 gives T=1000 tokens, which previously
+    # fell back to the ~2.3x-slower XLA path and capped the whole CLI).
+    # VMEM bound: each per-row program holds the whole [3, H, D, T] qkv
+    # plus output and (in the train backward) do/dq blocks and two f32
+    # [H, D, T] scratch accumulators — budget them all so a huge
+    # user --chunksize routes to the XLA fallback instead of failing
+    # Pallas compilation (CLAUDE.md: budgets count body temporaries).
+    Tp = -(-T // block) * block
+    per_token = (3 * H * D * 2          # qkv block (bf16)
+                 + 3 * H * D * 2        # o/do/dq-class blocks (bf16)
+                 + 2 * H * D * 4        # f32 dk/dv scratch
+                 + 16 * block)          # lse/mask/temporaries slack
+    if Tp * per_token > 90 * 1024 * 1024:
+        return False
     return three == 3 and fused_supported_dims(
         window, D, rotary_dim, block=block, require_tpu=require_tpu)
 

@@ -292,6 +292,11 @@ class TransformerEncoderLayer(nn.Layer):
             "norm2": self.norm2.init_params(ks[3]),
         }
         # DeepNorm beta-scaled init (reference: transformer/model.py:120-126)
+        # NOTE: re-splitting ks[0] aliases these keys with the attention
+        # sublayer's internal draws — harmless because every aliased draw
+        # below OVERWRITES the sublayer's, but if MultiHeadAttention ever
+        # keeps one of its own random tensors, draw from a fresh key here
+        # (left as-is so seeded goldens stay valid)
         db, d = self.deepnorm_beta, self.d_model
         k1, k2, k3, k4, k5 = jax.random.split(ks[0], 5)
         p["ff"]["fc1"] = nn.xavier_normal(
