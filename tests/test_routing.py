@@ -86,11 +86,20 @@ class TestAttentionRouting:
     def test_sup_shipped_dims_pass_fused_gate(self):
         """d512/h8/rotary + window (127,128) — the shipped sup geometry —
         must be accepted by the fused attention kernel's dim gate."""
-        from bonito_tpu.ops.attention_pallas import fused_supported_dims
+        from bonito_tpu.ops.attention_pallas import (fused_supported,
+                                                     fused_supported_dims)
         assert fused_supported_dims((127, 128), 64, 64, require_tpu=False)
         # a window wider than the block must be rejected (dense fallback)
         assert not fused_supported_dims((256, 256), 64, 64,
                                         require_tpu=False)
+        # the full gate (incl. the VMEM T-budget) must accept the
+        # shipped sup shape [N, T=2048 tokens, 3, H=8, D=64] and reject
+        # an absurd token count (routes to the XLA fallback, not a
+        # Pallas compile failure)
+        qkv = jnp.zeros((1, 2048, 3, 8, 64), jnp.bfloat16)
+        assert fused_supported(qkv, (127, 128), 64, require_tpu=False)
+        huge = jnp.zeros((1, 16384, 3, 8, 64), jnp.bfloat16)
+        assert not fused_supported(huge, (127, 128), 64, require_tpu=False)
 
     def test_sup_stack_advertises_token_pad(self, monkeypatch):
         """On the TPU backend the shipped sup layers must advertise the
