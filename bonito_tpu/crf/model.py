@@ -269,7 +269,13 @@ class SeqdistModel:
             moves = moves * crf.scale
         if clamp is not None:
             moves = clamp[1].apply({}, moves, ctx)
-        return jnp.transpose(moves, (1, 2, 0)), float(crf.blank_score)
+        blank = float(crf.blank_score)
+        if clamp is not None:
+            # apply() clamps the expanded blank columns too; keep the
+            # TCN route's constant stay identical (shipped configs are
+            # inside the clamp, but nothing else guards the invariant)
+            blank = float(np.clip(blank, clamp[1].min, clamp[1].max))
+        return jnp.transpose(moves, (1, 2, 0)), blank
 
     def forward_tcn_head(self, params, x, ctx=None):
         """Fused-head forward split: run the encoder up to (and excluding)
@@ -340,10 +346,12 @@ class SeqdistModel:
                 bias = bias + b[None]
 
         scale = float(crf.scale) if crf.scale is not None else 1.0
+        blank = float(crf.blank_score)
+        if cmin is not None or cmax is not None:
+            blank = float(np.clip(blank, cmin, cmax))  # match apply()
         h_tcn = jnp.transpose(h.astype(self.compute_dtype), (1, 2, 0))
         return HeadSplit(h_tcn, wT.astype(self.compute_dtype), bias,
-                         act_tanh, scale, cmin, cmax,
-                         float(crf.blank_score))
+                         act_tanh, scale, cmin, cmax, blank)
 
     # -- decoding -------------------------------------------------------------------
 

@@ -331,7 +331,15 @@ class CTC_CRF:
             return alpha, None
 
         alpha_T, _ = jax.lax.scan(step, a0, (stay_b, move_b))
-        return jnp.take_along_axis(alpha_T, (lengths - 1)[:, None], axis=1)[:, 0]
+        # one-hot contraction, not take_along_axis: this is on the
+        # differentiated loss path and the gather's backward is a
+        # scatter-add (CLAUDE.md invariant); the tensor is [N, n_pos]
+        n_pos = alpha_T.shape[1]
+        end = (jnp.arange(n_pos)[None, :]
+               == (lengths - 1)[:, None]).astype(alpha_T.dtype)
+        # NEG entries * 0 would be -inf*0 = nan through where-less sum;
+        # mask in log space instead
+        return jnp.sum(jnp.where(end > 0, alpha_T, 0.0), axis=1)
 
     def ctc_viterbi_alignments(self, scores, targets, target_lengths):
         """
@@ -432,10 +440,12 @@ class CTC_CRF:
         if normalise_scores:
             logz = logz - self.logZ_tcn(moves_tcn, blank_score)
         loss = -(logz / target_lengths)
+        valid = lattice_lengths >= 1   # see ctc_loss: no valid lattice
+        loss = jnp.where(valid, loss, 0.0)
         if loss_clip:
             loss = jnp.clip(loss, 0.0, loss_clip)
         if reduction == "mean":
-            return jnp.mean(loss)
+            return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
         if reduction in ("none", None):
             return loss
         raise ValueError(f"unknown reduction {reduction}")
@@ -452,10 +462,15 @@ class CTC_CRF:
         lattice_lengths = (target_lengths + 1 - self.state_len).astype(jnp.int32)
         logz = self._lattice_logZ(stay, move, lattice_lengths)
         loss = -(logz / target_lengths)
+        # targets shorter than state_len have no valid lattice (length
+        # <= 0 would read an arbitrary cell); zero them out of the loss
+        # rather than corrupting the batch silently
+        valid = lattice_lengths >= 1
+        loss = jnp.where(valid, loss, 0.0)
         if loss_clip:
             loss = jnp.clip(loss, 0.0, loss_clip)
         if reduction == "mean":
-            return jnp.mean(loss)
+            return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
         if reduction in ("none", None):
             return loss
         raise ValueError(f"unknown reduction {reduction}")

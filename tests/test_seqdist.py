@@ -358,3 +358,31 @@ class TestTCNLoss:
             g2 = jax.jit(jax.grad(lambda s: jnp.sum(logz_pallas.logZ_pallas(
                 seqdist, s, True))))(scores.astype(dtype))
             assert g2.dtype == dtype
+
+
+class TestShortTargets:
+    def test_targets_shorter_than_state_len_are_masked(self):
+        """A target shorter than state_len has no valid lattice; it must
+        contribute zero to the loss (previously it read an arbitrary
+        lattice cell and silently corrupted the batch mean)."""
+        sd = CTC_CRF(state_len=3, alphabet=["N", "A", "C", "G", "T"])
+        rng = np.random.default_rng(0)
+        N, T = 4, 40
+        scores = jnp.asarray(
+            rng.normal(0, 1, (N, T, sd.n_score())).astype(np.float32))
+        targets = jnp.asarray(rng.integers(1, 5, (N, 12)), jnp.int32)
+        lengths = jnp.asarray([12, 12, 2, 12], jnp.int32)  # row 2 invalid
+
+        loss_all = float(sd.ctc_loss(scores, targets, lengths))
+        assert np.isfinite(loss_all)
+        # per-sample: the invalid row contributes exactly zero
+        per = np.asarray(sd.ctc_loss(scores, targets, lengths,
+                                     reduction="none"))
+        assert per[2] == 0.0
+        assert np.all(np.isfinite(per))
+        # the mean over valid rows matches dropping the invalid row
+        keep = np.array([0, 1, 3])
+        loss_valid = float(sd.ctc_loss(
+            scores[keep], targets[keep],
+            jnp.asarray([12, 12, 12], jnp.int32)))
+        assert loss_all == pytest.approx(loss_valid, rel=1e-5)
