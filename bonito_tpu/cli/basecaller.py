@@ -199,6 +199,7 @@ def main(args):
             min_coverage=args.ctc_min_coverage,
             min_accuracy=min_acc_ctc,
             output_dir=output_dir, rna=args.rna, min_qscore=args.min_qscore,
+            groups=groups, group_key=args.model_directory,
         )
     elif args.no_output:
         writer = NullWriter(fmt.mode, results)

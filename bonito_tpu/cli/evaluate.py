@@ -80,8 +80,10 @@ def main(args):
                             args.chunks, None)
         _, loader = load_data(data, setup, compute)
     else:
-        data = DataSettings(str(args.directory), args.chunks,
-                            args.chunks, None)
+        # num_valid_chunks=0: asking for args.chunks of BOTH would carve
+        # every train chunk into the valid split on dirs without a
+        # validation/ subdir, leaving an empty train loader (NaN stats)
+        data = DataSettings(str(args.directory), args.chunks, 0, None)
         loader, _ = load_data(data, setup, compute)
     # evaluation wants every requested chunk, including a final partial batch
     if hasattr(loader, "drop_last"):
@@ -95,20 +97,26 @@ def main(args):
 
     n_chunks = n_samples = 0
     seqs, refs = [], []
+    # plugin loaders standardise internally (via ModelSetup); applying
+    # the affine again here would double-standardise their chunks
+    plugin_loader = not hasattr(loader, "dataset")
     for data, targets, lengths in loader:
         data = np.asarray(data, np.float32)
-        if standardisation:
+        if standardisation and not plugin_loader:
             data = (data - mean) / stdev
         n_chunks += len(data)
         n_samples += data.shape[0] * data.shape[1]
         scores = fwd(model.params, data)
-        seqs.extend(model.decode_batch(scores))
+        seqs.extend(model.decode_batch(scores, beamsize=args.beamsize)
+                    if "beamsize" in _decode_kwargs(model)
+                    else model.decode_batch(scores))
         refs.extend(decode_ref(t[:n], model.alphabet)
                     for t, n in zip(targets, lengths))
     duration = time.perf_counter() - t0
 
     print("* aligning")
-    rows = [align_stats(ref, seq) for ref, seq in zip(refs, seqs)]
+    rows = [align_stats(ref, seq, min_coverage=args.min_coverage)
+            for ref, seq in zip(refs, seqs)]
 
     def mean(key):
         return float(np.mean([r[key] for r in rows]))

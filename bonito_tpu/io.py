@@ -6,8 +6,8 @@ Capability parity with the reference (bonito/io.py), but self-contained:
 the environment has no pysam/htslib, so BAM emission is our own BGZF +
 binary BAM record encoder (bonito_tpu.bam). Format autodetection from the
 stdout filename and the writer-thread design match the reference
-(bonito/io.py:35-54,400-619). CRAM output is not supported (falls back to
-BAM with a warning).
+(bonito/io.py:35-54,400-619). CRAM output is first-party too
+(bonito_tpu.cram; reference-based when an aligner is present).
 """
 
 import os
@@ -179,16 +179,28 @@ def summary_row(read, seqlen, qscore, alignment=False):
     if alignment:
         ins = alignment.cigar_counts.get("I", 0)
         dels = alignment.cigar_counts.get("D", 0)
-        matches = alignment.cigar_counts.get("M", 0) + alignment.cigar_counts.get("=", 0)
+        # the in-repo aligner emits =/X cigars (aligner.py:33): aligned
+        # columns are '=' + 'X' (+ any 'M' from other producers) — an
+        # M-only formula dropped X columns and understated every stat
+        eqs = alignment.cigar_counts.get("=", 0)
+        xs = alignment.cigar_counts.get("X", 0)
+        matches = alignment.cigar_counts.get("M", 0) + eqs + xs
         subs = getattr(alignment, "NM", 0) - ins - dels
         correct = matches - subs
         length = matches + ins + dels
+        # strand coordinates in sequencing direction (reference
+        # bonito/io.py:242-243 flips q_st/q_en for minus strand)
+        if alignment.strand == -1:
+            strand_st = seqlen - alignment.q_en
+            strand_en = seqlen - alignment.q_st
+        else:
+            strand_st, strand_en = alignment.q_st, alignment.q_en
         row.update({
             "alignment_genome": alignment.ctg,
             "alignment_genome_start": alignment.r_st,
             "alignment_genome_end": alignment.r_en,
-            "alignment_strand_start": alignment.q_st,
-            "alignment_strand_end": alignment.q_en,
+            "alignment_strand_start": strand_st,
+            "alignment_strand_end": strand_en,
             "alignment_direction": "-" if alignment.strand == -1 else "+",
             "alignment_length": length,
             "alignment_num_aligned": matches,
@@ -465,6 +477,10 @@ class DuplexWriter(Writer):
             qstring = res.get("qstring", "*")
             mean_q = res.get("mean_qscore", mean_qscore_from_qstring(qstring))
             mapping = res.get("mapping", None)
+            # log BEFORE filtering (like Writer.run and the reference)
+            # so the CLI's read/base totals count processed pairs, not
+            # just accepted ones
+            self.log.append((read_id, len(seq)))
             if self.rejected(len(seq) == 0, "zero length"):
                 continue
             if self.rejected(mean_q < self.min_qscore,
@@ -481,34 +497,32 @@ class DuplexWriter(Writer):
             self._summary_logger().append(duplex_summary_row(
                 template, complement, len(seq), mean_q,
                 alignment=mapping if self.aligner else False))
-            self.log.append((read_id, len(seq)))
         if self._bam is not None:
             self._bam.close()
         if self._summary is not None:
             self._summary.close()
 
 
-class CTCWriter(Thread):
+class CTCWriter(Writer):
     """
     Training-data writer for `basecaller --save-ctc` (reference:
     bonito/io.py:513-619): filters aligned reads by accuracy/coverage,
     accumulates (chunk, encoded-reference) pairs and writes
-    chunks/references/reference_lengths.npy at the end.
+    chunks/references/reference_lengths.npy at the end. Accepted reads
+    are ALSO written as normal records + summary rows (the reference
+    emits the aligned calls alongside the npy outputs, io.py:571-577).
     """
 
     def __init__(self, mode, iterator, aligner, min_coverage=0.9,
                  min_accuracy=0.99, fd=None, output_dir=None, rna=False,
-                 min_qscore=0, **kwargs):
-        super().__init__()
-        self.iterator = iterator
-        self.aligner = aligner
+                 min_qscore=0, groups=None, group_key=None, **kwargs):
+        super().__init__(mode, iterator, aligner=aligner, fd=fd,
+                         groups=groups, group_key=group_key,
+                         min_qscore=min_qscore, output_dir=output_dir)
         self.min_coverage = min_coverage
         self.min_accuracy = min_accuracy
-        self.output_dir = Path(output_dir) if output_dir else Path(".")
+        self.ctc_dir = Path(output_dir) if output_dir else Path(".")
         self.rna = rna
-        self.min_qscore = min_qscore
-        self.rejected = RejectCounter()
-        self.log = []
 
     def run(self):
         chunks, targets, lengths = [], [], []
@@ -529,9 +543,14 @@ class CTCWriter(Thread):
             if self.rejected(mapping is None, "unmapped"):
                 continue
             cov = (mapping.q_en - mapping.q_st) / max(len(seq), 1)
-            matches = mapping.cigar_counts.get("M", 0) + mapping.cigar_counts.get("=", 0)
+            # aligned columns = '=' + 'X' (+ 'M'): the in-repo aligner
+            # emits =/X cigars; an M-only count double-charged every
+            # substitution and over-rejected chunks
             ins = mapping.cigar_counts.get("I", 0)
             dels = mapping.cigar_counts.get("D", 0)
+            matches = (mapping.cigar_counts.get("M", 0)
+                       + mapping.cigar_counts.get("=", 0)
+                       + mapping.cigar_counts.get("X", 0))
             acc = (matches - max(mapping.NM - ins - dels, 0)) / max(
                 matches + ins + dels, 1)
             if self.rejected(cov < self.min_coverage, "low coverage"):
@@ -539,6 +558,13 @@ class CTCWriter(Thread):
             if self.rejected(acc < self.min_accuracy, "low accuracy"):
                 continue
             refseq = mapping.ref_seq
+            if mapping.strand == -1:
+                # ref_seq is the forward-strand slice; the training
+                # target must be in the READ's direction (the reference
+                # revcomps here too, bonito/io.py:579-580) — without
+                # this, minus-strand chunks trained on the wrong target
+                comp = str.maketrans("ACGTN", "TGCAN")
+                refseq = refseq.translate(comp)[::-1]
             if self.rejected("N" in refseq, "N in reference"):
                 continue
 
@@ -549,6 +575,22 @@ class CTCWriter(Thread):
             targets.append(target)
             lengths.append(len(target))
 
+            # accepted reads are real basecalls: emit the record +
+            # summary row like the plain Writer (reference parity)
+            tags = [
+                f"RG:Z:{read.run_id}_{self.group_key}" if self.group_key
+                else f"RG:Z:{read.run_id}",
+                f"qs:i:{round(mean_q)}",
+                *(read.tagdata() if hasattr(read, "tagdata") else []),
+            ]
+            self.write(read, seq, qstring or "*", mapping, tags)
+            self._summary_logger().append(
+                summary_row(read, len(seq), mean_q, alignment=mapping))
+
+        if self._bam is not None:
+            self._bam.close()
+        if self._summary is not None:
+            self._summary.close()
         if not chunks:
             sys.stderr.write("> no suitable ctc data to write\n")
             return
@@ -566,9 +608,9 @@ class CTCWriter(Thread):
         idx = rng.permutation(idx)
         chunks, tarr, lengths = chunks[idx], tarr[idx], lengths[idx]
 
-        np.save(self.output_dir / "chunks.npy", chunks)
-        np.save(self.output_dir / "references.npy", tarr)
-        np.save(self.output_dir / "reference_lengths.npy", lengths)
+        np.save(self.ctc_dir / "chunks.npy", chunks)
+        np.save(self.ctc_dir / "references.npy", tarr)
+        np.save(self.ctc_dir / "reference_lengths.npy", lengths)
         sys.stderr.write(f"> written ctc training data ({len(chunks)} chunks)\n")
 
     def stop(self):
