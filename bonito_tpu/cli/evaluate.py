@@ -5,6 +5,7 @@ substitution/insertion/deletion rates and clip statistics from local
 alignments, with optional seqs/refs fasta dumps.
 """
 
+import inspect
 import time
 from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
 from pathlib import Path
@@ -20,8 +21,14 @@ from bonito_tpu.util import (
 )
 
 
-def align_stats(ref, seq):
-    """Alignment statistics for one chunk (reference: cli/evaluate.py:37-67)."""
+def align_stats(ref, seq, min_coverage=0.0):
+    """Alignment statistics for one chunk (reference: cli/evaluate.py:37-67).
+
+    ``min_coverage`` follows the reference's accuracy() guard
+    (bonito/util.py:346-356): when the local alignment covers less than
+    this fraction of the reference the chunk's accuracy is reported as 0
+    (the other counts are kept for the summary table).
+    """
     stats = {
         "accuracy": 0.0, "num_correct": 0, "num_mismatches": 0,
         "num_insertions": 0, "num_deletions": 0,
@@ -37,8 +44,12 @@ def align_stats(ref, seq):
     counts = parasail_style_cigar_counts(result.cigar)
     correct = counts.get("=", 0)
     total = sum(counts.values())
+    r_coverage = (result.end_ref - result.beg_ref) / len(ref)
+    accuracy = correct / total if total else 0.0
+    if r_coverage < min_coverage:
+        accuracy = 0.0
     stats.update({
-        "accuracy": correct / total if total else 0.0,
+        "accuracy": accuracy,
         "num_correct": correct,
         "num_mismatches": counts.get("X", 0),
         "num_insertions": counts.get("I", 0),
@@ -107,8 +118,9 @@ def main(args):
         n_chunks += len(data)
         n_samples += data.shape[0] * data.shape[1]
         scores = fwd(model.params, data)
+        decode_params = inspect.signature(model.decode_batch).parameters
         seqs.extend(model.decode_batch(scores, beamsize=args.beamsize)
-                    if "beamsize" in _decode_kwargs(model)
+                    if "beamsize" in decode_params
                     else model.decode_batch(scores))
         refs.extend(decode_ref(t[:n], model.alphabet)
                     for t, n in zip(targets, lengths))

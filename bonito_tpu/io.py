@@ -388,8 +388,12 @@ class Writer(Thread):
         self.output_dir = output_dir
         self._bam = None
         self._summary = None
+        self._exc = None
 
-        sq = aligner.seq_names_lengths() if aligner is not None else []
+        # duck-typed: duplex/save-ctc paths hand in aligner-like objects
+        # that may not expose the index (only mappings); no @SQ then.
+        names_lengths = getattr(aligner, "seq_names_lengths", None)
+        sq = names_lengths() if callable(names_lengths) else []
         header_text = sam_header(groups=groups, sq=sq)
         if mode == "wb":
             from bonito_tpu.bam import BAMWriter
@@ -426,6 +430,15 @@ class Writer(Thread):
                                      mapping=mapping, tags=tags) + "\n")
 
     def run(self):
+        # writers run as daemon-ish threads off the CLI's main loop; a
+        # crash here must not vanish (it would silently truncate output)
+        # — capture and re-raise from stop(), which every CLI calls.
+        try:
+            self._run()
+        except BaseException as e:  # noqa: BLE001 — re-raised in stop()
+            self._exc = e
+
+    def _run(self):
         for read, res in self.iterator:
             seq = res["sequence"]
             qstring = res.get("qstring", "*")
@@ -463,13 +476,15 @@ class Writer(Thread):
 
     def stop(self):
         self.join()
+        if self._exc is not None:
+            raise self._exc
         return self.rejected
 
 
 class DuplexWriter(Writer):
     """Writer for duplex consensus pairs (read ids 'tmpl;compl')."""
 
-    def run(self):
+    def _run(self):
         for (read_pair, res) in self.iterator:
             template, complement = read_pair
             read_id = f"{template.read_id};{complement.read_id}"
@@ -524,7 +539,7 @@ class CTCWriter(Writer):
         self.ctc_dir = Path(output_dir) if output_dir else Path(".")
         self.rna = rna
 
-    def run(self):
+    def _run(self):
         chunks, targets, lengths = [], [], []
         base_to_int = {b: i for i, b in enumerate("NACGT")}
 
@@ -612,7 +627,3 @@ class CTCWriter(Writer):
         np.save(self.ctc_dir / "references.npy", tarr)
         np.save(self.ctc_dir / "reference_lengths.npy", lengths)
         sys.stderr.write(f"> written ctc training data ({len(chunks)} chunks)\n")
-
-    def stop(self):
-        self.join()
-        return self.rejected

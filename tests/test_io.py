@@ -158,6 +158,7 @@ class TestCTCWriter:
             pass
         r = R()
         r.read_id = rid
+        r.run_id = "run0"  # real reads always carry one (RG tag)
         r.signal = np.zeros(n, np.float32)
         return r
 
