@@ -34,6 +34,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 from bonito_tpu.pipeline import process_cancel, thread_iter
+from bonito_tpu.profiling import instrument
 from bonito_tpu.reader import Reader
 from bonito_tpu.util import batchify, chunk
 
@@ -114,10 +115,12 @@ def feed(rdir, n_reads, n_proc, batchsize, chunksize, use_int8):
     chunks = thread_iter(
         ((read, 0, read.signal.shape[-1]),
          chunk(np.asarray(read.signal, np.float32), chunksize, 100))
-        for read in reads)
-    batches = thread_iter(batchify(chunks, batchsize=batchsize))
-    prepared = thread_iter((spans, prepare(b)) for spans, b in batches)
-    return prepared, cancel
+        for read in instrument("read", reads))
+    batches = thread_iter(batchify(instrument("chunk", chunks),
+                                   batchsize=batchsize))
+    prepared = thread_iter((spans, prepare(b))
+                           for spans, b in instrument("batch", batches))
+    return instrument("prep", prepared), cancel
 
 
 def measure_feed_rate(rdir, n_reads, n_proc, family):

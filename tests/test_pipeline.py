@@ -172,3 +172,84 @@ class TestProducerErrorPropagation:
             for x in it:
                 out.append(x)
         assert out == [1]
+
+
+class TestMultiConsumerDrain:
+    """Host pipeline feeding N>=2 simulated devices (round-5 host-feed
+    dossier, scripts/host_feed_study.py): the chunk->batchify->prepare
+    stream drained concurrently by multiple consumers at device-step
+    cadence must hand every batch to exactly one consumer, keep payloads
+    intact, and give every consumer work."""
+
+    def _pipeline(self, n_reads=40, read_len=3000, chunksize=1000,
+                  batchsize=16):
+        import numpy as np
+        from bonito_tpu.util import batchify, chunk
+        rng = np.random.default_rng(7)
+        sigs = [rng.normal(0, 1, read_len).astype(np.float32)
+                for _ in range(n_reads)]
+        chunks = thread_iter(
+            ((i, 0, len(s)), chunk(s, chunksize, 100))
+            for i, s in enumerate(sigs))
+        return sigs, thread_iter(batchify(chunks, batchsize=batchsize))
+
+    def test_two_consumers_partition_batches(self):
+        import queue as queue_mod
+        import threading
+
+        import numpy as np
+
+        sigs, batches = self._pipeline()
+        q = queue_mod.Queue(maxsize=4)
+        DONE = object()
+        n_consumers = 2
+        served = [[] for _ in range(n_consumers)]
+
+        def pump():
+            for idx, (spans, batch) in enumerate(batches):
+                q.put((idx, spans, np.array(batch)))
+            for _ in range(n_consumers):
+                q.put(DONE)
+
+        def consume(i):
+            while True:
+                item = q.get()
+                if item is DONE:
+                    return
+                time.sleep(0.002)  # simulated device step
+                served[i].append(item)
+
+        threads = [threading.Thread(target=pump, daemon=True)]
+        threads += [threading.Thread(target=consume, args=(i,), daemon=True)
+                    for i in range(n_consumers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert all(not t.is_alive() for t in threads)
+
+        # every consumer got work, and the union of served spans is a
+        # partition of the read stream (each chunk row exactly once)
+        assert all(len(s) > 0 for s in served)
+        # spans are ((read_key, (batch_start, batch_end)), ...) with reads
+        # split greedily across batches; replaying batches in stream
+        # order (the pump's idx), a per-read counter recovers each row's
+        # chunk index regardless of which consumer got the batch
+        all_served = sorted((item for s in served for item in s),
+                            key=lambda it: it[0])
+        assert [idx for idx, _, _ in all_served] == list(
+            range(len(all_served))), "a batch was dropped or duplicated"
+        seen, next_k = {}, {}
+        for _idx, spans, batch in all_served:
+            for (rid, _s, _e), (bstart, bend) in spans:
+                for row in range(bstart, bend):
+                    k = next_k.get(rid, 0)
+                    seen[(rid, k)] = batch[row]
+                    next_k[rid] = k + 1
+        from bonito_tpu.util import chunk as chunk_fn
+        for rid, sig in enumerate(sigs):
+            want = chunk_fn(sig, 1000, 100)
+            for k in range(want.shape[0]):
+                got = seen.pop((rid, k))
+                np.testing.assert_array_equal(got, want[k])
+        assert not seen
