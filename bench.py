@@ -192,12 +192,20 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
     # dispatch stream occasionally stalls mid-loop, and the driver
     # captures a single bench run — session-to-session variance stays
     # ±7% either way (DESIGN.md measurement protocol)
+    #
+    # the end-of-loop sync follows the header NOTE: reduce on device and
+    # fetch ONE scalar. Fetching the full sequence array instead ships
+    # batch*T_out bytes through this rig's ~58 MB/s tunnel inside the
+    # timed window (~42 ms for fast's [2048, 1200] — ~10%/run at 8
+    # iters); the reduce still forces the decode to have produced every
+    # base (round-5 A/B in DESIGN.md "Production-link projection").
+    reduce_out = jax.jit(lambda a: a.astype(jnp.int32).sum())
     rates = []
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(model.params, x)
-        _sync(out)
+        _sync(reduce_out(out))
         rates.append(batchsize * chunksize * iters
                      / (time.perf_counter() - t0))
     return max(rates)

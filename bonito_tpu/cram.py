@@ -47,8 +47,12 @@ CT_SLICE_HEADER = 2
 CT_EXTERNAL = 4
 CT_CORE = 5
 
-# block compression methods
-M_RAW, M_GZIP = 0, 1
+# block compression methods (CRAM 3.0 spec §8; 3.1 adds 5..8 which this
+# reader names in its error message rather than decoding)
+M_RAW, M_GZIP, M_BZIP2, M_LZMA, M_RANS = 0, 1, 2, 3, 4
+_METHOD_NAMES_31 = {5: "rANS4x16 (CRAM 3.1)", 6: "adaptive arithmetic "
+                    "(CRAM 3.1)", 7: "fqzcomp (CRAM 3.1)",
+                    8: "name tokeniser (CRAM 3.1)"}
 
 # CF record flags
 CF_QS_STORED = 0x1
@@ -147,7 +151,16 @@ def ltf8_decode(buf, pos):
 # ---------------------------------------------------------------------------
 
 def build_block(content_type, content_id, raw, method=None):
-    if method is None:
+    if method in ("rans0", "rans1"):
+        # opt-in htslib-default codec (spec method 4); gzip stays this
+        # writer's default — zlib's C deflate outruns the rANS paths on
+        # this host and every CRAM 3.0 reader must accept either
+        from bonito_tpu import rans
+        comp = rans.compress_auto(raw, order=int(method[-1]))
+        method = M_RANS
+        if len(comp) >= len(raw):
+            comp, method = raw, M_RAW
+    elif method is None:
         comp = zlib.compress(raw, 6)
         # gzip framing (htslib expects real gzip members, not raw deflate)
         comp = (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
@@ -176,8 +189,23 @@ def parse_block(buf, pos):
     p += 4
     if method == M_GZIP:
         data = zlib.decompress(data, wbits=31)
+    elif method == M_BZIP2:
+        import bz2
+        data = bz2.decompress(data)
+    elif method == M_LZMA:
+        import lzma
+        data = lzma.decompress(data)
+    elif method == M_RANS:
+        from bonito_tpu import rans
+        data = rans.uncompress_auto(data, rsize)
     elif method != M_RAW:
-        raise ValueError(f"unsupported CRAM block compression {method}")
+        name = _METHOD_NAMES_31.get(method, f"method {method}")
+        raise ValueError(
+            f"unsupported CRAM block compression: {name}. This reader "
+            f"decodes CRAM 3.0 (raw/gzip/bzip2/lzma/rANS-4x8 — what "
+            f"htslib writes by default); for CRAM 3.1 output, convert "
+            f"with `samtools view -O cram,version=3.0` or use BAM, the "
+            f"recommended interop format (see README 'CRAM interop').")
     if len(data) != rsize:
         raise ValueError("CRAM block size mismatch")
     return {"type": ctype, "id": cid, "data": data}, p
@@ -533,9 +561,13 @@ class CramWriter:
     RECORDS_PER_CONTAINER = 4096
 
     def __init__(self, fd, header_text, refs, records_per_container=None,
-                 reference_based=False):
+                 reference_based=False, codec=None):
         self.fd = fd
         self.reference_based = bool(reference_based)
+        # codec for the EXTERNAL data-series blocks: None -> gzip (this
+        # writer's default; zlib's C deflate is fastest here), "rans0"/
+        # "rans1" -> the htslib-default rANS 4x8 (spec method 4)
+        self.codec = codec
         self.refs = list(refs)
         self.ref_ids = {name: i for i, (name, _) in enumerate(refs)}
         self.rg_ids = {}
@@ -704,7 +736,8 @@ class CramWriter:
         for cid in sorted(streams):
             if streams[cid]:
                 ext_blocks.append(
-                    build_block(CT_EXTERNAL, cid, bytes(streams[cid])))
+                    build_block(CT_EXTERNAL, cid, bytes(streams[cid]),
+                                method=self.codec))
                 content_ids.append(cid)
         core_block = build_block(CT_CORE, 0, b"", method=M_RAW)
 

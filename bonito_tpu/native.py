@@ -110,9 +110,20 @@ def _bind_ctcbeam(lib):
     ]
 
 
+def _bind_rans(lib):
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rans_compress_bound.restype = ctypes.c_int64
+    lib.rans_compress_bound.argtypes = [ctypes.c_uint32, ctypes.c_int]
+    lib.rans_compress.restype = ctypes.c_int64
+    lib.rans_compress.argtypes = [u8p, ctypes.c_uint32, ctypes.c_int, u8p]
+    lib.rans_uncompress.restype = ctypes.c_int
+    lib.rans_uncompress.argtypes = [u8p, ctypes.c_uint32, u8p, ctypes.c_uint32]
+
+
 _SPECS = {
     "align": {"sources": ["align/align.cpp"], "bind": _bind_align},
     "vbz": {"sources": ["vbz/vbz.cpp"], "bind": _bind_vbz},
     "mapper": {"sources": ["mapper/mapper.cpp"], "bind": _bind_mapper},
     "ctcbeam": {"sources": ["ctc/ctcbeam.cpp"], "bind": _bind_ctcbeam},
+    "rans": {"sources": ["rans/rans.cpp"], "bind": _bind_rans},
 }
