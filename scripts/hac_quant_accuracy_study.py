@@ -35,15 +35,24 @@ def main():
     stride = model.stride
 
     rng = np.random.default_rng(1)
-    N, L = 512, 96
+    # round-5 (VERDICT item 4): N is a knob. At N=512 the state_len-5
+    # CRF sees only ~46k bases for its 1024 5-mer contexts (~45 per
+    # state) where fast's 64 states get ~720 each — the data-starvation
+    # hypothesis for the 97.3% plateau; N=4096 gives ~380/state.
+    N = int(os.environ.get("N", 512))
+    L = 96
+    n_valid = 32
+    n_train = N - n_valid
     targets = rng.integers(1, 5, size=(N, L)).astype(np.int32)
     chunks = signal_for(targets, rng, stride)
-    train = ChunkDataSet(chunks[:480], targets[:480], np.full(480, L))
-    valid = ChunkDataSet(chunks[480:], targets[480:], np.full(32, L))
+    train = ChunkDataSet(chunks[:n_train], targets[:n_train],
+                         np.full(n_train, L))
+    valid = ChunkDataSet(chunks[n_train:], targets[n_train:],
+                         np.full(n_valid, L))
     trainer = Trainer(
         model, NumpyBatchLoader(train, 32, seed=2),
         NumpyBatchLoader(valid, 32, shuffle=False, drop_last=False),
-        use_amp=True, chunks_per_epoch=480, batch_size=32)
+        use_amp=True, chunks_per_epoch=n_train, batch_size=32)
     trainer.fit(tempfile.mkdtemp(), epochs=int(os.environ.get("E", 40)),
                 lr=2e-3)
 
