@@ -269,7 +269,11 @@ def main():
     kind = os.environ.get("BENCH_MODEL", "hac")
     batchsize = int(os.environ.get("BENCH_BATCH", 0)) or None
     chunksize = int(os.environ.get("BENCH_CHUNK", 0)) or None
-    iters = int(os.environ.get("BENCH_ITERS", 8))
+    # 16 (round 5): the end-of-rep scalar fetch costs a fixed ~25 ms
+    # axon round-trip regardless of work (memory: per-array fetch
+    # latency); at 8 iters that diluted the fast step ~7%/rep. More
+    # iters amortise a rig latency that is not device work.
+    iters = int(os.environ.get("BENCH_ITERS", 16))
 
     if kind in ("train", "suptrain"):
         fam = "sup" if kind == "suptrain" else "hac"

@@ -41,12 +41,15 @@ def _sub_batch(n_states):
     scales with S*N; the hac-validated plane is S=1024 x N=128. Smaller
     state spaces take proportionally wider batches per program — at fast
     shapes (S=64, batch 1024) one N=1024 launch measured 7.4 ms vs 9.4 ms
-    for 8x N=128 launches (per-program pipeline overhead, v5e)."""
+    for 8x N=128 launches (per-program pipeline overhead, v5e); the cap
+    tracks S*N = 128*1024 exactly (S=64 -> 2048: one launch at fast
+    bench batch measured 278.7 vs 274.5 Msamples/s for 2x1024, round
+    5)."""
     import os
     env = os.environ.get("BONITO_TPU_DECODE_SUB_BATCH")
     if env:
         return int(env)
-    return max(128, min(1024, 128 * 1024 // max(n_states, 1)))
+    return max(128, min(2048, 128 * 1024 // max(n_states, 1)))
 
 
 def use_fused_head(seqdist):

@@ -100,7 +100,7 @@ class TestRouteSelection:
 
         monkeypatch.delenv("BONITO_TPU_DECODE_SUB_BATCH", raising=False)
         assert _sub_batch(1024) == 128   # hac/sup
-        assert _sub_batch(64) == 1024    # fast (capped)
+        assert _sub_batch(64) == 2048    # fast (S*N = 128*1024 plane)
         assert _sub_batch(256) == 512
         monkeypatch.setenv("BONITO_TPU_DECODE_SUB_BATCH", "256")
         assert _sub_batch(64) == 256
