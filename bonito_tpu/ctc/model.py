@@ -241,8 +241,14 @@ class Model:
             return seq, path
         return seq
 
-    def decode_batch(self, x):
-        return [self.decode(np.asarray(x)[i], beamsize=1) for i in range(len(x))]
+    def decode_batch(self, x, beamsize=5):
+        """Batch decode. beamsize defaults to 5 to match the semantics
+        the reference gets from Model.decode's default wherever
+        decode_batch is absent (training validation + evaluate,
+        bonito/training.py:197-199, bonito/cli/evaluate.py:107-111,
+        bonito/ctc/model.py:39)."""
+        return [self.decode(np.asarray(x)[i], beamsize=beamsize)
+                for i in range(len(x))]
 
     # -- loss --------------------------------------------------------------------
 

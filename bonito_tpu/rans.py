@@ -233,6 +233,15 @@ def compress(data, order=0):
 
 
 def uncompress(data, expected_size=None):
+    try:
+        return _uncompress(data, expected_size)
+    except (IndexError, KeyError, struct.error) as e:
+        # malformed/truncated foreign stream: surface one loud error
+        # instead of a bare container-offset exception
+        raise ValueError(f"malformed rANS stream ({type(e).__name__})")
+
+
+def _uncompress(data, expected_size=None):
     if len(data) < 9:
         raise ValueError("rANS stream too short")
     order, body, raw = struct.unpack("<BII", data[:9])

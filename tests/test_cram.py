@@ -368,3 +368,33 @@ class TestRans:
             parse_block(bytes(blk), 0)
         msg = str(e.value)
         assert "rANS4x16" in msg and "3.1" in msg and "BAM" in msg
+
+    def test_corrupt_rans_streams_raise_not_crash(self):
+        """Bit-flipped / truncated rANS payloads must raise ValueError
+        (both implementations), never hang, segfault, or leak a bare
+        IndexError from container offsets."""
+        from bonito_tpu import rans
+        rng = np.random.default_rng(11)
+        data = bytes(rng.integers(65, 70, 2000, dtype=np.uint8))
+        for order in (0, 1):
+            good = rans.compress(data, order)
+            assert rans.uncompress(good, len(data)) == data
+            # truncations
+            for cut in (4, 8, 12, len(good) // 2, len(good) - 3):
+                bad = good[:cut]
+                for impl in (rans.uncompress, rans.uncompress_auto):
+                    try:
+                        out = impl(bad, len(data))
+                        assert isinstance(out, bytes)  # garbage ok
+                    except ValueError:
+                        pass
+            # single-byte corruptions across the stream
+            for pos in range(9, min(len(good), 60)):
+                bad = bytearray(good)
+                bad[pos] ^= 0xFF
+                for impl in (rans.uncompress, rans.uncompress_auto):
+                    try:
+                        out = impl(bytes(bad), len(data))
+                        assert isinstance(out, bytes)
+                    except ValueError:
+                        pass
