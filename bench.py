@@ -200,6 +200,7 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
     # iters); the reduce still forces the decode to have produced every
     # base (round-5 A/B in DESIGN.md "Production-link projection").
     reduce_out = jax.jit(lambda a: a.astype(jnp.int32).sum())
+    _sync(reduce_out(step(model.params, x)))  # compile OUTSIDE the reps
     rates = []
     for _ in range(2):
         t0 = time.perf_counter()

@@ -111,6 +111,8 @@ def main(args):
     # plugin loaders standardise internally (via ModelSetup); applying
     # the affine again here would double-standardise their chunks
     plugin_loader = not hasattr(loader, "dataset")
+    takes_beamsize = "beamsize" in inspect.signature(
+        model.decode_batch).parameters
     for data, targets, lengths in loader:
         data = np.asarray(data, np.float32)
         if standardisation and not plugin_loader:
@@ -118,9 +120,8 @@ def main(args):
         n_chunks += len(data)
         n_samples += data.shape[0] * data.shape[1]
         scores = fwd(model.params, data)
-        decode_params = inspect.signature(model.decode_batch).parameters
         seqs.extend(model.decode_batch(scores, beamsize=args.beamsize)
-                    if "beamsize" in decode_params
+                    if takes_beamsize
                     else model.decode_batch(scores))
         refs.extend(decode_ref(t[:n], model.alphabet)
                     for t, n in zip(targets, lengths))

@@ -151,6 +151,11 @@ def ltf8_decode(buf, pos):
 # ---------------------------------------------------------------------------
 
 def build_block(content_type, content_id, raw, method=None):
+    if method is not None and not isinstance(method, int) and \
+            method not in ("rans0", "rans1"):
+        raise ValueError(
+            f"unknown CRAM block codec {method!r} (None=gzip, M_RAW, "
+            f"'rans0', 'rans1')")
     if method in ("rans0", "rans1"):
         # opt-in htslib-default codec (spec method 4); gzip stays this
         # writer's default — zlib's C deflate outruns the rANS paths on

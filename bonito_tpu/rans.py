@@ -39,7 +39,13 @@ RANS_BYTE_L = 1 << 23
 # ---------------------------------------------------------------------------
 
 def _normalise(counts):
-    """Scale 256 counts to sum exactly TOTFREQ, present symbols >= 1."""
+    """Scale 256 counts to sum EXACTLY TOTFREQ, present symbols >= 1.
+    Always succeeds (<=256 symbols, TOTFREQ=4096 > 256): a deficit is
+    added to the most frequent symbol; an excess (from the max(1, .)
+    clamps on rare symbols) is drained from the currently largest
+    frequency, which is always > 1 while an excess remains. Must stay
+    step-identical with native/rans/rans.cpp::normalise — the tests pin
+    the two byte-equal."""
     total = sum(counts)
     freqs = [0] * 256
     if not total:
@@ -52,9 +58,15 @@ def _normalise(counts):
         f = counts[i] * TOTFREQ // total
         freqs[i] = max(f, 1)
         s += freqs[i]
-    freqs[maxi] += TOTFREQ - s
-    if freqs[maxi] < 1:
-        raise ValueError("degenerate rANS frequency normalisation")
+    if s < TOTFREQ:
+        freqs[maxi] += TOTFREQ - s
+        return freqs
+    excess = s - TOTFREQ
+    while excess > 0:
+        big = max(range(256), key=lambda i: freqs[i])
+        take = min(freqs[big] - 1, excess)
+        freqs[big] -= take
+        excess -= take
     return freqs
 
 
@@ -104,14 +116,14 @@ def _read_freqs(data, pos):
         elif rle:
             rle -= 1
             j += 1
+            if j > 255:
+                raise ValueError("rANS freq table run past symbol space")
         else:
             j = data[pos]
             pos += 1
-        if j == 0 and freqs[0]:
-            # terminator vs real symbol 0: symbol 0 can only open the
-            # list (symbols ascend), so a 0 here terminates
-            break
         if j == 0:
+            # symbols ascend, so 0 can only open the list (handled by
+            # the pre-loop read) — here it is the terminator
             break
     return freqs, pos
 
@@ -253,6 +265,7 @@ def _uncompress(data, expected_size=None):
     if raw == 0:
         return b""
     pos = 9
+    end = 9 + body  # strict body end: trailing slack is NOT renorm input
     out = bytearray(raw)
 
     if order == 0:
@@ -267,7 +280,7 @@ def _uncompress(data, expected_size=None):
             s = lookup[m]
             out[i] = s
             x = freqs[s] * (x >> TF_SHIFT) + m - cum[s]
-            while x < RANS_BYTE_L and pos < len(data):
+            while x < RANS_BYTE_L and pos < end:
                 x = (x << 8) | data[pos]
                 pos += 1
             X[j] = x
@@ -286,6 +299,9 @@ def _uncompress(data, expected_size=None):
             elif rle:
                 rle -= 1
                 ctx += 1
+                if ctx > 255:
+                    raise ValueError(
+                        "rANS context table run past symbol space")
             else:
                 ctx = data[pos]
                 pos += 1
@@ -304,7 +320,7 @@ def _uncompress(data, expected_size=None):
                 s = lookup[m]
                 out[starts[j] + i] = s
                 x = freqs[s] * (x >> TF_SHIFT) + m - cum[s]
-                while x < RANS_BYTE_L and pos < len(data):
+                while x < RANS_BYTE_L and pos < end:
                     x = (x << 8) | data[pos]
                     pos += 1
                 X[j] = x
@@ -316,7 +332,7 @@ def _uncompress(data, expected_size=None):
             s = lookup[m]
             out[i] = s
             x = freqs[s] * (x >> TF_SHIFT) + m - cum[s]
-            while x < RANS_BYTE_L and pos < len(data):
+            while x < RANS_BYTE_L and pos < end:
                 x = (x << 8) | data[pos]
                 pos += 1
             X[3] = x

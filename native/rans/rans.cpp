@@ -56,12 +56,18 @@ inline void enc_flush(uint32_t x, std::vector<uint8_t> &rev) {
     rev.push_back(x & 0xff);
 }
 
-// normalise raw counts to sum to TOTFREQ, every present symbol >= 1
+// normalise raw counts to sum to EXACTLY TOTFREQ, every present symbol
+// >= 1. Always succeeds: there are <= 256 present symbols and
+// TOTFREQ = 4096 > 256, so a valid table exists; excess (from the
+// max(1, .) clamps on rare symbols) is drained from the currently
+// largest frequency, one of which is always > 1 while excess > 0.
+// The Python oracle (bonito_tpu/rans.py) implements the identical
+// deterministic scheme — tests pin the tables byte-equal.
 void normalise(const uint64_t *cnt, uint32_t *F) {
     uint64_t total = 0;
     for (int i = 0; i < 256; i++) total += cnt[i];
     if (!total) return;
-    uint32_t sum = 0;
+    int64_t sum = 0;
     int maxi = 0;
     for (int i = 0; i < 256; i++) {
         if (!cnt[i]) { F[i] = 0; continue; }
@@ -71,11 +77,19 @@ void normalise(const uint64_t *cnt, uint32_t *F) {
         sum += f;
         if (cnt[i] > cnt[maxi]) maxi = i;
     }
-    // fix the rounding drift on the most frequent symbol
-    if (sum != TOTFREQ) {
-        int32_t adj = (int32_t)TOTFREQ - (int32_t)sum;
-        if ((int32_t)F[maxi] + adj < 1) return;  // degenerate; caller falls back
-        F[maxi] += adj;
+    if (sum < (int64_t)TOTFREQ) {
+        F[maxi] += (uint32_t)(TOTFREQ - sum);
+        return;
+    }
+    int64_t excess = sum - (int64_t)TOTFREQ;
+    while (excess > 0) {
+        int big = 0;
+        for (int i = 1; i < 256; i++)
+            if (F[i] > F[big]) big = i;
+        uint32_t take = F[big] - 1;
+        if ((int64_t)take > excess) take = (uint32_t)excess;
+        F[big] -= take;
+        excess -= take;
     }
 }
 
@@ -129,6 +143,9 @@ int read_freqs(const uint8_t *cp, const uint8_t *end, uint32_t *F) {
         } else if (rle) {
             rle--;
             j++;
+            // a stream-controlled run length must not walk past the
+            // symbol space (OOB write into F otherwise)
+            if (j > 255) return -1;
         } else {
             j = *cp++;
         }
@@ -358,6 +375,7 @@ int rans_uncompress(const uint8_t *in, uint32_t in_size,
             } else if (rle) {
                 rle--;
                 c++;
+                if (c > 255) return -4;  // run past the context space
             } else {
                 c = *cp++;
             }

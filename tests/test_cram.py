@@ -398,3 +398,32 @@ class TestRans:
                         assert isinstance(out, bytes)
                     except ValueError:
                         pass
+
+    def test_degenerate_distribution_normalises_exactly(self):
+        """Many rare symbols + few dominant ones once made the C++
+        normalisation return a table summing past 4096 (silently
+        undecodable) while Python raised — both now drain the excess
+        from the largest frequencies and stay byte-identical."""
+        from bonito_tpu import rans
+        data = bytes(np.concatenate([
+            np.repeat(np.arange(200, dtype=np.uint8), 50),
+            np.repeat(np.arange(200, 256, dtype=np.uint8), 7100)]))
+        for order in (0, 1):
+            py = rans.compress(data, order)
+            nat = rans.compress_auto(data, order)
+            assert py == nat
+            assert rans.uncompress_auto(nat, len(data)) == data
+            assert rans.uncompress(nat, len(data)) == data
+
+    def test_freq_table_run_overflow_rejected(self):
+        """A stream-controlled RLE run that would walk the symbol index
+        past 255 (an OOB write in the native parser before round 5)
+        must be rejected by BOTH implementations."""
+        import struct as _struct
+        from bonito_tpu import rans
+        # order-0 header + table: sym 254 f=1, run to 255 with rle=200
+        body = bytes([254, 1, 255, 200] + [1] * 210)
+        stream = _struct.pack("<BII", 0, len(body), 64) + body
+        for impl in (rans.uncompress, rans.uncompress_auto):
+            with pytest.raises(ValueError):
+                impl(stream, 64)
