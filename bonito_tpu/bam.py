@@ -31,6 +31,7 @@ for _c, _i in _NT16.items():
     _NT16_LUT[ord(_c.lower())] = _i
 _CIGAR_OPS = {op: i for i, op in enumerate("MIDNSHP=X")}
 _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+_REVCOMP = str.maketrans("ACGTUacgtu", "TGCAAtgcaa")
 
 
 def _reg2bin(beg, end):
@@ -201,11 +202,16 @@ class BAMWriter:
     def write(self, read_id, seq, qstring, mapping=None, tags=None):
         name = read_id.encode() + b"\x00"
         if mapping is not None and mapping.strand == -1:
-            comp = str.maketrans("ACGTUacgtu", "TGCAAtgcaa")
-            seq = seq.translate(comp)[::-1]
+            seq = seq.translate(_REVCOMP)[::-1]
             qstring = qstring[::-1]
         l_seq = len(seq)
         if qstring and qstring != "*":
+            if len(qstring) != l_seq:
+                # a mismatch here writes a structurally corrupt record
+                # that only fails when the BAM is READ — fail loudly now
+                raise ValueError(
+                    f"seq/qual length mismatch in read {read_id}: "
+                    f"{l_seq} bases vs {len(qstring)} quals")
             q = np.frombuffer(qstring.encode(), dtype=np.uint8)
             if q.size and q.min() < 33:
                 # fail loudly instead of wrapping below phred+33

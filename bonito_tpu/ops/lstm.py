@@ -21,14 +21,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _gates_to_hc(gates, c, H):
-    i = jax.nn.sigmoid(gates[..., :H])
-    f = jax.nn.sigmoid(gates[..., H:2 * H])
-    g = jnp.tanh(gates[..., 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[..., 3 * H:])
-    c = f * c + i * g
-    h = o * jnp.tanh(c)
-    return h, c
+# one canonical gates->(h, c): the scan oracle and every Pallas kernel
+# share it, so gate packing/activation changes cannot diverge the routes
+from bonito_tpu.ops.lstm_pallas import _gates_to_hc  # noqa: E402,F401
 
 
 @partial(jax.jit, static_argnames=("reverse",))
@@ -80,8 +75,13 @@ def lstm(x, w_ih, w_hh, b, reverse=False):
                 and os.environ.get("BONITO_TPU_LSTM_FUSED", "1") != "0"):
             return lstm_pallas_fused(
                 x, w_ih, w_hh, b, reverse=reverse, block_k=fused_k)
-        if supported(x, w_hh):  # includes TPU-backend gate
-            return lstm_pallas(x, w_ih, w_hh, b, reverse=reverse)
+        # env knob resolved here, OUTSIDE jit (reading it inside the
+        # jitted kernel would cache the first call's value under
+        # block_k=None); the gate budgets at the K that will run
+        blk = int(os.environ.get("BONITO_TPU_LSTM_BLOCK_K", 1))
+        if supported(x, w_hh, block_k=blk):  # includes TPU-backend gate
+            return lstm_pallas(x, w_ih, w_hh, b, reverse=reverse,
+                               block_k=blk)
     except ImportError:
         pass
     return lstm_scan(x, w_ih, w_hh, b, reverse=reverse)
@@ -143,8 +143,10 @@ def lstm_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
     if x.dtype == jnp.int8:
         x = (x.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
     if on_tpu:
-        return lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=reverse,
-                                w_ih_q=w_ih_q, ih_scales=ih_scales)
+        return lstm_pallas_int8(
+            x, w_ih, w_hh_q, scales, b, reverse=reverse,
+            w_ih_q=w_ih_q, ih_scales=ih_scales,
+            block_k=int(os.environ.get("BONITO_TPU_LSTM_BLOCK_K", 1)))
     if w_ih is None:
         w_ih = (w_ih_q.astype(jnp.float32) * ih_scales).astype(x.dtype)
     w_hh = w_hh_q.astype(jnp.float32) * scales * 127.0

@@ -27,17 +27,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _gate_acts(gates, H):
+    """Canonical torch-gate-order split + nonlinearities. EVERY
+    gates->(h, c) site (the kernels here, and the lax.scan oracle in
+    ops/lstm.py) routes through this so the routes cannot diverge."""
+    i = jax.nn.sigmoid(gates[..., :H])
+    f = jax.nn.sigmoid(gates[..., H:2 * H])
+    g = jnp.tanh(gates[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H:])
+    return i, f, g, o
+
+
+def _gates_to_hc(gates, c, H):
+    i, f, g, o = _gate_acts(gates, H)
+    c = f * c + i * g
+    return o * jnp.tanh(c), c
+
+
 def _lstm_step(h, c, xw_row, whh_ref, H):
     gates = xw_row.astype(jnp.float32) + jnp.dot(
         h.astype(whh_ref.dtype), whh_ref[...],
         preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
-    c = f * c + i * g
-    h = o * jnp.tanh(c)
-    return h, c
+    return _gates_to_hc(gates, c, H)
 
 
 def _lstm_kernel(K, descending, xw_ref, whh_ref, out_ref, h_ref, c_ref):
@@ -100,8 +111,10 @@ def lstm_pallas(x, w_ih, w_hh, b, reverse=False, interpret=False,
     if block_k is None:
         # K > 1 amortises grid overhead but doubles stream buffers; K = 1
         # measured fastest at hac sizes (bigger K starves double-buffering
-        # VMEM). Tunable for other shapes.
-        block_k = int(os.environ.get("BONITO_TPU_LSTM_BLOCK_K", 1))
+        # VMEM). The BONITO_TPU_LSTM_BLOCK_K env knob is resolved by the
+        # UN-jitted dispatcher (ops/lstm.py) — reading it here would bake
+        # the first call's value into the jit cache under key None.
+        block_k = 1
     K = block_k
     pad = (-T) % K
     if pad:
@@ -163,10 +176,7 @@ def _lstm_train_fwd_kernel(xw_ref, whh_ref, h_out, c_out, a_out,
     gates = xw_ref[0].astype(jnp.float32) + jnp.dot(
         h.astype(whh_ref.dtype), whh_ref[...],
         preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    i, f, g, o = _gate_acts(gates, H)  # kept: BPTT saves the activations
     c = f * c_ref[...] + i * g
     h = o * jnp.tanh(c)
     c_ref[...] = c
@@ -366,12 +376,7 @@ def _lstm_kernel_int8(K, descending, xw_ref, whh_ref, scale_ref, out_ref,
         acc = jnp.dot(h_q, whh_ref[...], preferred_element_type=jnp.int32)
         rec = acc.astype(jnp.float32) * scale            # [N,4H] * [1,4H]
         gates = xw_ref[k].astype(jnp.float32) + rec
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:])
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
+        h, c = _gates_to_hc(gates, c, H)
         out_ref[k] = h.astype(out_ref.dtype)
     c_ref[...] = c
     h_ref[...] = h
@@ -431,7 +436,7 @@ def lstm_pallas_int8(x, w_ih, w_hh_q, scales, b, reverse=False,
     xw = jnp.swapaxes(xw, 0, 1)
 
     if block_k is None:
-        block_k = int(os.environ.get("BONITO_TPU_LSTM_BLOCK_K", 1))
+        block_k = 1  # env knob resolved in ops/lstm.py (see lstm_pallas)
     K = block_k
     pad = (-T) % K
     if pad:
@@ -508,12 +513,7 @@ def _lstm_kernel_int8_fused(K, descending, out_int8, x_ref, wih_ref,
         rec = jnp.dot(h_q, whh_ref[...],
                       preferred_element_type=jnp.int32)
         gates = xw[k] + rec.astype(jnp.float32) * scale
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:])
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
+        h, c = _gates_to_hc(gates, c, H)
         h_q = jnp.round(h * 127.0).astype(jnp.int8)
         out_ref[k] = h_q if out_int8 else h.astype(out_ref.dtype)
     c_ref[...] = c
@@ -747,17 +747,19 @@ def supported_train(x, w_hh, require_tpu=True):
     return whh + max(fwd, bwd) + scratch < 90 * 1024 * 1024
 
 
-def supported(x, w_hh, require_tpu=True):
-    """Shape gate for the fused kernel: lane-aligned hidden size and a
-    VMEM budget that fits W_hh + stream buffers."""
+def supported(x, w_hh, require_tpu=True, block_k=1):
+    """Shape gate for the two-stage kernel: sublane-aligned raw shapes
+    and a VMEM budget that fits W_hh + the double-buffered K-block
+    streams (budgeted at the K that will actually run)."""
     if require_tpu and jax.default_backend() != "tpu":
         return False
     N, T, C = x.shape
-    H = -(-w_hh.shape[0] // 128) * 128   # lane-padded if needed
-    if H % 8 != 0:
+    if w_hh.shape[0] % 8 != 0 or N % 8 != 0:
         return False
+    H = -(-w_hh.shape[0] // 128) * 128   # lane-padded if needed
     itemsize = 2 if x.dtype in (jnp.bfloat16, jnp.float16) else 4
     whh_bytes = H * 4 * H * itemsize
-    stream_bytes = 2 * N * 4 * H * itemsize + 2 * N * H * itemsize
+    stream_bytes = (2 * block_k * N * 4 * H * itemsize
+                    + 2 * block_k * N * H * itemsize)
     scratch_bytes = 2 * N * H * 4
     return whh_bytes + stream_bytes + scratch_bytes < 14 * 1024 * 1024

@@ -249,3 +249,14 @@ class TestSummaryFieldParity:
                                            alignment=m)) == want
         assert list(bio.duplex_summary_row(R(), R(), 5, 10.0,
                                            alignment=None)) == want
+
+
+class TestBamWriterGuards:
+    def test_seq_qual_length_mismatch_fails_loudly(self, tmp_path):
+        import pytest
+        from bonito_tpu.bam import BAMWriter
+        with open(tmp_path / "x.bam", "wb") as fd:
+            w = BAMWriter(fd, "@HD\tVN:1.5\n", [])
+            with pytest.raises(ValueError, match="length mismatch"):
+                w.write("r1", "ACGT", "II")
+            w.close()
