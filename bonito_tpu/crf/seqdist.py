@@ -439,7 +439,11 @@ class CTC_CRF:
             logz = self._lattice_logZ(stay, move, lattice_lengths)
         if normalise_scores:
             logz = logz - self.logZ_tcn(moves_tcn, blank_score)
-        loss = -(logz / target_lengths)
+        # max(.,1): a zero-length target would otherwise NaN the whole
+        # batch THROUGH THE VJP — where() zeroes the forward value, but
+        # the division's backward multiplies the (zero) cotangent by
+        # 1/length = inf first (round-5 review finding)
+        loss = -(logz / jnp.maximum(target_lengths, 1))
         valid = lattice_lengths >= 1   # see ctc_loss: no valid lattice
         loss = jnp.where(valid, loss, 0.0)
         if loss_clip:
@@ -461,7 +465,11 @@ class CTC_CRF:
         stay, move = self.prepare_ctc_scores(scores, targets)
         lattice_lengths = (target_lengths + 1 - self.state_len).astype(jnp.int32)
         logz = self._lattice_logZ(stay, move, lattice_lengths)
-        loss = -(logz / target_lengths)
+        # max(.,1): a zero-length target would otherwise NaN the whole
+        # batch THROUGH THE VJP — where() zeroes the forward value, but
+        # the division's backward multiplies the (zero) cotangent by
+        # 1/length = inf first (round-5 review finding)
+        loss = -(logz / jnp.maximum(target_lengths, 1))
         # targets shorter than state_len have no valid lattice (length
         # <= 0 would read an arbitrary cell); zero them out of the loss
         # rather than corrupting the batch silently

@@ -167,8 +167,11 @@ def fused_supported(qkv, window, rotary_dim, block=128, require_tpu=True):
     # user --chunksize routes to the XLA fallback instead of failing
     # Pallas compilation (CLAUDE.md: budgets count body temporaries).
     Tp = -(-T // block) * block
-    per_token = (3 * H * D * 2          # qkv block (bf16)
-                 + 3 * H * D * 2        # o/do/dq-class blocks (bf16)
+    # budget at qkv's REAL itemsize: a no-AMP (f32) train run doubles
+    # every qkv/o/do/dq block vs the bf16 default (round-5 review)
+    isz = jnp.dtype(qkv.dtype).itemsize
+    per_token = (3 * H * D * isz        # qkv block
+                 + 3 * H * D * isz      # o/do/dq-class blocks
                  + 2 * H * D * 4        # f32 dk/dv scratch
                  + 16 * block)          # lse/mask/temporaries slack
     if Tp * per_token > 90 * 1024 * 1024:
@@ -392,11 +395,15 @@ def _fused_train_fwd(qkv, cos, sin, window, block, interpret, t_real=None):
         interpret=interpret,
     )(qkv_dt, trig)
     out = jnp.transpose(out_dt, (0, 3, 1, 2))             # [N, T, H, D]
-    return out[:, :t_slice], (qkv_dt, trig, lse, out_dt, t_slice, t_mask)
+    # cos[:0] rides along only to carry the PRIMAL trig dtype into the
+    # backward (trig itself is cast f32 for the kernel; a bf16 cos/sin
+    # caller would otherwise get a cotangent-dtype mismatch)
+    return out[:, :t_slice], (qkv_dt, trig, lse, out_dt, t_slice, t_mask,
+                              cos[:0])
 
 
 def _fused_train_bwd(window, block, interpret, t_real_arg, res, g):
-    qkv_dt, trig, lse, out_dt, t_slice, t_mask = res
+    qkv_dt, trig, lse, out_dt, t_slice, t_mask, cos_proto = res
     left, right = window
     N, _, H, D, T = qkv_dt.shape
     B = block
@@ -428,7 +435,7 @@ def _fused_train_bwd(window, block, interpret, t_real_arg, res, g):
         interpret=interpret,
     )(qkv_dt, trig, lse, out_dt, do_dt)
     dqkv = jnp.transpose(dqkv_dt, (0, 4, 1, 2, 3))        # [N, T, 3, H, D]
-    zt = jnp.zeros((t_slice, r2), trig.dtype)
+    zt = jnp.zeros((t_slice, r2), cos_proto.dtype)
     return dqkv[:, :t_slice], zt, zt
 
 

@@ -481,11 +481,13 @@ def _block_k_fused(S, N, nb, U, H):
     """h-frames per grid step. Streams per h-frame: h bf16 [H, N] in plus
     U output rows (move-in f32 + choices bf16 + c f32), double-buffered;
     pinned weights (wT bf16, bias f32) and ~14 [S, N] f32 body planes
-    (incl. the mv/P_move tiles) come off the top of the 100 MB budget."""
+    (incl. the mv/P_move tiles) come off the top of the budget (80 MB of
+    the kernels' 100 MB vmem_limit — the margin absorbs Mosaic's own
+    spills). The BONITO_TPU_DECODE_BLOCK_K knob raises K only within
+    the budget — it must not bypass the gate (an env K tuned for the
+    cheap TCN kernels would blow the fused kernel's ~U-times-larger
+    per-K cost past the VMEM limit)."""
     import os
-    env = os.environ.get("BONITO_TPU_DECODE_BLOCK_K")
-    if env:
-        return int(env)
     eff_n = -(-N // 128) * 128
     plane = S * eff_n
     pinned = U * (nb * S) * H * 2 + U * (nb * S) * eff_n * 4
@@ -493,7 +495,11 @@ def _block_k_fused(S, N, nb, U, H):
     per_k = 2 * (H * eff_n * 2 + U * (plane * 4 + plane * 2 + 8 * eff_n * 4))
     if avail < per_k:
         return 0   # even K=1 does not fit — caller must reject
-    return max(1, min(2, avail // per_k))
+    budget_k = max(1, avail // per_k)
+    env = os.environ.get("BONITO_TPU_DECODE_BLOCK_K")
+    if env:
+        return min(int(env), budget_k)
+    return min(2, budget_k)
 
 
 def supported_tcn_fused(seqdist, h_tcn, wT, blank_score, require_tpu=True):
@@ -681,17 +687,13 @@ def viterbi_decode_tcn(seqdist, moves_tcn, blank_score, qscale=1.0,
         Nb = N  # ragged widths take one program (dispatcher pre-slices)
     NS = N // Nb
 
+    # K (block_k and the env knob are MAXIMA) is lowered to the largest
+    # divisor of T so the grid always tiles exactly — k=1 divides any T,
+    # so no T-padding path exists (padding would concatenate onto the
+    # decode's largest HBM array)
     K = block_k or _block_k(S, Nb, nb)
-    # prefer a K that divides T: the T-pad path below concatenates onto
-    # the full move tensor — an HBM copy of the decode's largest array
-    if T % K:
-        K = next((k for k in range(K, 0, -1) if T % k == 0), K)
-    pad = (-T) % K
-    if pad:
-        moves_tcn = jnp.concatenate(
-            [moves_tcn, jnp.full((pad, Cm, N), NEG, moves_tcn.dtype)],
-            axis=0)
-    Tp = T + pad
+    K = next(k for k in range(K, 0, -1) if T % k == 0)
+    Tp = T
     G = Tp // K
     moves = moves_tcn.reshape(Tp, nb * nb, R, N)
 

@@ -386,3 +386,21 @@ class TestShortTargets:
             scores[keep], targets[keep],
             jnp.asarray([12, 12, 12], jnp.int32)))
         assert loss_all == pytest.approx(loss_valid, rel=1e-5)
+
+    def test_zero_length_target_grads_stay_finite(self):
+        """forward masking alone is not enough: loss = -(logz/length)
+        NaN'd the WHOLE batch's gradients through the division's VJP
+        when a length was 0 (the zero cotangent meets 1/0 = inf before
+        the where()). Round-5 fix: divide by max(length, 1)."""
+        sd = CTC_CRF(state_len=3, alphabet=["N", "A", "C", "G", "T"])
+        rng = np.random.default_rng(1)
+        N, T = 4, 40
+        scores = jnp.asarray(
+            rng.normal(0, 1, (N, T, sd.n_score())).astype(np.float32))
+        targets = jnp.asarray(rng.integers(1, 5, (N, 12)), jnp.int32)
+        lengths = jnp.asarray([12, 0, 12, 12], jnp.int32)  # row 1 empty
+
+        loss, grads = jax.value_and_grad(
+            lambda s: sd.ctc_loss(s, targets, lengths))(scores)
+        assert np.isfinite(float(loss))
+        assert np.all(np.isfinite(np.asarray(grads)))
