@@ -20,8 +20,14 @@ import numpy as np
 
 SeqRecord = namedtuple("SeqRecord", "read_id sequence qstring")
 
-_CIG_Q = {"=": True, "X": True, "I": True, "S": True, "D": False, "N": False}
-_CIG_R = {"=": True, "X": True, "D": True, "N": True, "I": False, "S": False}
+# SAM query/reference consumption per op — covers every op _CIGAR_RE
+# accepts (M consumes both like =/X; H and P consume neither), so a
+# cigar from any producer (not just the in-repo =X-emitting aligner)
+# cannot KeyError downstream
+_CIG_Q = {"=": True, "X": True, "M": True, "I": True, "S": True,
+          "D": False, "N": False, "H": False, "P": False}
+_CIG_R = {"=": True, "X": True, "M": True, "D": True, "N": True,
+          "I": False, "S": False, "H": False, "P": False}
 _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 
 

@@ -23,6 +23,7 @@ the framing-magic scan remains as a fallback for footerless files.
 
 import ctypes
 import sys
+from functools import partial
 import uuid
 from datetime import datetime, timedelta, timezone
 from glob import glob
@@ -310,12 +311,11 @@ class Pod5File:
         self.reads = reads
         self.signal = signal
         self.run_info = run_info
-        # index signal rows by read_id bytes
-        sig_ids = self.signal.column("read_id").to_pylist()
-        self._sig_rows = {}
-        for i, rid in enumerate(sig_ids):
-            self._sig_rows.setdefault(bytes(rid), []).append(i)
-        self._samples = self.signal.column("samples").to_pylist()
+        # the signal-row index materialises two whole columns; metadata
+        # passes (get_read_groups' @RG scan) never touch signal, so it
+        # builds lazily on first get_signal
+        self._sig_rows = None
+        self._samples = None
         self._sig_col = self.signal.column("signal")
         # positive detection: vbz chunks are stored as (large_)binary;
         # any list-of-int16 layout is uncompressed (a negative
@@ -332,7 +332,16 @@ class Pod5File:
     def num_reads(self):
         return self.reads.num_rows
 
+    def _ensure_sig_index(self):
+        if self._sig_rows is None:
+            sig_ids = self.signal.column("read_id").to_pylist()
+            self._sig_rows = {}
+            for i, rid in enumerate(sig_ids):
+                self._sig_rows.setdefault(bytes(rid), []).append(i)
+            self._samples = self.signal.column("samples").to_pylist()
+
     def get_signal(self, read_id_bytes):
+        self._ensure_sig_index()
         rows = self._sig_rows.get(read_id_bytes, [])
         parts = []
         for r in rows:
@@ -505,14 +514,14 @@ def _p5_cached(filename):
     return _P5_CACHE[filename]
 
 
-def _read_file(args):
-    """Worker: parse a pod5 file — or, with the optional 8th element, a
-    (start, stop) row block of it — into a list of Read objects (plain
-    attrs + numpy signal, picklable across the process boundary).
-    Blocks keep one work item ~8 reads so the first batch doesn't wait
-    on a whole-file blob through the queue."""
-    filename, read_ids, skip, do_trim, scaling_strategy, norm_params = args[:6]
-    rows = args[6] if len(args) > 6 else None
+def _read_block(item, read_ids=None, skip=False, do_trim=True,
+                scaling_strategy=None, norm_params=None):
+    """Worker: parse a (filename, row-range-or-None) item into a list of
+    Read objects (plain attrs + numpy signal, picklable across the
+    process boundary). Blocks keep one work item ~8 reads so the first
+    batch doesn't wait on a whole-file blob through the queue; the
+    shared config is bound once per worker via functools.partial."""
+    filename, rows = item
     out = []
     try:
         p5 = _p5_cached(filename)
@@ -552,7 +561,10 @@ def get_reads(directory, read_ids=None, skip=False, max_read_size=0,
         the first reads reach the pipeline after one small block rather
         than after a whole file (a 250-read file is a ~100 MB queue
         blob). Row counts come from a lazy metadata open in the feeder
-        thread; workers cache the parsed file (_p5_cached)."""
+        thread; workers cache the parsed file (_p5_cached). The shared
+        config (incl. a possibly-large --read-ids set) is bound into the
+        worker fn ONCE via partial — embedding it in every ~8-read item
+        re-pickled it through the queue thousands of times."""
         for f in files:
             try:
                 n = _num_reads_fast(f)
@@ -560,31 +572,36 @@ def get_reads(directory, read_ids=None, skip=False, max_read_size=0,
                 sys.stderr.write(f"> warning: {f} - {e}\n")
                 continue
             for lo in range(0, n, block):
-                yield (f, read_ids, skip, do_trim, scaling_strategy,
-                       norm_params, (lo, min(lo + block, n)))
+                yield (f, (lo, min(lo + block, n)))
 
+    worker = partial(_read_block, read_ids=read_ids, skip=skip,
+                     do_trim=do_trim, scaling_strategy=scaling_strategy,
+                     norm_params=norm_params)
     if n_proc <= 1:
-        batches = (
-            (None, _read_file(
-                (f, read_ids, skip, do_trim, scaling_strategy, norm_params)))
-            for f in files)
+        batches = ((None, worker((f, None))) for f in files)
     else:
         # blocks (not whole files) even when there is a single file:
         # row-range items let every worker contribute to it
         batches = process_map(
-            _read_file, ((i, a) for i, a in enumerate(blocks())),
+            worker, ((i, a) for i, a in enumerate(blocks())),
             n_proc=n_proc, maxsize=4)
 
-    for _, reads in batches:
-        for read in reads:
-            if max_read_size > 0 and len(read.signal) > max_read_size:
-                sys.stderr.write(
-                    f"> skipping long read {read.read_id} "
-                    f"({len(read.signal)} samples)\n")
-                continue
-            yield read
-            if cancel is not None and cancel.is_set():
-                return
+    try:
+        for _, reads in batches:
+            for read in reads:
+                if max_read_size > 0 and len(read.signal) > max_read_size:
+                    sys.stderr.write(
+                        f"> skipping long read {read.read_id} "
+                        f"({len(read.signal)} samples)\n")
+                    continue
+                yield read
+                if cancel is not None and cancel.is_set():
+                    return
+    finally:
+        # the in-process (n_proc<=1) path parses through _p5_cached too;
+        # without this the LAST file's whole byte buffer + Arrow tables
+        # stay pinned in a long-lived process after streaming ends
+        _P5_CACHE.clear()
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,17 @@ def _merge_bn_updates(params, updates):
     return params
 
 
+def _use_tcn(model, criterion):
+    """One TCN-eligibility gate for BOTH the train step and validation:
+    editing the condition in one place cannot silently make validation
+    measure a different forward path than training."""
+    return (
+        criterion is None
+        and hasattr(model, "forward_tcn")
+        and getattr(model, "decode_head", lambda: None)() is not None
+    )
+
+
 def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None):
     """
     Build the jitted train step:
@@ -77,11 +88,7 @@ def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None)
     # TCN path: the default CRF loss runs from forward_tcn's prep-free
     # [T, moves, N] layout (no [N, T, C] scores tensor, no batch-minor
     # transposes in the logZ VJP). Custom criteria keep the scores path.
-    use_tcn = (
-        criterion is None
-        and hasattr(model, "forward_tcn")
-        and getattr(model, "decode_head", lambda: None)() is not None
-    )
+    use_tcn = _use_tcn(model, criterion)
     criterion = criterion or model.loss
 
     def forward_loss(params, data, targets, lengths):
@@ -198,6 +205,9 @@ class Trainer:
         self.opt_state = None
         self._step_fn = None
         self._valid_fn = None
+        self._lr_schedule = None
+        self._base_lr = None
+        self._sched_step = 0
 
     def init_optimizer(self, lr, **kwargs):
         """AdamW by default; pluggable via config [optim] package/symbol
@@ -248,12 +258,12 @@ class Trainer:
         t0 = time.perf_counter()
         chunks = 0
         smoothed_loss = None
-        # steps RELATIVE to the resume point: the schedule itself offsets
-        # by start_step = last_epoch * steps_per_epoch (schedule.py), so
-        # an absolute step here would double-count completed epochs and
-        # collapse the LR to its floor on every resume (the reference's
-        # LambdaLR counter restarts at 0 on resume too)
-        step0 = (epoch - 1 - last_epoch) * (self.steps_per_epoch or 0)
+        # schedule steps count ACTUAL batches run since the resume point
+        # (self._sched_step, reset in fit): a loader that yields fewer
+        # than steps_per_epoch batches must not skip the LR schedule
+        # ahead each epoch. The schedule itself offsets the resume point
+        # by start_step = last_epoch * steps_per_epoch (schedule.py) —
+        # an absolute step here would double-count completed epochs.
         pending = None
 
         def materialize(record):
@@ -278,7 +288,7 @@ class Trainer:
                     "chunks": n_chunks,
                     "time": time.perf_counter() - t0,
                     "grad_norm": grad_norm,
-                    "lr": lr_scale,
+                    "lr": lr_scale * (self._base_lr or 1.0),
                     **losses,
                 })
 
@@ -293,9 +303,10 @@ class Trainer:
                   leave=True, ncols=100,
                   bar_format="{l_bar}{bar}| [{elapsed}{postfix}]",
                   **tqdm_environ()) as progress:
-            for i, batch in enumerate(
-                    islice(self.train_loader, self.steps_per_epoch)):
-                lr_scale = self.get_lr_scale(step0 + i, epochs, last_epoch)
+            for batch in islice(self.train_loader, self.steps_per_epoch):
+                lr_scale = self.get_lr_scale(
+                    self._sched_step, epochs, last_epoch)
+                self._sched_step += 1
                 losses, grad_norm = self.train_one_step(batch, lr_scale)
                 chunks += batch[0].shape[0]
                 if pending is not None:
@@ -319,13 +330,9 @@ class Trainer:
             model = self.model
             criterion = self.criterion or self.model.loss
             emits_codes = hasattr(model, "seqdist")
-            # prep-free TCN route (same path the train step uses): no
-            # [N, T, C] scores tensor, no batch-minor transposes
-            use_tcn = (
-                self.criterion is None
-                and hasattr(model, "forward_tcn")
-                and getattr(model, "decode_head", lambda: None)() is not None
-            )
+            # prep-free TCN route (same gate as the train step, so
+            # validation measures the path that trained)
+            use_tcn = _use_tcn(model, self.criterion)
 
             use_amp = self.use_amp
 
@@ -471,6 +478,16 @@ class Trainer:
         if self.steps_per_epoch is None:
             raise ValueError("chunks_per_epoch/batch_size must be set before fit")
 
+        if (self.grad_accum_split > 1 and self.batch_size
+                and self.batch_size % self.grad_accum_split):
+            raise ValueError(
+                f"batch size {self.batch_size} must divide by "
+                f"--grad-accum-split {self.grad_accum_split} (the "
+                f"accumulation scan needs equal microbatches; pick a "
+                f"divisor of the batch size)")
+        # logged 'lr' must be the REAL learning rate (schedule multiplier
+        # x base), matching the reference's get_last_lr() CSV column
+        self._base_lr = (lr[0] if isinstance(lr, (list, tuple)) else lr)
         last_epoch, opt_state = load_state(
             workdir, self.model, want_optim=self.restore_optim)
         if self.model.params is None:
@@ -479,6 +496,7 @@ class Trainer:
         if self.restore_optim and opt_state is not None:
             self.opt_state = opt_state
         self._lr_schedule = None
+        self._sched_step = 0   # actual batches run since the resume point
         self._step_fn = make_train_step(
             self.model, self.optimizer, use_amp=self.use_amp,
             grad_accum_split=self.grad_accum_split, criterion=self.criterion)
