@@ -18,6 +18,8 @@ from bonito_tpu.util import parasail_style_cigar_counts
 
 _CIGAR_CAP = 1 << 20
 _MD_CAP = 1 << 20
+import threading
+_map_buffers = threading.local()
 
 
 @dataclass
@@ -54,7 +56,12 @@ def read_fasta(path):
             if line.startswith(">"):
                 if name is not None:
                     seqs.append((name, "".join(parts)))
-                name = line[1:].split()[0]
+                parts_name = line[1:].split()
+                if not parts_name:
+                    raise ValueError(
+                        f"malformed FASTA: header line with no name "
+                        f"({path})")
+                name = parts_name[0]
                 parts = []
             else:
                 parts.append(line)
@@ -74,6 +81,15 @@ class Aligner:
         if self.lib is None:
             raise RuntimeError("native mapper failed to build")
         self.preset = preset
+        if preset not in (None, "lr:hq"):
+            # the in-tree mapper has one (lr:hq-style) parameterisation;
+            # accepting other presets silently would let users believe
+            # they changed mapping behaviour
+            import sys
+            sys.stderr.write(
+                f"> warning: mm2 preset {preset!r} has no effect — the "
+                f"in-tree mapper always uses its lr:hq-style parameters "
+                f"(k={k}, w={w})\n")
         contigs = read_fasta(reference)
         if not contigs:
             raise ValueError(f"no sequences in {reference}")
@@ -109,8 +125,14 @@ class Aligner:
         q_st, q_en = ctypes.c_int32(), ctypes.c_int32()
         strand, mapq = ctypes.c_int32(), ctypes.c_int32()
         nm, score = ctypes.c_int32(), ctypes.c_int32()
-        cigar = ctypes.create_string_buffer(_CIGAR_CAP)
-        md = ctypes.create_string_buffer(_MD_CAP)
+        # the 1 MB cigar/MD out-buffers are reused per mapping thread:
+        # ctypes zero-fills on creation, ~2 MB of memset per read at
+        # high read rates otherwise
+        tl = _map_buffers
+        if not hasattr(tl, "cigar"):
+            tl.cigar = ctypes.create_string_buffer(_CIGAR_CAP)
+            tl.md = ctypes.create_string_buffer(_MD_CAP)
+        cigar, md = tl.cigar, tl.md
         hit = self.lib.mapper_map(
             self.handle, q, len(q),
             ctypes.byref(ctg_id), ctypes.byref(r_st), ctypes.byref(r_en),

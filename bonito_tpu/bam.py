@@ -31,7 +31,7 @@ for _c, _i in _NT16.items():
     _NT16_LUT[ord(_c.lower())] = _i
 _CIGAR_OPS = {op: i for i, op in enumerate("MIDNSHP=X")}
 _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
-_REVCOMP = str.maketrans("ACGTUacgtu", "TGCAAtgcaa")
+from bonito_tpu.util import _COMP as _REVCOMP  # noqa: E402 — shared IUPAC table
 
 
 def _reg2bin(beg, end):

@@ -50,6 +50,10 @@ def _parse_bam_records(data):
         (ref_id, pos, l_read_name, mapq, bin_, n_cigar, flag,
          l_seq, next_ref, next_pos, tlen) = struct.unpack("<iiBBHHHiiii",
                                                           rec[:32])
+        # skip secondary/supplementary BEFORE decoding: the nibble
+        # unpack + qstring build are the expensive part of each record
+        if flag & 0x900:
+            continue
         p = 32
         name = rec[p:p + l_read_name - 1].decode()
         p += l_read_name
@@ -65,9 +69,6 @@ def _parse_bam_records(data):
             qstring = (np.frombuffer(qual, dtype=np.uint8) + 33).tobytes().decode()
         else:
             qstring = "*"
-        # skip secondary/supplementary so the primary record wins
-        if flag & 0x900:
-            continue
         yield SeqRecord(name, seq, qstring), flag
 
 
@@ -100,8 +101,10 @@ class ReadIndexedBam:
         self.path = Path(path)
         data = self.path.read_bytes()
         if data[:2] == b"\x1f\x8b":
-            records = _parse_bam_records(gzip.decompress(data))
-        elif data[:4] == b"BAM\x01":
+            # gzip/BGZF wraps BAM *or* plain SAM text — re-dispatch on
+            # the decompressed payload
+            data = gzip.decompress(data)
+        if data[:4] == b"BAM\x01":
             records = _parse_bam_records(data)
         elif data[:4] == b"CRAM":
             records = _parse_cram_records(data)
@@ -112,10 +115,10 @@ class ReadIndexedBam:
             # reverse-strand records store the revcomp; restore read
             # orientation for consensus
             if flag & 0x10:
+                from bonito_tpu.util import revcomp
                 rec = SeqRecord(
                     rec.read_id,
-                    rec.sequence.translate(
-                        str.maketrans("ACGTU", "TGCAA"))[::-1],
+                    revcomp(rec.sequence),
                     rec.qstring[::-1] if rec.qstring != "*" else "*")
             self._records.setdefault(rec.read_id, rec)
 

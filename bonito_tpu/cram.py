@@ -599,8 +599,8 @@ class CramWriter:
         # "xx:T:"), so render ArrayTag and friends up front
         tags = [str(t) for t in (tags or [])]
         if mapping is not None and mapping.strand == -1:
-            comp = str.maketrans("ACGTUacgtu", "TGCAAtgcaa")
-            seq = seq.translate(comp)[::-1]
+            from bonito_tpu.util import revcomp
+            seq = revcomp(seq)
             qstring = qstring[::-1]
         if mapping is None:
             rec = CramRecord(read_id, 4, -1, -1, 0, [], seq,

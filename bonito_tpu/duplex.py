@@ -32,7 +32,8 @@ _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 
 
 def revcomp(seq):
-    return seq.translate(str.maketrans("ACGTUacgtu", "TGCAAtgcaa"))[::-1]
+    from bonito_tpu.util import revcomp as _rc
+    return _rc(seq)
 
 
 def cigartuples_from_string(cigarstring):

@@ -28,13 +28,21 @@ __ont_bam_spec__ = "0.0.2"
 Format = namedtuple("Format", "aligned name mode")
 
 
+def _stdout_target():
+    """(path, is_tty_or_pipe): ONE redirect-detection idiom for biofmt
+    and summary_file — the realpath('/dev/fd/1') + isatty + '/proc'
+    heuristic must stay in lockstep between them."""
+    stdout = os.path.realpath("/dev/fd/1")
+    return stdout, (sys.stdout.isatty() or stdout.startswith("/proc"))
+
+
 def biofmt(aligned=False):
     """Pick the output format from how stdout is redirected
     (same rules as the reference: bonito/io.py:35-54)."""
     mode, name = ("w", "sam") if aligned else ("wfq", "fastq")
     aligned = "aligned" if aligned else "unaligned"
-    stdout = os.path.realpath("/dev/fd/1")
-    if sys.stdout.isatty() or stdout.startswith("/proc"):
+    stdout, interactive = _stdout_target()
+    if interactive:
         return Format(aligned, name, mode)
     ext = stdout.split(os.extsep)[-1]
     if ext in ("fq", "fastq"):
@@ -51,8 +59,8 @@ def biofmt(aligned=False):
 def summary_file():
     """summary.tsv filename derived from the stdout target
     (reference: bonito/io.py:169-177)."""
-    stdout = os.path.realpath("/dev/fd/1")
-    if sys.stdout.isatty() or stdout.startswith("/proc"):
+    stdout, interactive = _stdout_target()
+    if interactive:
         return "summary.tsv"
     return "%s_summary.tsv" % os.path.splitext(stdout)[0]
 
@@ -107,8 +115,8 @@ def _cigar_and_clips(mapping, seqlen):
 
 
 def _revcomp(seq):
-    comp = str.maketrans("ACGTUacgtu", "TGCAAtgcaa")
-    return seq.translate(comp)[::-1]
+    from bonito_tpu.util import revcomp
+    return revcomp(seq)
 
 
 def sam_record(read_id, sequence, qstring, mapping=None, tags=None):
@@ -185,7 +193,10 @@ def summary_row(read, seqlen, qscore, alignment=False):
         eqs = alignment.cigar_counts.get("=", 0)
         xs = alignment.cigar_counts.get("X", 0)
         matches = alignment.cigar_counts.get("M", 0) + eqs + xs
-        subs = getattr(alignment, "NM", 0) - ins - dels
+        # clamp like CTCWriter: a duck-typed mapping without NM (the
+        # getattr default) plus I/D ops would go negative and report
+        # identity > 1
+        subs = max(getattr(alignment, "NM", 0) - ins - dels, 0)
         correct = matches - subs
         length = matches + ins + dels
         # strand coordinates in sequencing direction (reference
@@ -442,7 +453,9 @@ class Writer(Thread):
         for read, res in self.iterator:
             seq = res["sequence"]
             qstring = res.get("qstring", "*")
-            mean_q = res.get("mean_qscore", mean_qscore_from_qstring(qstring))
+            mean_q = res.get("mean_qscore")
+            if mean_q is None:  # .get default would eagerly scan the qstring
+                mean_q = mean_qscore_from_qstring(qstring)
             mapping = res.get("mapping", None)
 
             self.log.append((read.read_id, len(read.signal)))
@@ -490,7 +503,9 @@ class DuplexWriter(Writer):
             read_id = f"{template.read_id};{complement.read_id}"
             seq = res["sequence"]
             qstring = res.get("qstring", "*")
-            mean_q = res.get("mean_qscore", mean_qscore_from_qstring(qstring))
+            mean_q = res.get("mean_qscore")
+            if mean_q is None:  # .get default would eagerly scan the qstring
+                mean_q = mean_qscore_from_qstring(qstring)
             mapping = res.get("mapping", None)
             # log BEFORE filtering (like Writer.run and the reference)
             # so the CLI's read/base totals count processed pairs, not
@@ -546,8 +561,9 @@ class CTCWriter(Writer):
         for read, ctc_data in self.iterator:
             seq = ctc_data["sequence"]
             qstring = ctc_data.get("qstring", "")
-            mean_q = ctc_data.get(
-                "mean_qscore", mean_qscore_from_qstring(qstring))
+            mean_q = ctc_data.get("mean_qscore")
+            if mean_q is None:
+                mean_q = mean_qscore_from_qstring(qstring)
             mapping = ctc_data.get("mapping", None)
             self.log.append((read.read_id, len(read.signal)))
 
@@ -578,8 +594,8 @@ class CTCWriter(Writer):
                 # target must be in the READ's direction (the reference
                 # revcomps here too, bonito/io.py:579-580) — without
                 # this, minus-strand chunks trained on the wrong target
-                comp = str.maketrans("ACGTN", "TGCAN")
-                refseq = refseq.translate(comp)[::-1]
+                from bonito_tpu.util import revcomp
+                refseq = revcomp(refseq)
             if self.rejected("N" in refseq, "N in reference"):
                 continue
 

@@ -28,6 +28,19 @@ __data_dir__ = __dir__ / "data"
 _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 
 
+
+# one canonical reverse-complement for every writer/reader/consensus
+# site (io/bam/cram/bam_reader/duplex): full IUPAC ambiguity codes and
+# lowercase; S, W and N are their own complements
+_COMP = str.maketrans("ACGTURYKMBVDHacgturykmbvdh",
+                      "TGCAAYRMKVBHDtgcaayrmkvbhd")
+
+
+def revcomp(seq):
+    """Reverse complement (IUPAC + lowercase aware)."""
+    return seq.translate(_COMP)[::-1]
+
+
 def permute(x, input_layout, output_layout):
     """
     Reorder array dims by layout strings (reference: bonito/util.py:56-63).
