@@ -286,6 +286,13 @@ def load_weights(path, model):
     if path.endswith(".npz"):
         return load_params(path)
     if path.endswith(".tar") or zipfile.is_zipfile(path):
+        # materialise the model's own parameter shapes first: the
+        # import shape guard compares every imported array against
+        # them, and with params=None (the CLI load path) it silently
+        # skipped — a remap mispairing then loaded wrong weights with
+        # no error (round-5 review finding)
+        if getattr(model, "params", None) is None and hasattr(model, "init"):
+            model.init()
         return import_torch_checkpoint(path, model)
     raise ValueError(f"unrecognised checkpoint format: {path}")
 

@@ -61,6 +61,13 @@ def _torch_state_dict(model):
         if tree is not None and root in model.params:
             state.update(export_state_dict(
                 tree, model.params[root], prefix=root))
+    # the importer rewrites EXPECTED keys to the reference layout
+    # (checkpoint.py:203-205); the exported file must carry those same
+    # reference names or the round-trip (and reference bonito) cannot
+    # match them — e.g. the CTC decoder's decoder.layers.0.*
+    rewrite = getattr(model, "rewrite_torch_keys", None)
+    if rewrite is not None:
+        state = {rewrite(k): v for k, v in state.items()}
     return {k: torch.from_numpy(v) for k, v in state.items()}
 
 

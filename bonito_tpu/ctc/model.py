@@ -89,7 +89,13 @@ class Block(nn.Layer):
 
     def _drop(self, x, ctx):
         if self.dropout > 0 and ctx and ctx.get("train") and "dropout_key" in ctx:
-            key = jax.random.fold_in(ctx["dropout_key"], hash(id(self)) % (1 << 31))
+            # per-SITE key: the shared counter list (one object across
+            # all ctx copies) folds a distinct, trace-deterministic n
+            # per dropout site — id(self)-based folding gave every site
+            # inside a Block the same mask, invariant across steps
+            ctr = ctx.setdefault("dropout_ctr", [0])
+            key = jax.random.fold_in(ctx["dropout_key"], ctr[0])
+            ctr[0] += 1
             keep = jax.random.bernoulli(key, 1 - self.dropout, x.shape)
             return jnp.where(keep, x / (1 - self.dropout), 0)
         return x
@@ -247,8 +253,9 @@ class Model:
         decode_batch is absent (training validation + evaluate,
         bonito/training.py:197-199, bonito/cli/evaluate.py:107-111,
         bonito/ctc/model.py:39)."""
-        return [self.decode(np.asarray(x)[i], beamsize=beamsize)
-                for i in range(len(x))]
+        xs = np.asarray(x)  # ONE device fetch, not one per read
+        return [self.decode(xs[i], beamsize=beamsize)
+                for i in range(len(xs))]
 
     # -- loss --------------------------------------------------------------------
 

@@ -37,3 +37,20 @@ def matmul_int8(x, w_q, w_scales, out_dtype=None, x_scale=None):
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx * w_scales
     return y.astype(out_dtype or x.dtype)
+
+
+def quantize_named_weights(params, names, amax=None):
+    """Shared per-output-channel int8 weight quantisation for a set of
+    named [in, out] weights (+ optional STATIC activation scales from a
+    calibrate_amax pass). One implementation for every transformer
+    projection site — the 1/127 scale conventions are subtle enough
+    that divergent copies are where off-by-127 bugs hide."""
+    import jax.numpy as jnp
+    out = dict(params)
+    for name in names:
+        w_q, w_s = quantize_cols(out.pop(name))
+        out[name + "_q"], out[name + "_s"] = w_q, w_s
+        if amax and f"{name}_amax" in amax:
+            out[name + "_xs"] = jnp.float32(
+                max(float(amax[f"{name}_amax"]), 1e-8) / 127.0)
+    return out

@@ -91,9 +91,15 @@ def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None)
     use_tcn = _use_tcn(model, criterion)
     criterion = criterion or model.loss
 
-    def forward_loss(params, data, targets, lengths):
+    def forward_loss(params, data, targets, lengths, rng=None):
         run_params = nn.cast_tree(params, jnp.bfloat16) if use_amp else params
         ctx = {"train": True, "updates": {}}
+        if rng is not None:
+            # per-step dropout key; layers derive per-SITE keys via the
+            # shared counter list (dict(ctx) copies in _push_path share
+            # the same list object, so every site folds a distinct n)
+            ctx["dropout_key"] = rng
+            ctx["dropout_ctr"] = [0]
         data = data.astype(jnp.bfloat16 if use_amp else jnp.float32)
         if use_tcn:
             moves_tcn, blank = model.forward_tcn(run_params, data, ctx)
@@ -108,7 +114,7 @@ def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None)
 
     grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
 
-    def step(params, opt_state, batch, lr_scale, clip_max):
+    def step(params, opt_state, batch, lr_scale, clip_max, rng=None):
         data, targets, lengths = batch
 
         if grad_accum_split > 1:
@@ -122,7 +128,15 @@ def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None)
             mbs = (split(data), split(targets), split(lengths))
             first = tuple(x[0] for x in mbs)
             rest = tuple(x[1:] for x in mbs)
-            (_, (losses0, upd0)), grads0 = grad_fn(params, *first)
+            if rng is not None:
+                # distinct dropout key per microbatch, scanned alongside
+                mb_keys = jax.vmap(
+                    lambda i: jax.random.fold_in(rng, i))(
+                        jnp.arange(grad_accum_split))
+                rest = (*rest, mb_keys[1:])
+            (_, (losses0, upd0)), grads0 = grad_fn(
+                params, *first,
+                *((mb_keys[0],) if rng is not None else ()))
             losses0 = {k: v / grad_accum_split for k, v in losses0.items()}
 
             def micro(carry, mb):
@@ -140,7 +154,8 @@ def make_train_step(model, tx, use_amp=True, grad_accum_split=1, criterion=None)
             grads = jax.tree.map(lambda g: g / grad_accum_split, grads)
         else:
             (_, (losses, updates_bn)), grads = grad_fn(
-                params, data, targets, lengths)
+                params, data, targets, lengths,
+                *(() if rng is None else (rng,)))
 
         grad_norm = optax.global_norm(grads)
         scale = jnp.minimum(1.0, clip_max / (grad_norm + 1e-12))
@@ -249,9 +264,12 @@ class Trainer:
     def train_one_step(self, batch, lr_scale):
         clip_max = (self.quantile_clip.max_norm()
                     if self.quantile_clip else self.fixed_clip)
+        # per-step dropout key (deterministic in the schedule step);
+        # models without dropout sites simply never consume it
+        rng = jax.random.PRNGKey(self._sched_step)
         self.model.params, self.opt_state, losses, grad_norm = self._step_fn(
             self.model.params, self.opt_state, self._put_batch(batch),
-            jnp.float32(lr_scale), jnp.float32(clip_max))
+            jnp.float32(lr_scale), jnp.float32(clip_max), rng)
         return losses, grad_norm
 
     def train_one_epoch(self, loss_log, epoch, epochs, last_epoch):

@@ -100,15 +100,8 @@ class MultiHeadAttention(nn.Layer):
         calibrate_amax) adds STATIC activation scales — without them the
         projections fall back to dynamic per-token scales, which measured
         SLOWER than bf16 at sup shapes (DESIGN.md)."""
-        from bonito_tpu.ops.int8 import quantize_cols
-        out = dict(params)
-        for name in ("wqkv", "out_w"):
-            w_q, w_s = quantize_cols(out.pop(name))
-            out[name + "_q"], out[name + "_s"] = w_q, w_s
-            if amax and f"{name}_amax" in amax:
-                out[name + "_xs"] = jnp.float32(
-                    max(float(amax[f"{name}_amax"]), 1e-8) / 127.0)
-        return out
+        from bonito_tpu.ops.int8 import quantize_named_weights
+        return quantize_named_weights(params, ("wqkv", "out_w"), amax)
 
     def _project(self, params, name, x, ctx=None):
         if ctx is not None and ctx.get("calibrate"):
@@ -198,15 +191,8 @@ class GatedMlp(nn.Layer):
         }
 
     def quantize_params(self, params, amax=None):
-        from bonito_tpu.ops.int8 import quantize_cols
-        out = dict(params)
-        for name in ("fc1", "fc2"):
-            w_q, w_s = quantize_cols(out.pop(name))
-            out[name + "_q"], out[name + "_s"] = w_q, w_s
-            if amax and f"{name}_amax" in amax:
-                out[name + "_xs"] = jnp.float32(
-                    max(float(amax[f"{name}_amax"]), 1e-8) / 127.0)
-        return out
+        from bonito_tpu.ops.int8 import quantize_named_weights
+        return quantize_named_weights(params, ("fc1", "fc2"), amax)
 
     def _record(self, ctx, name, x):
         if ctx is not None and ctx.get("calibrate"):

@@ -115,3 +115,28 @@ class TestCTCImport:
             t_out = tmodel(torch.tensor(x).permute(0, 2, 1)).numpy()
         j_out = np.asarray(model.forward(jnp.asarray(x)), np.float32)
         np.testing.assert_allclose(j_out, t_out, rtol=2e-4, atol=2e-4)
+
+
+class TestCtcTorchExportRoundTrip:
+    def test_export_import_bit_identical(self, tmp_path):
+        """Round-5 fix: exported CTC checkpoints must carry the
+        reference decoder key layout (decoder.layers.0.*) so they
+        re-import — and load in reference bonito."""
+        import jax
+        import numpy as np
+        import torch
+        from bonito_tpu.models import conv_ctc_config
+        from bonito_tpu.ctc.model import Model
+        from bonito_tpu.cli.export import _torch_state_dict
+        from bonito_tpu.checkpoint import import_torch_checkpoint
+
+        m = Model(conv_ctc_config(chunksize=600))
+        m.init()
+        state = _torch_state_dict(m)
+        assert any(k.startswith("decoder.layers.0.") for k in state)
+        torch.save(state, tmp_path / "weights_1.tar")
+        m2 = Model(conv_ctc_config(chunksize=600))
+        params = import_torch_checkpoint(str(tmp_path / "weights_1.tar"), m2)
+        for a, b in zip(jax.tree.leaves(m.params), jax.tree.leaves(params)):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32))

@@ -223,3 +223,40 @@ class TestScheduleEdgeCases:
         fn2 = s.linear_warmup_const_inverse_sqrt_decay(
             warmup_steps=0)(steps_per_epoch=10, epochs=20)
         assert np.isfinite(fn2(0))
+
+
+class TestDropout:
+    def test_ctc_dropout_live_and_per_key(self):
+        """Round-5 fix: the trainer now threads a per-step dropout key
+        (QuartzNet configs train with dropout in the reference); masks
+        must differ per key and per site, and rng=None (bench/dryrun
+        callers) must keep the old deterministic behaviour."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+        from bonito_tpu.models import conv_ctc_config
+        from bonito_tpu.ctc.model import Model
+        from bonito_tpu.training import make_train_step
+
+        m = Model(conv_ctc_config(chunksize=600))
+        m.init()
+        tx = optax.adamw(1e-3)
+        step = make_train_step(m, tx, use_amp=True)
+        rng0 = np.random.default_rng(0)
+        batch = (jnp.asarray(rng0.normal(0, 1, (2, 600, 1)), jnp.float32),
+                 jnp.asarray(rng0.integers(1, 5, (2, 40)), jnp.int32),
+                 jnp.full((2,), 40, jnp.int32))
+
+        def run(key):
+            p = jax.tree.map(jnp.copy, m.params)
+            _, _, losses, _ = step(p, tx.init(p), batch,
+                                   jnp.float32(1.0), jnp.float32(1e9), key)
+            return float(losses["loss"])
+
+        l1 = run(jax.random.PRNGKey(1))
+        l2 = run(jax.random.PRNGKey(2))
+        ln = run(None)
+        assert l1 != l2, "dropout masks must differ per step key"
+        assert l1 != ln, "a provided key must activate dropout"
+        assert np.isfinite([l1, l2, ln]).all()
