@@ -95,11 +95,16 @@ class Aligner:
             raise ValueError(f"no sequences in {reference}")
         self.names = [n for n, _ in contigs]
         self.seqs = {n: s.upper() for n, s in contigs}
+        # contigs are joined with an N-gap: minimizers() resets its
+        # window on non-ACGT, so no k-mer (and no anchor) can span a
+        # contig junction; the chain DP additionally refuses to link
+        # anchors across contigs (mapper.cpp, round-5 review)
+        GAP = 32
         starts, off = [], 0
         for _, s in contigs:
             starts.append(off)
-            off += len(s)
-        concat = "".join(s for _, s in contigs).encode()
+            off += len(s) + GAP
+        concat = ("N" * GAP).join(s for _, s in contigs).encode()
         starts_arr = (ctypes.c_int64 * len(starts))(*starts)
         self.handle = self.lib.mapper_index_build(
             concat, len(concat), starts_arr, len(starts), k, w)
@@ -133,12 +138,25 @@ class Aligner:
             tl.cigar = ctypes.create_string_buffer(_CIGAR_CAP)
             tl.md = ctypes.create_string_buffer(_MD_CAP)
         cigar, md = tl.cigar, tl.md
-        hit = self.lib.mapper_map(
-            self.handle, q, len(q),
-            ctypes.byref(ctg_id), ctypes.byref(r_st), ctypes.byref(r_en),
-            ctypes.byref(q_st), ctypes.byref(q_en), ctypes.byref(strand),
-            ctypes.byref(mapq), ctypes.byref(nm), ctypes.byref(score),
-            cigar, _CIGAR_CAP, md, _MD_CAP)
+        while True:
+            hit = self.lib.mapper_map(
+                self.handle, q, len(q),
+                ctypes.byref(ctg_id), ctypes.byref(r_st), ctypes.byref(r_en),
+                ctypes.byref(q_st), ctypes.byref(q_en), ctypes.byref(strand),
+                ctypes.byref(mapq), ctypes.byref(nm), ctypes.byref(score),
+                cigar, len(cigar), md, len(md))
+            if hit != -1:
+                break
+            # mapped, but the cigar/MD outgrew this thread's buffers
+            # (multi-Mb ultralong reads): grow and retry rather than
+            # silently reporting the read unmapped
+            if len(cigar) >= (64 << 20):
+                raise RuntimeError(
+                    f"mapper cigar/MD exceeded 64 MB for a "
+                    f"{len(seq)}-base read")
+            tl.cigar = ctypes.create_string_buffer(2 * len(cigar))
+            tl.md = ctypes.create_string_buffer(2 * len(md))
+            cigar, md = tl.cigar, tl.md
         if not hit:
             return None
         name = self.names[ctg_id.value]

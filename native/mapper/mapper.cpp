@@ -84,6 +84,10 @@ void minimizers(const char* s, int64_t n, int k, int w, std::vector<Mini>& out) 
         while (dq.size() > head && dq.back().h >= m.h) dq.pop_back();
         dq.push_back(m);
         while (dq[head].pos <= pos - w) head++;
+        if (head > 256) {  // reclaim the consumed front: O(w) live
+            dq.erase(dq.begin(), dq.begin() + head);  // entries, not O(n)
+            head = 0;
+        }
         if (pos >= (int64_t)w - 1) {
             const Mini& best = dq[head];
             if (best.pos != last_emitted) {
@@ -160,22 +164,29 @@ AlnResult banded_align(const std::string& q, const std::string& r, int band,
             if (j < 0 || j > m) { f = NEG; continue; }
             // E: insertion (consume query), from (i-1, j) = prev row d+1
             int32_t e = NEG;
+            bool e_ext = false;
             if (d + 1 < W) {
                 if (Hp[d + 1] > NEG / 2)
                     e = Hp[d + 1] - gap_open - gap_extend;
-                if (Ep[d + 1] > NEG / 2)
-                    e = std::max(e, Ep[d + 1] - gap_extend);
+                if (Ep[d + 1] > NEG / 2 && Ep[d + 1] - gap_extend > e) {
+                    e = Ep[d + 1] - gap_extend;
+                    e_ext = true;
+                }
             }
             // F: deletion (consume ref), from (i, j-1) = same row d-1
             int32_t fnew = NEG;
+            bool f_ext = false;
             if (d > 0) {
                 if (H[d - 1] > NEG / 2) fnew = H[d - 1] - gap_open - gap_extend;
-                if (f > NEG / 2) fnew = std::max(fnew, f - gap_extend);
+                if (f > NEG / 2 && f - gap_extend > fnew) {
+                    fnew = f - gap_extend;
+                    f_ext = true;
+                }
             }
             f = fnew;
             // diag from (i-1, j-1) = prev row d
             int32_t h = NEG;
-            uint8_t dir = 255;
+            uint8_t dir = 3;
             if (j > 0 && Hp[d] > NEG / 2) {
                 h = Hp[d] + ((q[i - 1] == r[j - 1]) ? match : mismatch);
                 dir = 0;
@@ -184,7 +195,13 @@ AlnResult banded_align(const std::string& q, const std::string& r, int band,
             if (f > h) { h = f; dir = 2; }
             H[d] = h;
             E[d] = e;
-            bt[(size_t)i * W + d] = dir;
+            // packed traceback: bits 0-1 = H source (0 diag, 1 E, 2 F,
+            // 3 none), bit 2 = E extends, bit 3 = F extends. An H-only
+            // traceback lost the gap-extension state and emitted
+            // measurably suboptimal cigars (round-5 review: ~4% of
+            // random cases rescored below the DP optimum)
+            bt[(size_t)i * W + d] =
+                dir | (e_ext ? 4 : 0) | (f_ext ? 8 : 0);
         }
         std::swap(H, Hp);
         std::swap(E, Ep);
@@ -203,13 +220,27 @@ AlnResult banded_align(const std::string& q, const std::string& r, int band,
 
     std::string ops;
     int i = n, d = dbest;
+    int state = 0;  // 0 = H, 1 = in E (gap run), 2 = in F (gap run)
     while (i > 0) {
         int j = i + d - band;
-        uint8_t dir = (j == 0) ? 1 : bt[(size_t)i * W + d];
-        if (dir == 0) { ops.push_back(q[i - 1] == r[j - 1] ? '=' : 'X'); i--; }
-        else if (dir == 1) { ops.push_back('I'); i--; d++; }
-        else if (dir == 2) { ops.push_back('D'); d--; }
-        else break;  // hit the free row-0 start
+        uint8_t cell = bt[(size_t)i * W + d];
+        if (state == 0) {
+            uint8_t dir = cell & 3;
+            if (dir == 0) {
+                ops.push_back(q[i - 1] == r[j - 1] ? '=' : 'X');
+                i--;
+            } else if (dir == 1) state = 1;
+            else if (dir == 2) state = 2;
+            else break;  // unreachable/free start
+        } else if (state == 1) {
+            ops.push_back('I');
+            state = (cell & 4) ? 1 : 0;
+            i--; d++;
+        } else {
+            ops.push_back('D');
+            state = (cell & 8) ? 2 : 0;
+            d--;
+        }
     }
     res.j_start = i + d - band;
     std::reverse(ops.begin(), ops.end());
@@ -291,7 +322,7 @@ void ops_to_cigar_nm_md(const std::string& ops, const std::string& ref,
 bool map_query(const Index& idx, const std::string& query_raw, Mapping& out) {
     const int k = idx.k, w = idx.w;
     std::string query_up = query_raw;
-    for (auto& c : query_up) c = (char)toupper(c);
+    for (auto& c : query_up) c = (char)toupper((unsigned char)c);
     if ((int64_t)query_up.size() < k) return false;
 
     int32_t best_s = 0, second_s = 0;
@@ -319,6 +350,18 @@ bool map_query(const Index& idx, const std::string& query_raw, Mapping& out) {
                   [](const Anchor& a, const Anchor& b) {
                       return a.r == b.r ? a.q < b.q : a.r < b.r;
                   });
+        // contig id per anchor (r-sorted -> one sweeping pointer): the
+        // chain DP must not link anchors across a contig junction (the
+        // concatenated axis makes adjacent contigs look < MAX_GAP apart)
+        std::vector<int32_t> actg(anchors.size());
+        {
+            size_t ci = 0;
+            for (size_t a = 0; a < anchors.size(); a++) {
+                while (ci + 1 < idx.starts.size()
+                       && anchors[a].r >= idx.starts[ci + 1]) ci++;
+                actg[a] = (int32_t)ci;
+            }
+        }
 
         const int LOOKBACK = 64;
         const int64_t MAX_GAP = 5000;
@@ -330,6 +373,7 @@ bool map_query(const Index& idx, const std::string& query_raw, Mapping& out) {
         for (int i = 0; i < n; i++) {
             score[i] = k;
             for (int j = i - 1; j >= 0 && j >= i - LOOKBACK; j--) {
+                if (actg[i] != actg[j]) continue;  // no cross-junction links
                 int64_t dr = anchors[i].r - anchors[j].r;
                 int64_t dq = anchors[i].q - anchors[j].q;
                 if (dq <= 0 || dr <= 0 || dr > MAX_GAP || dq > MAX_GAP)
@@ -400,7 +444,23 @@ bool map_query(const Index& idx, const std::string& query_raw, Mapping& out) {
     if (w_hi <= w_lo) return false;
 
     std::string ref_window = idx.seq.substr(w_lo, w_hi - w_lo);
-    int band = 200;
+    // the band must cover the chain's WINDOW-RELATIVE diagonals (j - i
+    // for each anchor), not just a fixed 200: (a) balanced opposing
+    // indels drift the diagonal far beyond 200 even though chaining
+    // accepted them (MAX_GAP 5000); (b) when w_lo clamps at a contig
+    // start the window's main diagonal is OFFSET from the chain's — a
+    // chimera whose true segment started near a contig boundary aligned
+    // entirely out-of-band as unclippable soup (round-5 review + the
+    // chimera study's two residual failures)
+    int64_t jm_lo = INT64_MAX, jm_hi = INT64_MIN;
+    for (const auto& a : best_chain) {
+        int64_t jm = (a.r - w_lo) - a.q;
+        jm_lo = std::min(jm_lo, jm);
+        jm_hi = std::max(jm_hi, jm);
+    }
+    int64_t need = std::max(std::abs(jm_lo), std::abs(jm_hi));
+    int band = (int)std::min<int64_t>(
+        4096, std::max<int64_t>(200, need + 64));
     AlnResult aln = banded_align(query, ref_window, band);
     if (aln.score == INT32_MIN || aln.ops.empty()) return false;
 
@@ -453,7 +513,7 @@ void* mapper_index_build(const char* seq, int64_t seq_len,
     idx->k = k;
     idx->w = w;
     idx->seq.assign(seq, seq_len);
-    for (auto& c : idx->seq) c = (char)toupper(c);
+    for (auto& c : idx->seq) c = (char)toupper((unsigned char)c);
     idx->starts.assign(starts, starts + n_contigs);
     std::vector<Mini> mins;
     minimizers(idx->seq.c_str(), idx->seq.size(), k, w, mins);
@@ -475,8 +535,10 @@ int32_t mapper_map(void* handle, const char* query, int64_t query_len,
     Index* idx = (Index*)handle;
     Mapping m;
     if (!map_query(*idx, std::string(query, query_len), m)) return 0;
+    // -1: mapped but the caller's cigar/MD buffers are too small —
+    // distinct from 0 so a real mapping is never silently 'unmapped'
     if ((int32_t)m.cigar.size() >= cigar_cap ||
-        (int32_t)m.md.size() >= md_cap) return 0;
+        (int32_t)m.md.size() >= md_cap) return -1;
     *ctg_id = m.ctg_id;
     *r_st = m.r_st; *r_en = m.r_en;
     *q_st = m.q_st; *q_en = m.q_en;

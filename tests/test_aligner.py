@@ -232,3 +232,33 @@ class TestMapperConcordance:
             bucket.append(h.mapq)
         assert max(amb) <= 3, amb
         assert min(unq) >= 30, unq
+
+
+class TestClampedWindowChimera:
+    def test_segment_near_contig_start_is_clipped(self):
+        """Round-5 fix: when the alignment window clamps at a contig
+        start, the chain's true diagonal is OFFSET from the window's
+        main diagonal — with a fixed band the whole read aligned as
+        out-of-band soup (NM in the thousands) that trim_ops could not
+        clip. The band now covers the chain's window-relative
+        diagonals; chimeras whose real segment sits near a contig
+        boundary must clip to that segment."""
+        import tempfile
+        from pathlib import Path
+        from bonito_tpu.aligner import Aligner
+        rng = np.random.default_rng(17)
+        chr1, chr2 = rand_seq(rng, 20000), rand_seq(rng, 8000)
+        d = Path(tempfile.mkdtemp())
+        with open(d / "r.fa", "w") as f:
+            f.write(f">chr1\n{chr1}\n>chr2\n{chr2}\n")
+        al = Aligner(d / "r.fa")
+        for sb in (200, 600, 1500):
+            la, lb = 2500, 2400
+            sa = 9000
+            read = (mutate(rng, chr1[sa:sa + la])
+                    + mutate(rng, chr2[sb:sb + lb]))
+            h = al.map(read)
+            assert h is not None
+            # clipped to ONE segment with sane NM (was ~2400 pre-fix)
+            assert h.q_en - h.q_st < len(read) - 200, (sb, h.q_st, h.q_en)
+            assert h.NM < 0.15 * (h.q_en - h.q_st), (sb, h.NM)
