@@ -12,7 +12,6 @@ import sys
 import time
 from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
 from datetime import timedelta
-from itertools import chain
 
 import numpy as np
 
@@ -167,9 +166,15 @@ def main(args):
         )
 
     basecall_kwargs = {}
-    if args.beam and "decoder" in inspect.signature(basecall).parameters:
-        # koi beam-search output parity (default decode is exact Viterbi)
-        basecall_kwargs["decoder"] = "beam"
+    if args.beam:
+        if "decoder" in inspect.signature(basecall).parameters:
+            # koi beam-search output parity (default decode is Viterbi)
+            basecall_kwargs["decoder"] = "beam"
+        else:
+            # never silently decode Viterbi when beam parity was asked
+            sys.stderr.write(
+                "> warning: --beam has no effect for this model family "
+                "(no beam decoder); using its default decode\n")
     results = basecall(
         model, reads, reverse=args.revcomp, rna=args.rna,
         batchsize=batchsize, chunksize=chunksize, overlap=overlap,

@@ -131,8 +131,13 @@ def load_numpy_datasets(limit=None, directory=None):
         chunks = chunks[:limit]
         targets = targets[:limit]
         lengths = lengths[:limit]
-    return (np.array(host_slice(chunks)), np.array(host_slice(targets)),
-            np.array(host_slice(lengths)))
+        # bounded by --chunks: materialise for fast batch indexing
+        return (np.array(host_slice(chunks)), np.array(host_slice(targets)),
+                np.array(host_slice(lengths)))
+    # UNBOUNDED (--chunks 0): stay memory-mapped — real training sets
+    # can exceed host RAM, and the per-batch fancy indexing in the
+    # loader copies only the rows it touches (round-5 review)
+    return (host_slice(chunks), host_slice(targets), host_slice(lengths))
 
 
 def load_numpy(limit, directory, valid_limit=None):
@@ -148,9 +153,17 @@ def load_numpy(limit, directory, valid_limit=None):
         if valid_limit is None:
             split = np.floor(len(train_data[0]) * 0.97).astype(np.int32)
         else:
-            # an explicit --valid-chunks carves exactly that many chunks
-            # off the end of the training set (reference: data.py:110-113)
-            split = max(0, len(train_data[0]) - valid_limit)
+            # an explicit --valid-chunks carves that many chunks off the
+            # end of the training set (reference: data.py:110-113).
+            # Multi-host: the train arrays here are PER-HOST slices, so
+            # carve ceil(valid/n) per host (equal per-host row counts —
+            # unequal train shares would hang the grad psum) — the
+            # global validation size rounds up to a multiple of n,
+            # matching the validation/-dir path's global semantics
+            import jax
+            n_hosts = max(jax.process_count(), 1)
+            per_host = -(-valid_limit // n_hosts)
+            split = max(0, len(train_data[0]) - per_host)
         valid_data = [x[split:] for x in train_data]
         train_data = [x[:split] for x in train_data]
     return ChunkDataSet(*train_data), ChunkDataSet(*valid_data)

@@ -170,6 +170,8 @@ def get_read_groups(directory, model, read_ids=None, skip=False, n_proc=1,
         num_reads += len(reads)
         for read in reads:
             groups.add(read.readgroup(model))
+        if cancel is not None and cancel.is_set():
+            break  # honour Ctrl-C during the startup metadata scan
     return sorted(groups), num_reads
 
 

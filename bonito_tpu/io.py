@@ -348,8 +348,18 @@ class NullWriter(Thread):
         self.log = []
         self.duplex = duplex
         self.iterator = iterator
+        self._exc = None
 
     def run(self):
+        # same invariant as Writer.run: a crash in the consuming thread
+        # must re-raise from stop(), not leave the CLI exiting 0 after
+        # a failed partial run
+        try:
+            self._run()
+        except BaseException as e:  # noqa: BLE001 — re-raised in stop()
+            self._exc = e
+
+    def _run(self):
         for read, res in self.iterator:
             if self.duplex:
                 samples = len(read[0].signal) + len(read[1].signal)
@@ -361,6 +371,8 @@ class NullWriter(Thread):
 
     def stop(self):
         self.join()
+        if self._exc is not None:
+            raise self._exc
 
 
 class RejectCounter(defaultdict):

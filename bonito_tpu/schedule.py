@@ -87,8 +87,15 @@ def linear_warmup_const_inverse_sqrt_decay(
             eff_decay_start / epochs,
             (epochs - eff_cooldown) / epochs,
         ]
-        knots = [min(max(k, knots[i - 1] if i else 0.0), 1.0)
-                 for i, k in enumerate(knots)]
+        # clamp against the ALREADY-CLAMPED predecessor: reading the
+        # original list could leave the knots unsorted (e.g. raw
+        # [0.909, 0.1, 0.2] -> [0.909, 0.909, 0.2]), mis-routing
+        # piecewise_schedule's searchsorted (round-5 review)
+        clamped = []
+        for k in knots:
+            lo = clamped[-1] if clamped else 0.0
+            clamped.append(min(max(k, lo), 1.0))
+        knots = clamped
         func = piecewise_schedule(
             knots,
             [

@@ -260,3 +260,26 @@ class TestDropout:
         assert l1 != l2, "dropout masks must differ per step key"
         assert l1 != ln, "a provided key must activate dropout"
         assert np.isfinite([l1, l2, ln]).all()
+
+
+class TestScheduleKnotClamp:
+    def test_short_run_knots_stay_sorted(self):
+        """Round-5 fix: knot clamping read the ORIGINAL unclamped list,
+        so a warmup longer than the decay start produced unsorted knots
+        and searchsorted mis-routed segments (LR jumped mid-training).
+        The multiplier must be monotone-sane and continuous-ish."""
+        import numpy as np
+        from bonito_tpu import schedule as s
+        fn = s.linear_warmup_const_inverse_sqrt_decay(
+            warmup_steps=1000, decay_start_epoch=1,
+            linear_cooldown_n_epochs=8)(110, 10, 0)
+        ts = np.arange(1100)
+        vals = np.array([fn(t) for t in ts], dtype=np.float64)
+        assert np.all(np.isfinite(vals))
+        assert vals.min() >= 0.0 and vals.max() <= 1.0 + 1e-9
+        # sane routing: one warmup rise to the peak, then never rises
+        # again (the unsorted knots produced a decay followed by a jump
+        # BACK UP mid-training). A downward step at the degenerate
+        # segment boundary is inherent to this contradictory config.
+        peak = int(vals.argmax())
+        assert np.all(np.diff(vals[peak:]) <= 1e-9)
