@@ -102,7 +102,6 @@ def tcn_to_scores(seqdist, moves_tcn, blank_score):
     """Rebuild full [N, T, C] scores from the decode-layout move tensor
     (inverse of Model.forward_tcn's head permutation) — the CPU/test
     fallback path and the parity oracle for the TCN kernels."""
-    import numpy as np
     nb = seqdist.n_base
     S = seqdist.n_states
     R = S // nb
@@ -143,9 +142,14 @@ def viterbi_decode_head(seqdist, head, qscale=1.0, qbias=0.0):
     Th, H, N = head.h_tcn.shape
     if not os.environ.get("BONITO_TPU_NO_PALLAS"):
         from bonito_tpu.ops import decode_pallas
+        sub = _sub_batch(seqdist.n_states)
+        # gate at the width a launch will actually run (wide batches
+        # dispatch as <= sub slices below) — gating at the full N let
+        # the VMEM model and the execution width drift apart
+        gate_h = (head.h_tcn if N <= sub
+                  else jax.lax.slice_in_dim(head.h_tcn, 0, sub, axis=2))
         if decode_pallas.supported_tcn_fused(
-                seqdist, head.h_tcn, head.wT, head.blank):
-            sub = _sub_batch(seqdist.n_states)
+                seqdist, gate_h, head.wT, head.blank):
 
             def run(h):
                 return decode_pallas.viterbi_decode_tcn_fused(
@@ -374,7 +378,7 @@ def viterbi_decode_reference(seqdist, scores, qscale=1.0, qbias=0.0):
 
 
 def beam_search(seqdist, scores, beam_width=32, beam_cut=100.0, scale=1.0,
-                offset=0.0, blank_score=2.0, qscale=1.0, qbias=0.0):
+                offset=0.0, blank_score=None, qscale=1.0, qbias=0.0):
     """
     Fixed-width CRF beam search (koi.decode.beam_search equivalent,
     reference call site bonito/crf/basecall.py:36-44).
@@ -386,7 +390,18 @@ def beam_search(seqdist, scores, beam_width=32, beam_cut=100.0, scale=1.0,
     what the width-32 beam approximates and runs ~10x faster on TPU —
     select with the basecaller's --beam flag when output parity with
     koi's beam is required.
+
+    ``blank_score`` exists in koi's signature because koi receives only
+    the learned move columns and injects the fixed stay score itself;
+    HERE ``scores`` is the full [N, T, C] tensor whose stay columns the
+    model already filled, so a value cannot be applied — passing one
+    warns instead of silently diverging from the koi contract.
     """
+    if blank_score is not None:
+        import sys
+        sys.stderr.write(
+            "> warning: beam_search(blank_score=...) has no effect — the "
+            "scores tensor already carries the model's stay columns\n")
     from bonito_tpu.ops.beam_device import beam_search_device
     return beam_search_device(
         seqdist, scores, beam_width=beam_width, beam_cut=beam_cut,

@@ -654,10 +654,14 @@ def supported_tcn(seqdist, moves_tcn, blank_score, require_tpu=True):
     T, Cm, N = moves_tcn.shape
     S = seqdist.n_states
     R = S // max(seqdist.n_base, 1)
+    from bonito_tpu.ops.decode import _sub_batch
     return (
         blank_score is not None
         and seqdist.n_base == 4 and S % 8 == 0 and R % 8 == 0 and N % 8 == 0
         and Cm == S * seqdist.n_base
+        # a state space too large for even K=1 at the dispatch width
+        # must fall back to the scan (the budget floor is 128 rows)
+        and _block_k(S, min(N, _sub_batch(S)), seqdist.n_base) >= 1
         and (on_tpu() or not require_tpu)
     )
 
@@ -782,9 +786,11 @@ def supported(seqdist, scores, require_tpu=True):
     N, T, C = scores.shape
     S = seqdist.n_states
     R = S // max(seqdist.n_base, 1)
+    from bonito_tpu.ops.decode import _sub_batch
     return (
         seqdist.n_base == 4 and S % 8 == 0 and R % 8 == 0 and N % 8 == 0
         and C == S * (seqdist.n_base + 1)
+        and _block_k(S, min(N, _sub_batch(S)), seqdist.n_base) >= 1
         and (on_tpu() or not require_tpu)
     )
 
@@ -803,7 +809,9 @@ def _block_k(S, N, nb):
     plane = S * eff_n
     avail = (16 << 20) - 14 * plane * 4
     per_k = plane * (2 + 2 * nb + 4 + 2) * 2
-    return max(1, min(4, avail // max(per_k, 1)))
+    if avail < per_k:
+        return 0  # even K=1 exceeds the budget — gates must reject
+    return max(1, min(4, avail // per_k))
 
 
 @partial(jax.jit, static_argnames=("seqdist", "qscale", "qbias", "interpret"))

@@ -33,12 +33,22 @@ def on_tpu():
     return jax.default_backend() == "tpu"
 
 
-def supported(N, T, P, require_tpu=True):
-    return (
-        not os.environ.get("BONITO_TPU_NO_PALLAS")
-        and N % 8 == 0
-        and (on_tpu() or not require_tpu)
-    )
+def supported(N, T, P, require_tpu=True, block_k=8):
+    """Shape + VMEM gate. The backward is the budget-setter: per grid
+    step it holds K-blocks of m, astack and dmove (double-buffered) plus
+    the [P8, N] carry planes — oversized lattices must fall back to the
+    scan path in seqdist, not die in a Mosaic VMEM compile error."""
+    if os.environ.get("BONITO_TPU_NO_PALLAS") or N % 8 != 0:
+        return False
+    if not (on_tpu() or not require_tpu):
+        return False
+    P8 = -(-P // 8) * 8
+    eff_n = -(-N // 128) * 128
+    K = block_k if T % block_k == 0 else 1
+    plane = P8 * eff_n * 4
+    # bwd: 3 double-buffered K-block streams + ~4 carry/body planes
+    need = 3 * 2 * K * plane + 4 * plane
+    return need < 90 * 1024 * 1024
 
 
 def _fwd_kernel(K, blank, m_ref, astack_out, afinal_out, alpha_ref):
@@ -147,8 +157,13 @@ def _lattice_logZ_tpn(m_tpn, lengths, blank, K, interpret):
 
 def _fwd(m_tpn, lengths, blank, K, interpret):
     astack, afinal = _run_fwd(m_tpn, blank, K, interpret)
-    logz = jnp.take_along_axis(
-        afinal.T, (lengths - 1)[:, None].astype(jnp.int32), axis=1)[:, 0]
+    # masked-where contraction, NOT take_along_axis: this runs on the
+    # training path, where gathers are banned (CLAUDE.md invariant; the
+    # seqdist oracle's lengths-1 readout uses the same form) — and the
+    # gather's index wrap at lengths==0 read an arbitrary padded row
+    pos = jax.lax.broadcasted_iota(jnp.int32, afinal.shape, 0)  # [P8, N]
+    sel = pos == (lengths - 1)[None, :]
+    logz = jnp.sum(jnp.where(sel, afinal, 0.0), axis=0)
     return logz, (m_tpn, astack, lengths, logz)
 
 

@@ -51,6 +51,34 @@ def _fwd_kernel(nb, R, stay_ref, moves_ref, alpha_out, alog_out, alog_ref):
         alog_out[...] = alog_ref[...]
 
 
+def _fwd_kernel_nockpt(nb, R, stay_ref, moves_ref, alog_out, alog_ref):
+    # forward-only variant: no alpha checkpoint output. The custom_vjp
+    # PRIMAL runs only when nothing differentiates (validation-style
+    # loss evaluations) — the checkpointing kernel wrote the full
+    # [T, S, N] f32 alpha stack to HBM there for nothing (round-5
+    # review); pallas outputs cannot be DCE'd.
+    t = pl.program_id(0)
+    S, N = alog_ref.shape
+
+    @pl.when(t == 0)
+    def _():
+        alog_ref[...] = jnp.zeros_like(alog_ref)
+
+    a_log = alog_ref[...]
+    stay = stay_ref[0].astype(jnp.float32)
+    moves = moves_ref[0].astype(jnp.float32).reshape(nb, nb, R, N)
+    a_view = a_log.reshape(nb, R, N)
+    cand = moves + a_view[None]
+    m = jnp.max(cand, axis=1)
+    move_in = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None]), axis=1))
+    move_in = jnp.swapaxes(move_in, 0, 1).reshape(S, N)
+    alog_ref[...] = _lse(stay + a_log, move_in)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        alog_out[...] = alog_ref[...]
+
+
 def _bwd_kernel(nb, R, stay_ref, moves_ref, alpha_ref, gz_ref,
                 gstay_out, gmoves_out, beta_ref):
     t = pl.program_id(0)
@@ -106,28 +134,41 @@ def _split(seqdist, scores):
     return stay, moves
 
 
-def _run_fwd(seqdist, stay, moves, interpret):
+def _run_fwd(seqdist, stay, moves, interpret, with_ckpt=True):
     nb, S = seqdist.n_base, seqdist.n_states
     R = S // nb
     T, _, N = stay.shape
-    alpha, alog_T = pl.pallas_call(
-        partial(_fwd_kernel, nb, R),
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, nb * nb, R, N), lambda t: (t, 0, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
-            pl.BlockSpec((S, N), lambda t: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, S, N), jnp.float32),
-            jax.ShapeDtypeStruct((S, N), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
-        interpret=interpret,
-    )(stay, moves)
+    in_specs = [
+        pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, nb * nb, R, N), lambda t: (t, 0, 0, 0)),
+    ]
+    if with_ckpt:
+        alpha, alog_T = pl.pallas_call(
+            partial(_fwd_kernel, nb, R),
+            grid=(T,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
+                pl.BlockSpec((S, N), lambda t: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, S, N), jnp.float32),
+                jax.ShapeDtypeStruct((S, N), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+            interpret=interpret,
+        )(stay, moves)
+    else:
+        alpha = None
+        alog_T = pl.pallas_call(
+            partial(_fwd_kernel_nockpt, nb, R),
+            grid=(T,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((S, N), lambda t: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((S, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+            interpret=interpret,
+        )(stay, moves)
     return alpha, jax.nn.logsumexp(alog_T, axis=0)       # [N]
 
 
@@ -135,7 +176,9 @@ def _run_fwd(seqdist, stay, moves, interpret):
 def logZ_pallas(seqdist, scores, interpret=False):
     """logZ [N] for scores [N, T, C] via the Pallas scan."""
     stay, moves = _split(seqdist, scores)
-    _, logZ = _run_fwd(seqdist, stay, moves, interpret)
+    # primal = forward-only (jax runs _logZ_fwd instead when
+    # differentiating): skip the [T, S, N] alpha checkpoint stream
+    _, logZ = _run_fwd(seqdist, stay, moves, interpret, with_ckpt=False)
     return logZ
 
 
@@ -224,6 +267,29 @@ def _fwd_kernel_tcn(nb, R, blank, moves_ref, alpha_out, alog_out, alog_ref):
         alog_out[...] = alog_ref[...]
 
 
+def _fwd_kernel_tcn_nockpt(nb, R, blank, moves_ref, alog_out, alog_ref):
+    # forward-only variant (see _fwd_kernel_nockpt)
+    t = pl.program_id(0)
+    S, N = alog_ref.shape
+
+    @pl.when(t == 0)
+    def _():
+        alog_ref[...] = jnp.zeros_like(alog_ref)
+
+    a_log = alog_ref[...]
+    moves = moves_ref[0].astype(jnp.float32).reshape(nb, nb, R, N)
+    a_view = a_log.reshape(nb, R, N)
+    cand = moves + a_view[None]
+    m = jnp.max(cand, axis=1)
+    move_in = m + jnp.log(jnp.sum(jnp.exp(cand - m[:, None]), axis=1))
+    move_in = jnp.swapaxes(move_in, 0, 1).reshape(S, N)
+    alog_ref[...] = _lse(blank + a_log, move_in)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        alog_out[...] = alog_ref[...]
+
+
 def _bwd_kernel_tcn(nb, R, blank, moves_ref, alpha_ref, gz_ref,
                     gmoves_out, beta_ref):
     t = pl.program_id(0)
@@ -257,37 +323,55 @@ def supported_tcn(seqdist, moves_tcn, blank_score, require_tpu=True):
     return _sup(seqdist, moves_tcn, blank_score, require_tpu=require_tpu)
 
 
-def _run_fwd_tcn(seqdist, moves, blank, interpret):
+def _run_fwd_tcn(seqdist, moves, blank, interpret, with_ckpt=True):
     nb, S = seqdist.n_base, seqdist.n_states
     R = S // nb
     T, _, _, N = moves.shape
-    alpha, alog_T = pl.pallas_call(
-        partial(_fwd_kernel_tcn, nb, R, blank),
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, nb * nb, R, N), lambda t: (t, 0, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
-            pl.BlockSpec((S, N), lambda t: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, S, N), jnp.float32),
-            jax.ShapeDtypeStruct((S, N), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(moves)
+    in_specs = [pl.BlockSpec((1, nb * nb, R, N), lambda t: (t, 0, 0, 0))]
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if with_ckpt:
+        alpha, alog_T = pl.pallas_call(
+            partial(_fwd_kernel_tcn, nb, R, blank),
+            grid=(T,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, S, N), lambda t: (t, 0, 0)),
+                pl.BlockSpec((S, N), lambda t: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, S, N), jnp.float32),
+                jax.ShapeDtypeStruct((S, N), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+            compiler_params=vmem,
+            interpret=interpret,
+        )(moves)
+    else:
+        alpha = None
+        alog_T = pl.pallas_call(
+            partial(_fwd_kernel_tcn_nockpt, nb, R, blank),
+            grid=(T,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((S, N), lambda t: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((S, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((S, N), jnp.float32)],
+            compiler_params=vmem,
+            interpret=interpret,
+        )(moves)
     return alpha, jax.nn.logsumexp(alog_T, axis=0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3))
 def logZ_tcn(seqdist, moves_tcn, blank_score, interpret=False):
     """logZ [N] from [T, S*nb, N] move scores + constant stay."""
-    out, _ = _logZ_tcn_fwd(seqdist, moves_tcn, blank_score, interpret)
-    return out
+    nb = seqdist.n_base
+    R = seqdist.n_states // nb
+    T, Cm, N = moves_tcn.shape
+    moves = moves_tcn.astype(jnp.bfloat16).reshape(T, nb * nb, R, N)
+    # primal = forward-only: no alpha checkpoint stream (see logZ_pallas)
+    _, logZ = _run_fwd_tcn(seqdist, moves, float(blank_score), interpret,
+                           with_ckpt=False)
+    return logZ
 
 
 def _logZ_tcn_fwd(seqdist, moves_tcn, blank_score, interpret):
