@@ -74,7 +74,18 @@ def _parse_bam_records(data):
 
 def _parse_cram_records(data):
     from bonito_tpu.cram import CramReader
-    for rec in CramReader(data):
+    try:
+        records = list(CramReader(data))
+    except ValueError as e:
+        if "reference-based" in str(e):
+            raise ValueError(
+                "this CRAM is reference-based (written with --reference) "
+                "and duplex's read index cannot decode it without the "
+                "same fasta — re-basecall to BAM (the recommended duplex "
+                "input) or write referenceless CRAM (no --reference)"
+            ) from e
+        raise
+    for rec in records:
         if rec.flag & 0x900:
             continue
         yield SeqRecord(rec.name, rec.seq, rec.qual or "*"), rec.flag

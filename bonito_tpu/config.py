@@ -35,7 +35,8 @@ def _fmt_value(v):
         # control characters must be escaped in TOML basic strings or
         # the written config.toml is unparseable
         escaped = "".join(
-            c if c >= " " or c == "\t" else f"\\u{ord(c):04X}"
+            c if (c >= " " and c != "\x7f") or c == "\t"
+            else f"\\u{ord(c):04X}"
             for c in escaped)
         escaped = escaped.replace("\t", "\\t")
         return f'"{escaped}"'

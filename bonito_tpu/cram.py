@@ -151,8 +151,10 @@ def ltf8_decode(buf, pos):
 # ---------------------------------------------------------------------------
 
 def build_block(content_type, content_id, raw, method=None):
-    if method is not None and not isinstance(method, int) and \
-            method not in ("rans0", "rans1"):
+    # an int method means raw-passthrough and is valid ONLY for M_RAW:
+    # any other int would label uncompressed bytes with a codec id and
+    # write a structurally corrupt block (round-5 review)
+    if method is not None and method not in ("rans0", "rans1", M_RAW):
         raise ValueError(
             f"unknown CRAM block codec {method!r} (None=gzip, M_RAW, "
             f"'rans0', 'rans1')")
@@ -595,6 +597,17 @@ class CramWriter:
     # -- record intake ------------------------------------------------------
 
     def write(self, read_id, seq, qstring, mapping=None, tags=None):
+        # same loud guards as BAMWriter.write: a mismatched qstring
+        # silently desyncs the container's QS stream, corrupting the
+        # quality strings of EVERY later record in it (round-5 review)
+        if qstring and qstring != "*":
+            if len(qstring) != len(seq):
+                raise ValueError(
+                    f"seq/qual length mismatch in read {read_id}: "
+                    f"{len(seq)} bases vs {len(qstring)} quals")
+            if qstring and min(qstring) < "!":
+                raise ValueError(
+                    f"qstring char below '!' in read {read_id}")
         # the CRAM tag machinery works on SAM text forms (TD lines slice
         # "xx:T:"), so render ArrayTag and friends up front
         tags = [str(t) for t in (tags or [])]

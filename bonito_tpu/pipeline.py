@@ -57,7 +57,7 @@ class BackgroundIterator:
         self.runner.start()
         while True:
             item = self.queue.get()
-            if isinstance(item, _End) or (isinstance(item, str) and item == "__END__"):
+            if isinstance(item, _End):
                 break
             if isinstance(item, _Error):
                 # producer died: re-raise in the consumer so the failure
@@ -72,7 +72,20 @@ class BackgroundIterator:
             for item in self.iterator:
                 self.queue.put(item)
         except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
-            self.queue.put(_Error(e))
+            err = _Error(e)
+            if not isinstance(self.queue, queue.Queue):  # mp.Queue path
+                # mp.Queue pickles lazily in its feeder thread: an
+                # unpicklable exception would be DROPPED there with only
+                # a child-side traceback, and the consumer would end
+                # cleanly missing output — degrade to a picklable repr
+                import pickle
+                try:
+                    pickle.dumps(err)
+                except Exception:
+                    err = _Error(RuntimeError(
+                        f"producer failed with unpicklable "
+                        f"{type(e).__name__}: {e}"))
+            self.queue.put(err)
         finally:
             self.queue.put(self.sentinel)
 
@@ -90,7 +103,10 @@ class ThreadIterator(BackgroundIterator):
 class ProcessIterator(BackgroundIterator):
     QueueType = Queue
     RunnerType = Process
-    sentinel = "__END__"
+    # an _End INSTANCE (pickles to a fresh _End in the consumer, so the
+    # isinstance check matches): the old "__END__" string sentinel
+    # truncated any stream whose legitimate item equalled that string
+    sentinel = END
 
 
 def thread_iter(iterator, maxsize=8):
@@ -176,7 +192,7 @@ class _ThreadMapWorker(threading.Thread):
                 return
 
 
-def thread_map(fn, items, n_thread=4, maxsize=2, preserve_order=True):
+def thread_map(fn, items, n_thread=4, maxsize=2):
     """
     Apply ``fn`` to the value of each (key, value) item using ``n_thread``
     workers, preserving input order via round-robin queues. A worker
@@ -333,7 +349,20 @@ def process_map(fn, items, n_proc=4, maxsize=2):
                 i += 1
                 if finished[q]:
                     continue
-                item = outqs[q].get()
+                while True:
+                    try:
+                        item = outqs[q].get(timeout=1.0)
+                        break
+                    except queue.Empty:
+                        # a SIGKILL/OOM/segfault death never enqueues
+                        # the END sentinel — fail fast instead of
+                        # blocking the whole pipeline forever
+                        if not procs[q].is_alive():
+                            stop.set()
+                            raise RuntimeError(
+                                f"process_map worker {q} died "
+                                f"(exit code {procs[q].exitcode}) "
+                                f"without completing")
                 if item == "__END__":
                     finished[q] = True
                     done += 1

@@ -23,7 +23,8 @@ _REPORTS = []
 
 
 def enabled():
-    return bool(os.environ.get("BONITO_TPU_PROFILE"))
+    # "0" must DISABLE (any non-empty string is truthy — round-5 review)
+    return os.environ.get("BONITO_TPU_PROFILE", "") not in ("", "0")
 
 
 class StageStats:

@@ -182,6 +182,13 @@ def stitch(chunks, chunksize, overlap, length, stride, reverse=False):
                           reverse=reverse) for k, v in chunks.items()}
     n = size(chunks, 0)
     if n == 1:
+        if length < chunksize:
+            # chunk() filled the window by REPEATING a short read's
+            # signal; only the first floor(length/stride) frames decode
+            # real signal — returning the whole chunk emitted the
+            # read's bases multiple times (round-5 review; the CRF
+            # driver had its own guard, the CTC driver did not)
+            return chunks[0][:int(np.floor(length / stride))]
         return chunks[0]
 
     cut = (overlap // 2) // stride
@@ -307,6 +314,9 @@ def load_model(dirname, weights=None, half=True, chunksize=None, batchsize=None,
 
     Chunksize is rounded down to a stride multiple and overlap to an even
     stride multiple so stitching stays exact (reference: bonito/util.py:288-291).
+    ``use_compiled`` is accepted for reference signature parity (its
+    use_koi analog toggles CUDA kernels); here the Pallas/XLA kernels
+    are always the compute path, so the flag has no effect.
     """
     from bonito_tpu.config import load_config
 
