@@ -166,8 +166,15 @@ def main(args):
         )
 
     basecall_kwargs = {}
+    sig_params = inspect.signature(basecall).parameters
+    if fmt.name == "fastq" and "qscores" in sig_params:
+        # conv-CTC: beam decode produces no qstring ('*'), which is not
+        # valid FASTQ — prefer the qscore-carrying greedy decode when
+        # the OUTPUT needs per-base qualities. (Deviation from the
+        # reference, which emits the malformed '*' fastq here.)
+        basecall_kwargs["qscores"] = True
     if args.beam:
-        if "decoder" in inspect.signature(basecall).parameters:
+        if "decoder" in sig_params:
             # koi beam-search output parity (default decode is Viterbi)
             basecall_kwargs["decoder"] = "beam"
         else:

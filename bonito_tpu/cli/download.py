@@ -118,14 +118,16 @@ class Downloader:
         if not cfg_path.exists():
             return
         config = load_config(cfg_path)
-        # retarget the model package at our framework
-        pkg = config.get("model", {}).get("package", "")
-        config["model"]["package"] = pkg.replace("bonito.", "bonito_tpu.")
+        # load_symbol retargets bonito.* -> bonito_tpu.* itself; the old
+        # explicit rewrite here KeyError'd on configs without a [model]
+        # table (round-5 review)
         Model = load_symbol(config, "Model")
         model = Model(config)
         for tar in sorted(model_dir.glob("weights_*.tar")):
-            n = re.search(r"_(\d+)\.tar$", tar.name).group(1)
-            npz = model_dir / f"weights_{n}.npz"
+            m = re.search(r"_(\d+)\.tar$", tar.name)
+            if m is None:
+                continue  # weights_final.tar and friends
+            npz = model_dir / f"weights_{m.group(1)}.npz"
             if npz.exists() and not self.force:
                 continue
             params = import_torch_checkpoint(tar, model)
@@ -161,7 +163,9 @@ def main(args):
 def argparser():
     parser = ArgumentParser(
         formatter_class=ArgumentDefaultsHelpFormatter, add_help=False)
-    group = parser.add_mutually_exclusive_group()
+    # required like the reference: a bare `download` (or --list alone)
+    # silently did nothing and exited 0
+    group = parser.add_mutually_exclusive_group(required=True)
     group.add_argument("--all", action="store_true")
     group.add_argument("--models", action="store_true")
     group.add_argument("--training", action="store_true")

@@ -92,7 +92,6 @@ def main(args):
 
     stream = results()
     if aligner:
-        from bonito_tpu.aligner import align_map
         stream = align_map(aligner, stream, n_thread=args.alignment_threads)
 
     writer = DuplexWriter(fmt.mode, stream, aligner=aligner, duplex=True,

@@ -6,6 +6,7 @@ alignments, with optional seqs/refs fasta dumps.
 """
 
 import inspect
+import sys
 import time
 from argparse import ArgumentParser, ArgumentDefaultsHelpFormatter
 from pathlib import Path
@@ -85,9 +86,14 @@ def main(args):
     print("* loading data")
     compute = ComputeSettings(batch_size=args.batchsize, seed=args.seed)
     if args.dataset == "valid":
-        # valid may be split out of the train chunks; offer enough of them
-        # to subset from (reference: cli/evaluate.py:87-92)
-        data = DataSettings(str(args.directory), args.chunks * 100,
+        # valid may be split out of the train chunks; offer enough of
+        # them to subset from (reference: cli/evaluate.py:87-92) — but
+        # only when there is no validation/ subdir: with one, the train
+        # loader is discarded unread and the 100x headroom materialised
+        # ~2 GB of chunks for nothing (round-5 review)
+        has_valid_dir = (Path(args.directory) / "validation").exists()
+        n_train = args.chunks if has_valid_dir else args.chunks * 100
+        data = DataSettings(str(args.directory), n_train,
                             args.chunks, None)
         _, loader = load_data(data, setup, compute)
     else:
@@ -117,12 +123,20 @@ def main(args):
         data = np.asarray(data, np.float32)
         if standardisation and not plugin_loader:
             data = (data - mean) / stdev
-        n_chunks += len(data)
+        n_real = len(data)
+        n_chunks += n_real
         n_samples += data.shape[0] * data.shape[1]
+        if n_real < args.batchsize:
+            # zero-pad the final partial batch: a new shape would
+            # recompile the whole jitted forward for one batch (minutes
+            # on the remote backend); outputs are sliced back below
+            data = np.concatenate([data, np.zeros(
+                (args.batchsize - n_real, *data.shape[1:]), data.dtype)])
         scores = fwd(model.params, data)
-        seqs.extend(model.decode_batch(scores, beamsize=args.beamsize)
-                    if takes_beamsize
-                    else model.decode_batch(scores))
+        batch_seqs = (model.decode_batch(scores, beamsize=args.beamsize)
+                      if takes_beamsize
+                      else model.decode_batch(scores))
+        seqs.extend(batch_seqs[:n_real])
         refs.extend(decode_ref(t[:n], model.alphabet)
                     for t, n in zip(targets, lengths))
     duration = time.perf_counter() - t0
@@ -130,6 +144,12 @@ def main(args):
     print("* aligning")
     rows = [align_stats(ref, seq, min_coverage=args.min_coverage)
             for ref, seq in zip(refs, seqs)]
+    if not rows:
+        # fail loudly and early: an empty split printed a NaN report
+        # and then crashed on rows[0] under --output-dir
+        print("* error: no chunks evaluated (empty dataset/split?)",
+              file=sys.stderr)
+        sys.exit(1)
 
     def mean(key):
         return float(np.mean([r[key] for r in rows]))

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 import os
+import sys
 
 from bonito_tpu.pipeline import (thread_iter, thread_map, process_map,
                                  device_stage)
@@ -83,9 +84,15 @@ def basecall(model, reads, beamsize=5, chunksize=0, overlap=0, batchsize=1,
                                  model.stride)})
         for read, v in scores
     )
+    if reverse:
+        # r9.4.1 conv-CTC has no reverse (duplex-complement) models; the
+        # reference's ctc basecall has no such parameter at all — warn
+        # rather than silently ignoring the flag
+        sys.stderr.write(
+            "> warning: --revcomp has no effect for the conv-CTC family\n")
     decoder = partial(
         decode, decode_fn=model.decode, beamsize=beamsize, qscores=qscores,
-        stride=model.stride)
+        stride=model.stride, rna=rna)
     # worker processes fork after jax backend init, which can deadlock;
     # default to threads (the decode hot loops are numpy/native with the
     # GIL released) unless opted in.
@@ -97,8 +104,12 @@ def basecall(model, reads, beamsize=5, chunksize=0, overlap=0, batchsize=1,
     return thread_map(decoder, stitched, n_thread=n_thread)
 
 
-def decode(scores, decode_fn, beamsize=5, qscores=False, stride=1):
-    """Scores -> sequence/qstring (reference: bonito/ctc/basecall.py:43-61)."""
+def decode(scores, decode_fn, beamsize=5, qscores=False, stride=1,
+           rna=False):
+    """Scores -> sequence/qstring (reference: bonito/ctc/basecall.py:43-61;
+    ``rna`` applies the 3'->5' sequencing-direction flip like the CRF
+    driver's fmt() — the reference's ctc path predates --rna and would
+    TypeError on it)."""
     n_frames = len(scores["scores"])
     seq, path = decode_fn(scores["scores"], beamsize=1, qscores=True,
                           return_path=True)
@@ -115,5 +126,9 @@ def decode(scores, decode_fn, beamsize=5, qscores=False, stride=1):
             qstring = "*"
         except Exception:
             pass
+    if rna:
+        seq = seq[::-1]
+        if qstring != "*":
+            qstring = qstring[::-1]
     return {"sequence": seq, "qstring": qstring, "stride": stride,
             "moves": moves, "mean_qscore": mean_qscore}

@@ -78,7 +78,7 @@ def transformer_crf_config(
     attn_window=(127, 128), state_len=5, conv_stride=12, upsample=2,
     blank_score=2.0, crf_scale=5.0,
     batchsize=128, chunksize=12000, overlap=600, sample_rate=5000,
-    qscale=1.0, qbias=0.0, scaling_strategy="pa", standardisation=None,
+    qscale=1.05, qbias=1.3, scaling_strategy="pa", standardisation=None,
 ):
     """Transformer-CRF "sup" family (schema of reference dna_r10.4.1@v5.0.toml)."""
     if standardisation is None and scaling_strategy == "pa":
@@ -148,12 +148,16 @@ def conv_ctc_config(batchsize=512, chunksize=4000, overlap=500):
         "encoder": {"activation": "swish"},
         "qscore": {"scale": 0.9, "bias": 0.0},
         "block": [
+            # C1 + B1..B5 + C2 + C3, repeats per the reference
+            # dna_r9.4.1@v2.toml (2,7,4,9,6 — round-5 fix: uniform 5s
+            # built a different net than the published model name, so
+            # reference checkpoints could not import)
             block(344, 1, 9, stride=3, separable=False, residual=False, dropout=0.05),
-            block(424, 5, 115),
-            block(464, 5, 5),
-            block(456, 5, 123),
-            block(440, 5, 9),
-            block(280, 5, 31),
+            block(424, 2, 115),
+            block(464, 7, 5),
+            block(456, 4, 123),
+            block(440, 9, 9),
+            block(280, 6, 31),
             block(384, 1, 67, separable=True, residual=False),
             block(48, 1, 15, separable=False, residual=False),
         ],
