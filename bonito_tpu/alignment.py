@@ -75,6 +75,11 @@ def sw_to_sam(result: "SWResult", seq: str):
     import re
     cigstr = result.cigar
     first = re.search(r"(\d+)([MIDNSHP=X])", cigstr)
+    if first is None:
+        # zero-score local alignment (nothing matched): no mappable
+        # record — callers must treat like an unmapped read instead of
+        # crashing on .groups() (round-5 review)
+        return None, None
     first_count, first_op = first.groups()
     prefix = first.group()
     rstart = result.beg_ref

@@ -42,9 +42,20 @@ def main(args):
         if layer is not None:
             print("\n".join(describe(layer)))
     params = model.init()
-    total = sum(int(np.prod(p.shape))
-                for p in jax.tree.leaves(params))
-    print("total parameters:", "{:,}".format(total))
+
+    def count(tree):
+        # BatchNorm running mean/var are BUFFERS, not parameters — the
+        # reference's model.parameters() count excludes them
+        # (bonito/cli/view.py)
+        total = 0
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                total += count(v)
+            elif k not in ("mean", "var"):
+                total += int(np.prod(v.shape))
+        return total
+
+    print("total parameters:", "{:,}".format(count(params)))
 
 
 def argparser():

@@ -214,10 +214,15 @@ class Stack(Serial):
         # instead of every layer padding and slicing its own tensors
         pad_fn = (getattr(self.sublayers[0], "token_pad_block", None)
                   if self.sublayers else None)
-        block = pad_fn() if pad_fn else None
         t = x.shape[1]
+        block = None
+        if pad_fn:
+            try:
+                # layers may gate on the token count (VMEM budget)
+                block = pad_fn(t)
+            except TypeError:
+                block = pad_fn()  # legacy 0-arg form
         if block and t % block:
-            import jax.numpy as jnp
             tp = -(-t // block) * block
             x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
             ctx = dict(ctx or {})

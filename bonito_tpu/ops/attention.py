@@ -40,14 +40,17 @@ def dense_attention(q, k, v, window=None):
     return jnp.einsum("nhts,nhsd->nhtd", probs, v)
 
 
-@partial(jax.jit, static_argnames=("window", "block"))
-def local_attention(q, k, v, window, block=128):
+@partial(jax.jit, static_argnames=("window", "block", "t_real"))
+def local_attention(q, k, v, window, block=128, t_real=None):
     """
     Banded attention in key blocks. q/k/v: [N, H, T, D]; T must be a
     multiple of ``block``; requires window[0] < block and window[1] <= block.
+    ``t_real``: mask keys at positions >= t_real (the caller padded T to
+    a block multiple; padded QUERY rows emit garbage the caller slices).
     """
     left, right = window
     N, H, T, D = q.shape
+    t_valid = T if t_real is None else t_real
     B = block
     assert T % B == 0, f"T={T} not a multiple of block={B}"
     assert left < B and right <= B, (left, right, B)
@@ -74,10 +77,14 @@ def local_attention(q, k, v, window, block=128):
     band = jnp.asarray(band)[None, None, None]                  # [1,1,1,B,3B]
     g = jnp.arange(nb)[:, None, None]
     kabs = g * B + (kk - B)[None]
-    valid = (kabs >= 0) & (kabs < T)
+    valid = (kabs >= 0) & (kabs < t_valid)
     valid = valid[None, None, :, :, :]
 
-    scores = jnp.where(band & valid, scores, -jnp.inf)
+    # -1e30, NOT -inf: a fully-masked (padded) query row under -inf
+    # softmaxes to NaN, and the caller's slice pads the COTANGENT with
+    # zeros whose product with NaN grads is still NaN — poisoning
+    # training through the ragged-T padded path (round-5 review)
+    scores = jnp.where(band & valid, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("nhgqk,nhgkd->nhgqd", probs, vw)
     return out.reshape(N, H, T, D)
@@ -98,6 +105,17 @@ def attend(q, k, v, window=None, block=128, differentiable=False):
         if attention_pallas.supported(q, window, block):
             return attention_pallas.local_attention_pallas(
                 q, k, v, (left, right), block)
-    if T % block == 0 and left < block and right <= block:
-        return local_attention(q, k, v, (left, right), block)
+    if left < block and right <= block:
+        if T % block == 0:
+            return local_attention(q, k, v, (left, right), block)
+        # pad T to a block multiple with masked keys instead of falling
+        # through to dense O(T^2): the very long ragged streams the
+        # fused kernel's VMEM gate rejects would otherwise materialise
+        # an [N, H, T, T] f32 score tensor (round-5 review)
+        Tp = -(-T // block) * block
+        padw = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        out = local_attention(
+            jnp.pad(q, padw), jnp.pad(k, padw), jnp.pad(v, padw),
+            (left, right), block, t_real=T)
+        return out[:, :, :T]
     return dense_attention(q, k, v, window)

@@ -141,6 +141,21 @@ def _fused_kernel_dt(left, right, B, G, KW, t_real, q_ref, trig_ref, o_ref):
         o_ref[0, :, :, qs] = o.astype(o_ref.dtype)
 
 
+def fused_token_budget_ok(T, H, D, block=128, itemsize=2):
+    """T-dependent VMEM budget of the fused kernel (per-row program
+    holds qkv + o/do/dq blocks + f32 scratch for the whole stream).
+    Budget at qkv's REAL itemsize — a no-AMP f32 run doubles the
+    blocks. Shared by fused_supported AND the Stack-level
+    token_pad_block gate so the pad decision and the kernel dispatch
+    cannot disagree (round-5 review)."""
+    Tp = -(-T // block) * block
+    per_token = (3 * H * D * itemsize   # qkv block
+                 + 3 * H * D * itemsize  # o/do/dq-class blocks
+                 + 2 * H * D * 4         # f32 dk/dv scratch
+                 + 16 * block)           # lse/mask/temporaries slack
+    return Tp * per_token <= 90 * 1024 * 1024
+
+
 def fused_supported_dims(window, head_dim, rotary_dim, block=128,
                          require_tpu=True):
     """Shape-level gate shared with Stack-level token padding
@@ -166,15 +181,8 @@ def fused_supported(qkv, window, rotary_dim, block=128, require_tpu=True):
     # [H, D, T] scratch accumulators — budget them all so a huge
     # user --chunksize routes to the XLA fallback instead of failing
     # Pallas compilation (CLAUDE.md: budgets count body temporaries).
-    Tp = -(-T // block) * block
-    # budget at qkv's REAL itemsize: a no-AMP (f32) train run doubles
-    # every qkv/o/do/dq block vs the bf16 default (round-5 review)
     isz = jnp.dtype(qkv.dtype).itemsize
-    per_token = (3 * H * D * isz        # qkv block
-                 + 3 * H * D * isz      # o/do/dq-class blocks
-                 + 2 * H * D * 4        # f32 dk/dv scratch
-                 + 16 * block)          # lse/mask/temporaries slack
-    if Tp * per_token > 90 * 1024 * 1024:
+    if not fused_token_budget_ok(T, H, D, block=block, itemsize=isz):
         return False
     return three == 3 and fused_supported_dims(
         window, D, rotary_dim, block=block, require_tpu=require_tpu)

