@@ -72,6 +72,11 @@ def flops_per_sample(kind, quant=False):
         # fast DEFAULTS to bf16 (int8 measured slower at these shapes —
         # DESIGN.md round 3) but BENCH_QUANT=1 still runs the int8 cell
         if quant:
+            # quantize() int8s the LSTM->head chain too unless the env
+            # gate disables it — charge the head at its EXECUTED peak
+            int8_head = os.environ.get("BONITO_TPU_INT8_HEAD", "1") != "0"
+            if int8_head:
+                return {"bf16": conv, "int8": (lstm + head) / stride}
             return {"bf16": head / stride + conv, "int8": lstm / stride}
         return {"bf16": (lstm + head) / stride + conv, "int8": 0.0}
     # hac (lstm_crf_config defaults: features 1024, stride 6, state_len 5)
@@ -183,8 +188,9 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
             raise
         # fused-head route failed to compile/run on this backend —
         # fall back to the materialised TCN route rather than dying
+        import sys
         print(f"# fused-head step failed ({type(e).__name__}); "
-              f"falling back to the TCN route", flush=True)
+              f"falling back to the TCN route", file=sys.stderr, flush=True)
         fused = False
         step = jax.jit(step.__wrapped__)
         _sync(step(model.params, x))
@@ -209,7 +215,7 @@ def bench_basecall(model_kind, batchsize, chunksize, iters):
         _sync(reduce_out(out))
         rates.append(batchsize * chunksize * iters
                      / (time.perf_counter() - t0))
-    return max(rates)
+    return max(rates), quant_mode not in ("", "0")
 
 
 def bench_train(batchsize, chunksize, iters, kind="hac"):
@@ -264,10 +270,18 @@ def bench_train(batchsize, chunksize, iters, kind="hac"):
 
 
 def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/bonito_tpu_jax_cache")
+    # the CLI's persistent cache setup (honours JAX_COMPILATION_CACHE_DIR
+    # and BONITO_TPU_NO_COMPILE_CACHE; same directory as the CLI so the
+    # two share compiles)
+    import bonito_tpu
+    bonito_tpu.enable_compile_cache()
 
     kind = os.environ.get("BENCH_MODEL", "hac")
+    if kind not in ("hac", "fast", "sup", "train", "suptrain"):
+        # a typo'd BENCH_MODEL used to fall through to the hac branch
+        # and record hac numbers under the bogus metric name
+        raise SystemExit(f"unknown BENCH_MODEL {kind!r} "
+                         f"(hac|fast|sup|train|suptrain)")
     batchsize = int(os.environ.get("BENCH_BATCH", 0)) or None
     chunksize = int(os.environ.get("BENCH_CHUNK", 0)) or None
     # 16 (round 5): the end-of-rep scalar fetch costs a fixed ~25 ms
@@ -284,10 +298,8 @@ def main():
         fps = {p: 3 * f for p, f in flops_per_sample(fam).items()}
         quant = False
     else:
-        sps = bench_basecall(kind, batchsize, chunksize, iters)
+        sps, quant = bench_basecall(kind, batchsize, chunksize, iters)
         metric = f"{kind}_basecall_samples_per_sec"
-        # mirrors bench_basecall's default: hac quantizes unless disabled
-        quant = os.environ.get("BENCH_QUANT", "0") not in ("", "0")
         fps = flops_per_sample(kind, quant=quant)
 
     roofline_sps = roofline_samples_per_sec(fps)

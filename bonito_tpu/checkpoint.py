@@ -19,6 +19,7 @@ A shape-matching fallback (same trick as the reference's match_names,
 bonito/util.py:239-248) reconciles renamed module paths.
 """
 
+import sys
 import zipfile
 from pathlib import Path
 
@@ -141,7 +142,7 @@ def _match_names(state, expected):
     """
     Shape-sorted remap between torch keys and expected torch keys
     (semantics of reference bonito/util.py:239-248): group both sides by the
-    key suffix (param name), sort by shape, and pair them up.
+    key suffix (param name), pair them up in natural name order (shape compatibility is enforced by the post-import guard).
     """
     keys = [k for k, _, _ in expected]
     if all(k in state for k in keys):
@@ -220,9 +221,13 @@ def import_torch_checkpoint(path, model):
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(np.ascontiguousarray(arr, np.float32))
 
-    # shape guard (the reference's match_names asserts the shape-sorted
-    # lists agree): every imported array must match the initialised
-    # model parameter it replaces, or the remap mispaired layers
+    # shape guard: every imported array must match the initialised model
+    # parameter it replaces, or the remap mispaired layers. The model is
+    # initialised HERE if needed (round-5: the guard silently skipped on
+    # params=None callers — util._load_model and download's _convert),
+    # and entries the model tree lacks are reported rather than ignored.
+    if getattr(model, "params", None) is None and hasattr(model, "init"):
+        model.init()
     have = getattr(model, "params", None)
     if have:
         def walk(exp_node, have_node, path):
@@ -231,7 +236,15 @@ def import_torch_checkpoint(path, model):
                 if isinstance(v, dict):
                     if isinstance(h, dict):
                         walk(v, h, f"{path}.{k}")
-                elif h is not None and tuple(v.shape) != tuple(h.shape):
+                    else:
+                        sys.stderr.write(
+                            f"> warning: imported subtree {path}.{k} has "
+                            f"no counterpart in the model\n")
+                elif h is None:
+                    sys.stderr.write(
+                        f"> warning: imported parameter {path}.{k} has "
+                        f"no counterpart in the model\n")
+                elif tuple(v.shape) != tuple(h.shape):
                     raise ValueError(
                         f"checkpoint import shape mismatch at {path}.{k}: "
                         f"{tuple(v.shape)} vs model {tuple(h.shape)}")
@@ -262,6 +275,7 @@ def export_state_dict(layer, params, prefix=""):
     visit(layer, prefix)
 
     state = {}
+    skipped = []
     plen = len(prefix) + 1 if prefix else 0
     for torch_key, our_key, convert in expected:
         node = params
@@ -272,11 +286,17 @@ def export_state_dict(layer, params, prefix=""):
                 break
             node = node[part]
         if not ok:
-            continue  # param-less after serialization round-trip
+            skipped.append(torch_key)  # param-less layers land here; a
+            continue                   # summary prints below if any
         arr = convert(np.asarray(node, np.float32))
         state[torch_key] = np.ascontiguousarray(arr)
         if torch_key.endswith("bias_ih_l0"):
             state[torch_key.replace("bias_ih", "bias_hh")] = np.zeros_like(arr)
+    if skipped:
+        sys.stderr.write(
+            f"> warning: export skipped {len(skipped)} expected "
+            f"parameter(s) missing from the params tree "
+            f"(first: {skipped[0]})\n")
     return state
 
 
@@ -286,19 +306,12 @@ def load_weights(path, model):
     if path.endswith(".npz"):
         return load_params(path)
     if path.endswith(".tar") or zipfile.is_zipfile(path):
-        # materialise the model's own parameter shapes first: the
-        # import shape guard compares every imported array against
-        # them, and with params=None (the CLI load path) it silently
-        # skipped — a remap mispairing then loaded wrong weights with
-        # no error (round-5 review finding)
-        if getattr(model, "params", None) is None and hasattr(model, "init"):
-            model.init()
         return import_torch_checkpoint(path, model)
     raise ValueError(f"unrecognised checkpoint format: {path}")
 
 
 def save_checkpoint(workdir, epoch, params, opt_state=None):
-    """weights_{epoch}.npz (+ optim_{epoch}.npz) in ``workdir``."""
+    """weights_{epoch}.npz (+ optim_{epoch}.pkl) in ``workdir``."""
     workdir = Path(workdir)
     save_params(workdir / f"weights_{epoch}.npz", params)
     if opt_state is not None:
