@@ -68,7 +68,9 @@ def _torch_state_dict(model):
     rewrite = getattr(model, "rewrite_torch_keys", None)
     if rewrite is not None:
         state = {rewrite(k): v for k, v in state.items()}
-    return {k: torch.from_numpy(v) for k, v in state.items()}
+    # copy: jax buffers arrive as non-writable numpy views and
+    # torch.from_numpy warns (and aliases) on those
+    return {k: torch.from_numpy(np.array(v)) for k, v in state.items()}
 
 
 def save_tensor(directory, name, array):

@@ -114,7 +114,9 @@ def _svb16_decode_py(payload, count):
             zz = data[pos]
             pos += 1
         delta = (zz >> 1) ^ -(zz & 1)
-        prev = np.int16(prev + delta)
+        # two's-complement int16 wraparound in plain python ints (the
+        # np.int16 cast warns on overflow under NEP 50)
+        prev = ((int(prev) + delta + 0x8000) & 0xFFFF) - 0x8000
         out[i] = prev
     return out
 

@@ -93,7 +93,7 @@ class TestPallasUnderSharding:
 
     def test_decode_pallas_shard_map(self):
         from functools import partial
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from bonito_tpu.crf.seqdist import CTC_CRF
         from bonito_tpu.ops.decode import viterbi_decode_scan
         from bonito_tpu.ops.decode_pallas import viterbi_decode_pallas
@@ -111,7 +111,7 @@ class TestPallasUnderSharding:
             mesh=mesh, in_specs=P("data"),
             out_specs={"sequence": P("data"), "qstring": P("data"),
                        "moves": P("data")},
-            check_rep=False)
+            check_vma=False)
         out = jax.jit(fn)(jax.device_put(
             scores, parallel.batch_sharding(mesh)))
         np.testing.assert_array_equal(np.asarray(out["sequence"]),
@@ -120,7 +120,7 @@ class TestPallasUnderSharding:
 
     def test_lstm_pallas_shard_map(self):
         from functools import partial
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from bonito_tpu.ops.lstm_pallas import lstm_pallas
         from bonito_tpu.ops.lstm import lstm_scan
 
@@ -139,7 +139,7 @@ class TestPallasUnderSharding:
             partial(lstm_pallas, interpret=True),
             mesh=mesh,
             in_specs=(P("data"), P(), P(), P()),
-            out_specs=P("data"), check_rep=False)
+            out_specs=P("data"), check_vma=False)
         out = jax.jit(fn)(
             jax.device_put(x, parallel.batch_sharding(mesh)),
             *(jax.device_put(w, parallel.replicated(mesh))
